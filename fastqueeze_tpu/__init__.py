@@ -1,0 +1,26 @@
+"""fastqueeze_tpu — a TPU-native FASTQ compression framework.
+
+A ground-up JAX/XLA/Pallas re-design with the capabilities of the reference
+SeqArc v1.6 compressor (see SURVEY.md): block-parallel FASTQ compression with
+adaptive context models (sequence / quality / name / length / alignment-info
+streams), optional reference-based alignment, lossy quality transform, and a
+seekable TLV container format.
+
+Key architectural departures from the reference (which is serial, per-symbol
+range coding in C++ — SURVEY.md §2.1):
+
+* Entropy coding is an **interleaved rANS** coder over many SIMD lanes, with
+  **wave-synchronized adaptive models**: all lanes code symbol ``t`` against
+  the model state produced by waves ``< t``, then the model tables are updated
+  with the whole wave at once (a batched scatter-add).  Encode and decode
+  perform bit-identical integer model walks, so the coder stays adaptive while
+  being fully vectorized on the VPU.
+* Alignment is batched seed-lookup + gapless XOR/popcount extension over a
+  2-bit packed reference, instead of a per-read scalar loop.
+* Scale-out is block data-parallelism over a ``jax.sharding.Mesh`` instead of
+  pthreads.
+"""
+
+__version__ = "0.1.0"
+
+from fastqueeze_tpu.config import CodecParams  # noqa: F401

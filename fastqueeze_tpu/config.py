@@ -1,0 +1,115 @@
+"""Codec configuration.
+
+The reference (SeqArc v1.6) takes coder-shaping parameters from a developer
+config file ``./seqarc.config`` (SURVEY.md §5: BlockSize(M), Slevel, Qlevel,
+Seedlen, Maxmis, ...) but — pitfall — never serializes them into the archive,
+so decoding with a different config crashes.  Here *every* parameter that
+shapes the bitstream is part of :class:`CodecParams` and is written into the
+container's PARAM section verbatim; the decoder always codes with the params
+read from the archive.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+# rANS numerics — fixed by the format version, not tunable per archive.
+PROB_BITS = 14            # quantized frequency precision (total = 2**14)
+RANS_M = 1 << PROB_BITS
+RANS_L = 1 << 16          # state lower bound; emission unit = 16-bit word
+MAGIC = b"FQZTPU01"
+
+# fqzcomp's sequence-context start value (SURVEY.md §2.1, reference
+# EncapFqzComp encode_seq @0x421f30 resets ctx to 0x007616C7 & NS_MASK).
+SEQ_CTX_START = 0x007616C7
+
+
+@dataclass
+class CodecParams:
+    """Everything that shapes the compressed bitstream.
+
+    Mirrors the reference's ``seqarc.config`` keys (SURVEY.md §5) plus the
+    TPU-engine parameters that have no reference equivalent.
+    """
+
+    # --- block pipeline (reference: BlockSize(M):50) ---
+    block_size_mb: int = 50
+
+    # --- sequence model (reference: Slevel:3 → order = Slevel+7) ---
+    slevel: int = 3                 # context order = slevel + 7 (2 bits/base)
+    seq_init: int = 3               # per-symbol initial count
+    seq_inc: int = 1                # count increment per coded symbol
+    seq_cap: int = 253              # halve row when total exceeds cap
+
+    # --- quality model (reference: Qlevel:2, 2^16 contexts) ---
+    qlevel: int = 2
+    qmax: int = 63                  # alphabet = qmax + 1 (set from data scan)
+    qual_init: int = 1
+    qual_inc: int = 8
+    qual_cap: int = 8192
+    q_drop_init: int = 5            # fqzcomp Σdrops starts at 5
+
+    # --- generic byte / flag models ---
+    byte_init: int = 1
+    byte_inc: int = 16
+    byte_cap: int = 8192
+
+    # --- lossy quality transform (reference: -l FACTOR, R-Block) ---
+    lossy_factor: float = 0.0       # 0 = lossless
+
+    # --- alignment (reference: Seedlen:14, Maxmis:7, Bothstrands, Maxinsr) ---
+    seed_len: int = 14
+    max_mis: int = 7
+    both_strands: int = 0
+    max_insr: int = 0
+    seed_max_occ: int = 64          # drop seeds with more reference hits
+    seed_stride: int = 2            # sample read seeds every N bp
+    min_map_ratio: float = 0.25     # block falls back to entropy-only below
+
+    # --- frozen-model mode (reference: usemodel) ---
+    use_model: int = 0              # 0=auto, 1=force on, -1=force off
+    model_train_mb: int = 34        # prefix size used to train frozen models
+
+    # --- lane policy (TPU engine; no reference equivalent) ---
+    lanes_min: int = 64
+    lanes_max: int = 4096
+    lane_target_symbols: int = 4096  # aim ~this many symbols per lane
+
+    # --- paired-end ---
+    is_pe: int = 0
+
+    def seq_order(self) -> int:
+        return self.slevel + 7
+
+    def seq_nctx(self) -> int:
+        return 1 << (2 * self.seq_order())
+
+    def seq_ctx_mask(self) -> int:
+        return self.seq_nctx() - 1
+
+    def qual_nctx(self) -> int:
+        return (1 << 20) if self.qlevel >= 3 else (1 << 16)
+
+    def qual_alphabet(self) -> int:
+        return self.qmax + 1
+
+    def n_lanes(self, n_symbols: int) -> int:
+        """Per-stream lane count: ~lane_target_symbols per lane, pow2-clamped."""
+        want = max(1, n_symbols // self.lane_target_symbols)
+        nl = 1
+        while nl < want:
+            nl <<= 1
+        return max(self.lanes_min, min(self.lanes_max, nl))
+
+    # --- serialization (into the container PARAM section) ---
+    def to_bytes(self) -> bytes:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True).encode()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "CodecParams":
+        d = json.loads(raw.decode())
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})

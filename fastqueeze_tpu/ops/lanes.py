@@ -1,0 +1,110 @@
+"""Lane layout: ragged per-read symbol sequences <-> fixed (T, L) wave grids.
+
+The TPU engine codes ``L`` interleaved rANS lanes in lockstep; read ``r`` is
+assigned to lane ``r % L`` (round-robin keeps lanes balanced for i.i.d. read
+lengths), and a lane's symbol sequence is the concatenation of its reads'
+symbols.  ``T`` = longest lane.  The layout is a pure function of the
+per-read symbol counts, so the decoder (which decodes lengths first)
+reconstructs the identical grid coordinates.
+
+This replaces the reference's serial per-read loops (compressSeq @0x4249c7
+iterating encode_seq read-by-read, SURVEY.md §2.1) with a batched layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class LaneLayout:
+    L: int                      # number of lanes
+    T: int                      # waves (max lane length), padded
+    counts: np.ndarray          # (R,) per-read symbol counts
+    sym_t: np.ndarray           # (N,) wave index per symbol (read-major order)
+    sym_lane: np.ndarray        # (N,) lane index per symbol
+    lane_len: np.ndarray        # (L,) symbols per lane
+    read_start_t: np.ndarray    # (R,) wave index of each read's first symbol
+    read_lane: np.ndarray       # (R,) lane of each read
+
+    @property
+    def n_symbols(self) -> int:
+        return int(self.counts.sum())
+
+
+def make_layout(counts: np.ndarray, L: int, t_pad: int = 128) -> LaneLayout:
+    """Build the grid coordinate map for per-read symbol counts."""
+    counts = np.asarray(counts, dtype=np.int64)
+    R = len(counts)
+    read_lane = (np.arange(R, dtype=np.int64) % L) if R else np.zeros(0, np.int64)
+
+    # Start offset of each read within its lane: segmented exclusive cumsum
+    # over reads grouped by lane.  Round-robin assignment means reads of lane
+    # l are r = l, l+L, l+2L, ... — already in within-lane order when sorted
+    # stably by lane.
+    order = np.argsort(read_lane, kind="stable")          # (R,)
+    counts_ord = counts[order]
+    lane_ord = read_lane[order]
+    cc = np.cumsum(counts_ord) - counts_ord               # global excl cumsum
+    if R:
+        first_of_lane = np.r_[True, lane_ord[1:] != lane_ord[:-1]]
+        lane_base = np.where(first_of_lane, cc, 0)
+        np.maximum.accumulate(lane_base, out=lane_base)
+        start_in_lane_ord = cc - lane_base
+    else:
+        start_in_lane_ord = cc
+    read_start_t = np.empty(R, dtype=np.int64)
+    read_start_t[order] = start_in_lane_ord
+
+    lane_len = np.zeros(L, dtype=np.int64)
+    np.add.at(lane_len, read_lane, counts)
+    T_real = int(lane_len.max()) if R else 0
+    T = max(t_pad, ((T_real + t_pad - 1) // t_pad) * t_pad)
+
+    # Per-symbol coordinates in read-major order.
+    N = int(counts.sum())
+    rep_read = np.repeat(np.arange(R), counts)            # (N,) owning read
+    intra = np.arange(N, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts)               # position in read
+    sym_t = read_start_t[rep_read] + intra
+    sym_lane = read_lane[rep_read]
+
+    return LaneLayout(L=L, T=T, counts=counts, sym_t=sym_t,
+                      sym_lane=sym_lane, lane_len=lane_len,
+                      read_start_t=read_start_t, read_lane=read_lane)
+
+
+def to_grid(layout: LaneLayout, flat: np.ndarray,
+            fill: int = 0, dtype=None) -> np.ndarray:
+    """Scatter read-major flat symbols into the (T, L) grid."""
+    dtype = dtype or flat.dtype
+    grid = np.full((layout.T, layout.L), fill, dtype=dtype)
+    grid[layout.sym_t, layout.sym_lane] = flat
+    return grid
+
+
+def from_grid(layout: LaneLayout, grid: np.ndarray) -> np.ndarray:
+    """Gather the (T, L) grid back to read-major flat symbols."""
+    return np.asarray(grid)[layout.sym_t, layout.sym_lane]
+
+
+def aux_grids(layout: LaneLayout, with_pos: bool = False) -> Dict[str, np.ndarray]:
+    """valid / read-start / (optional) position grids for the engine."""
+    t_idx = np.arange(layout.T, dtype=np.int64)[:, None]
+    valid = t_idx < layout.lane_len[None, :]
+    start = np.zeros((layout.T, layout.L), dtype=bool)
+    nz = layout.counts > 0
+    start[layout.read_start_t[nz], layout.read_lane[nz]] = True
+    aux = {"start": start}
+    if with_pos:
+        N = int(layout.counts.sum())
+        intra = (np.arange(N, dtype=np.int64) -
+                 np.repeat(np.cumsum(layout.counts) - layout.counts,
+                           layout.counts))
+        pos = np.zeros((layout.T, layout.L), dtype=np.uint16)
+        pos[layout.sym_t, layout.sym_lane] = np.minimum(intra, 0xFFFF)
+        aux["pos"] = pos
+    return valid, aux

@@ -1,0 +1,114 @@
+"""Round-trip tests for the wave-synchronized adaptive rANS engine."""
+
+import numpy as np
+import pytest
+
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.models.base import (
+    CtxModel, Order1ByteModel, QualModel, SeqModel)
+from fastqueeze_tpu.ops.engine import decode_stream, encode_stream
+
+P = CodecParams(lanes_min=16, lanes_max=64, lane_target_symbols=256)
+
+
+def _roundtrip(model, flat, counts, **kw):
+    payload = encode_stream(model, P, flat, counts, **kw)
+    back = decode_stream(model, P, payload, counts, **kw)
+    np.testing.assert_array_equal(back, flat)
+    return payload
+
+
+def test_order0_uniform():
+    rng = np.random.default_rng(0)
+    counts = rng.integers(1, 120, size=200)
+    flat = rng.integers(0, 256, size=int(counts.sum())).astype(np.uint8)
+    model = CtxModel(alphabet=256, init=1, inc=16, cap=8192)
+    _roundtrip(model, flat, counts)
+
+
+def test_order0_skewed_compresses():
+    rng = np.random.default_rng(1)
+    counts = np.full(300, 100)
+    flat = rng.choice(np.arange(4, dtype=np.uint8), p=[0.85, 0.05, 0.05, 0.05],
+                      size=int(counts.sum()))
+    model = CtxModel(alphabet=4, init=1, inc=16, cap=8192)
+    payload = _roundtrip(model, flat, counts)
+    # entropy ~0.85 bits/sym -> ~3.2KB of 30K symbols; allow engine overhead
+    assert len(payload) < 6000
+
+
+def test_order1_bytes():
+    rng = np.random.default_rng(2)
+    counts = rng.integers(0, 60, size=150)
+    n = int(counts.sum())
+    # Markov-ish: next byte near previous
+    flat = np.cumsum(rng.integers(-2, 3, size=n)).astype(np.uint8)
+    model = Order1ByteModel(alphabet=256, init=1, inc=16, cap=8192)
+    _roundtrip(model, flat, counts)
+
+
+def test_seq_model():
+    rng = np.random.default_rng(3)
+    counts = np.full(500, 100)
+    n = int(counts.sum())
+    # repetitive DNA-like data: repeated motif with noise
+    motif = rng.integers(0, 4, size=37)
+    flat = np.tile(motif, n // 37 + 1)[:n].astype(np.uint8)
+    noise = rng.random(n) < 0.02
+    flat[noise] = rng.integers(0, 4, size=int(noise.sum()))
+    model = SeqModel(alphabet=4, init=3, inc=1, cap=253, order=8)
+    payload = _roundtrip(model, flat, counts)
+    assert len(payload) < n / 8  # strongly compressible
+
+def test_qual_model():
+    rng = np.random.default_rng(4)
+    counts = np.full(400, 100)
+    n = int(counts.sum())
+    # quality-like data: smooth random walk in [0, 40)
+    flat = np.clip(np.cumsum(rng.integers(-3, 4, size=n)) % 80, 0, 39)
+    flat = np.abs(flat.astype(np.int64) - 40).astype(np.uint8)
+    flat = np.clip(flat, 0, 39)
+    model = QualModel(alphabet=40, init=1, inc=8, cap=8192, qlevel=2)
+    _roundtrip(model, flat, counts)
+
+
+def test_qual_model_qlevel3_pos_aux():
+    rng = np.random.default_rng(5)
+    counts = rng.integers(1, 150, size=100)
+    n = int(counts.sum())
+    flat = rng.integers(0, 40, size=n).astype(np.uint8)
+    model = QualModel(alphabet=40, init=1, inc=8, cap=8192, qlevel=3)
+    _roundtrip(model, flat, counts)
+
+
+def test_variable_lengths_with_zeros():
+    rng = np.random.default_rng(6)
+    counts = rng.integers(0, 10, size=50)
+    counts[::7] = 0
+    flat = rng.integers(0, 4, size=int(counts.sum())).astype(np.uint8)
+    model = SeqModel(alphabet=4, init=3, inc=1, cap=253, order=4)
+    _roundtrip(model, flat, counts)
+
+
+def test_empty_stream():
+    model = CtxModel(alphabet=4, init=1, inc=16, cap=8192)
+    counts = np.zeros(5, dtype=np.int64)
+    flat = np.zeros(0, dtype=np.uint8)
+    _roundtrip(model, flat, counts)
+
+
+def test_frozen_counts_roundtrip():
+    """counts0 passed in (frozen-model mode) must roundtrip too."""
+    from fastqueeze_tpu.ops.engine import init_counts
+    rng = np.random.default_rng(7)
+    model = CtxModel(alphabet=16, init=1, inc=16, cap=4096)
+    # train counts on one stream
+    counts_a = np.full(50, 64)
+    flat_a = rng.integers(0, 16, size=int(counts_a.sum())).astype(np.uint8)
+    _, trained = encode_stream(model, P, flat_a, counts_a, return_counts=True)
+    # use trained counts as the frozen prior for another stream
+    counts_b = np.full(30, 64)
+    flat_b = rng.integers(0, 16, size=int(counts_b.sum())).astype(np.uint8)
+    payload = encode_stream(model, P, flat_b, counts_b, counts0=trained)
+    back = decode_stream(model, P, payload, counts_b, counts0=trained)
+    np.testing.assert_array_equal(back, flat_b)
