@@ -1,0 +1,182 @@
+"""FASTQ block reader/parser/assembler.
+
+Capability parity with the reference's reader thread + record machinery
+(SURVEY.md C5 srcfile:SeqArcRead.cpp: gzread + cultbuf record-boundary
+cutting; C7 getBlockRead parsing into per-stream arrays).  The hot paths are
+vectorized numpy over the raw byte buffer rather than per-record loops; a
+C++ scanner can slot in behind the same interface.
+
+A *block* is a contiguous run of whole records totalling ~block_size_mb of
+plaintext; blocks are the unit of (de)compression and parallelism.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+NL = 10  # ord("\n")
+
+
+def open_maybe_gz(path: str):
+    with open(path, "rb") as fh:
+        magic = fh.read(2)
+    if magic == b"\x1f\x8b":
+        return gzip.open(path, "rb"), True
+    return open(path, "rb"), False
+
+
+@dataclass
+class FastqBlock:
+    """SoA view of one block of FASTQ records.
+
+    ids/plus are *lines without* their leading '@'/'+' and trailing newline.
+    seq/qual are concatenated byte arrays with per-read lengths.
+    """
+
+    n_reads: int
+    ids: List[bytes]
+    plus: List[bytes]              # content after '+' (usually empty)
+    seq_flat: np.ndarray           # uint8, concatenated bases
+    qual_flat: np.ndarray          # uint8, concatenated raw quality chars
+    lengths: np.ndarray            # (R,) int64 per-read length
+    raw_len: int                   # plaintext bytes of this block
+    final_newline: bool = True     # False only for a last block w/o trailing \n
+
+
+def _line_spans(buf: np.ndarray, missing_final_nl: bool):
+    """(starts, ends) of lines in buf (ends exclude the newline)."""
+    nl_pos = np.flatnonzero(buf == NL)
+    if missing_final_nl:
+        nl_pos = np.append(nl_pos, len(buf))
+    ends = nl_pos
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = nl_pos[:-1] + 1
+    return starts, ends
+
+
+def _extract_concat(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Concatenate buf[starts[i]:ends[i]] slices, vectorized."""
+    lens = ends - starts
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.uint8), lens
+    idx = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens) + np.repeat(starts, lens)
+    return buf[idx], lens
+
+
+def parse_block(raw: bytes, final_newline: bool = True) -> FastqBlock:
+    """Parse whole-record FASTQ bytes into SoA form."""
+    buf = np.frombuffer(raw, np.uint8)
+    starts, ends = _line_spans(buf, not final_newline)
+    nlines = len(starts)
+    if nlines % 4:
+        raise ValueError(f"FASTQ block has {nlines} lines (not divisible by 4)")
+    R = nlines // 4
+    id_s, id_e = starts[0::4], ends[0::4]
+    sq_s, sq_e = starts[1::4], ends[1::4]
+    pl_s, pl_e = starts[2::4], ends[2::4]
+    qu_s, qu_e = starts[3::4], ends[3::4]
+    if not (buf[id_s] == ord("@")).all():
+        bad = int(np.flatnonzero(buf[id_s] != ord("@"))[0])
+        raise ValueError(f"record {bad}: ID line does not start with '@'")
+    if not (buf[pl_s] == ord("+")).all():
+        raise ValueError("malformed FASTQ: '+' line missing")
+    seq_flat, seq_lens = _extract_concat(buf, sq_s, sq_e)
+    qual_flat, qual_lens = _extract_concat(buf, qu_s, qu_e)
+    if not np.array_equal(seq_lens, qual_lens):
+        raise ValueError("seq/qual length mismatch")
+    ids = [raw[s + 1:e] for s, e in zip(id_s.tolist(), id_e.tolist())]
+    plus = [raw[s + 1:e] for s, e in zip(pl_s.tolist(), pl_e.tolist())]
+    return FastqBlock(n_reads=R, ids=ids, plus=plus, seq_flat=seq_flat,
+                      qual_flat=qual_flat, lengths=seq_lens.astype(np.int64),
+                      raw_len=len(raw), final_newline=final_newline)
+
+
+def assemble_block(block: FastqBlock) -> bytes:
+    """Inverse of parse_block: rebuild the exact plaintext bytes."""
+    R = block.n_reads
+    id_lens = np.fromiter((len(x) for x in block.ids), np.int64, R)
+    pl_lens = np.fromiter((len(x) for x in block.plus), np.int64, R)
+    lens = block.lengths
+    rec_lens = id_lens + pl_lens + 2 * lens + 6  # '@' + '+' + 4x'\n'
+    total = int(rec_lens.sum())
+    out = np.empty(total, np.uint8)
+    rec_off = np.cumsum(rec_lens) - rec_lens
+
+    # id lines
+    out[rec_off] = ord("@")
+    _scatter_concat(out, rec_off + 1, id_lens,
+                    np.frombuffer(b"".join(block.ids), np.uint8))
+    p = rec_off + 1 + id_lens
+    out[p] = NL
+    # seq
+    _scatter_concat(out, p + 1, lens, block.seq_flat)
+    p = p + 1 + lens
+    out[p] = NL
+    # plus
+    out[p + 1] = ord("+")
+    _scatter_concat(out, p + 2, pl_lens,
+                    np.frombuffer(b"".join(block.plus), np.uint8))
+    p = p + 2 + pl_lens
+    out[p] = NL
+    # qual
+    _scatter_concat(out, p + 1, lens, block.qual_flat)
+    p = p + 1 + lens
+    out[p] = NL
+    raw = out.tobytes()
+    if not block.final_newline:
+        raw = raw[:-1]
+    return raw
+
+
+def _scatter_concat(out: np.ndarray, dest_starts: np.ndarray,
+                    lens: np.ndarray, flat: np.ndarray) -> None:
+    total = int(lens.sum())
+    if total == 0:
+        return
+    idx = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens) + np.repeat(dest_starts, lens)
+    out[idx] = flat
+
+
+def read_blocks(path: str, block_size: int) -> Iterator[Tuple[bytes, bool]]:
+    """Yield (raw_block_bytes, final_newline) of whole records, ~block_size
+    each (reference: 50 MB cut at record boundaries, cultbuf)."""
+    fh, _ = open_maybe_gz(path)
+    carry = b""
+    with fh:
+        while True:
+            chunk = fh.read(block_size)
+            if not chunk:
+                if carry:
+                    yield _finish(carry)
+                return
+            data = carry + chunk
+            cut = _record_boundary(data)
+            if cut == 0:
+                carry = data
+                continue
+            yield data[:cut], True
+            carry = data[cut:]
+
+
+def _finish(data: bytes) -> Tuple[bytes, bool]:
+    return (data, True) if data.endswith(b"\n") else (data, False)
+
+
+def _record_boundary(data: bytes) -> int:
+    """Largest offset that ends a whole number of 4-line records."""
+    # count newlines; walk back to a multiple-of-4 newline
+    buf = np.frombuffer(data, np.uint8)
+    nl_pos = np.flatnonzero(buf == NL)
+    n_complete = (len(nl_pos) // 4) * 4
+    if n_complete == 0:
+        return 0
+    return int(nl_pos[n_complete - 1]) + 1

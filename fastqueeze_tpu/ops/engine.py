@@ -251,7 +251,12 @@ def decode_stream(model: CtxModel, params: CodecParams,
         for k, v in extra_aux.items():
             aux[k] = to_grid(layout, np.asarray(v))
 
-    words_pad = np.zeros(max(n_words, 1) + 8, np.uint16)
+    # pad the word stream to a power-of-two bucket so the jitted decode is
+    # compiled once per bucket, not once per stream length
+    bucket = 1024
+    while bucket < n_words + 8:
+        bucket <<= 1
+    words_pad = np.zeros(bucket, np.uint16)
     words_pad[:n_words] = words
     c0 = counts0 if counts0 is not None else init_counts(model)
     nh = _n_halve(model, L)

@@ -1,0 +1,108 @@
+"""File-level compress/decompress orchestration.
+
+Capability parity with the reference's SeqArcContext + SeqArcRead + decode
+jobs (SURVEY.md C3/C5/C17): cut input into blocks, encode each, record
+per-block MD5 + whole-input MD5, write the container; on decode, verify both
+and reassemble plaintext.  Blocks are independent, so this maps directly to
+data-parallel execution across threads/hosts/chips (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.container.arcfile import (
+    FLAG_PE, ArcReader, ArcWriter, BlockInfo)
+from fastqueeze_tpu.io.fastq import assemble_block, parse_block, read_blocks
+from fastqueeze_tpu.pipeline.blockcodec import decode_block, encode_block
+from fastqueeze_tpu.utils.log import info
+from fastqueeze_tpu.utils.metrics import DebugInfo
+
+
+def compress_se(params: CodecParams, in_path: str, out_path: str,
+                dbg: Optional[DebugInfo] = None) -> Dict:
+    dbg = dbg or DebugInfo()
+    block_size = params.block_size_mb * (1 << 20)
+    whole_md5 = hashlib.md5()
+    writer = ArcWriter(out_path, params, [os.path.basename(in_path)], [])
+    idx = 0
+    total_raw = 0
+    for raw, final_nl in read_blocks(in_path, block_size):
+        t0 = time.time()
+        whole_md5.update(raw)
+        block = parse_block(raw, final_nl)
+        dbg.add("parse_s", time.time() - t0)
+        t0 = time.time()
+        payload = encode_block(params, block)
+        dbg.add("encode_s", time.time() - t0)
+        info = BlockInfo(payload_len=len(payload), n_reads=block.n_reads,
+                         raw_len1=len(raw), md5=hashlib.md5(raw).digest())
+        writer.add_block(idx, payload, info)
+        dbg.add("reads", block.n_reads)
+        total_raw += len(raw)
+        idx += 1
+    writer.input_md5s = [whole_md5.digest()]
+    writer.finalize()
+    out_size = os.path.getsize(out_path)
+    dbg.add("raw_bytes", total_raw)
+    dbg.add("out_bytes", out_size)
+    return {"blocks": idx, "raw": total_raw, "compressed": out_size,
+            "ratio": total_raw / out_size if out_size else 0.0}
+
+
+def decompress(arc_path: str, out_prefix: Optional[str],
+               dbg: Optional[DebugInfo] = None, ref: Optional[str] = None,
+               pipeout: int = 0, force: bool = False,
+               indir: bool = False) -> List[str]:
+    dbg = dbg or DebugInfo()
+    with ArcReader(arc_path) as reader:
+        params = reader.params
+        if params.is_pe:
+            from fastqueeze_tpu.pipeline.pe import decompress_pe_blocks
+            return decompress_pe_blocks(reader, out_prefix, dbg, ref=ref,
+                                        pipeout=pipeout, force=force)
+        out_name = _se_out_name(arc_path, out_prefix, reader.file_list)
+        if indir:
+            out_name = os.path.join(os.path.dirname(os.path.abspath(arc_path)),
+                                    os.path.basename(out_name))
+        if pipeout:
+            out_name = None
+        elif os.path.exists(out_name) and not force:
+            raise ValueError(f"{out_name} exists (use -f to overwrite)")
+        whole_md5 = hashlib.md5()
+        import contextlib
+        with (open(out_name, "wb") if out_name
+              else contextlib.nullcontext(sys.stdout.buffer)) as out:
+            for i, binfo in enumerate(reader.blocks):
+                payload = reader.read_block(i)
+                t0 = time.time()
+                block = decode_block(params, payload)
+                dbg.add("decode_s", time.time() - t0)
+                t0 = time.time()
+                raw = assemble_block(block)
+                dbg.add("assemble_s", time.time() - t0)
+                if hashlib.md5(raw).digest() != binfo.md5:
+                    raise ValueError(
+                        f"block {i}: MD5 mismatch (corrupt archive)")
+                whole_md5.update(raw)
+                out.write(raw)
+        if reader.input_md5s and whole_md5.digest() != reader.input_md5s[0]:
+            raise ValueError("whole-input MD5 mismatch")
+        return [out_name] if out_name else []
+
+
+def _se_out_name(arc_path: str, out_prefix: Optional[str],
+                 file_list: List[str]) -> str:
+    if out_prefix:
+        return out_prefix + ".fastq"
+    if file_list:
+        return file_list[0]
+    return arc_path + ".fastq"

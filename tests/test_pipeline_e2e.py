@@ -1,0 +1,134 @@
+"""End-to-end compress/decompress round-trips (SURVEY.md §4's golden tests),
+on small inputs + small models to keep CPU compile time down."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.pipeline.driver import compress_se, decompress
+from fastqueeze_tpu.pipeline.pe import compress_pe
+
+# small models/lanes: CPU-friendly compile shapes
+SMALL = dict(slevel=0, lanes_min=16, lanes_max=32, lane_target_symbols=512,
+             block_size_mb=50)
+
+
+def _mk_fastq(rng, n, minlen=30, maxlen=150, constant_len=None):
+    recs = []
+    for i in range(n):
+        ln = constant_len or int(rng.integers(minlen, maxlen + 1))
+        seq = rng.choice(list(b"ACGT"), size=ln).astype(np.uint8)
+        if rng.random() < 0.2:
+            seq[rng.integers(0, ln)] = ord("N")
+        qual = (np.clip(np.cumsum(rng.integers(-2, 3, size=ln)) % 60, 0, 40)
+                + 33).astype(np.uint8)
+        recs.append(f"@sim.{i} {i} length={ln}\n{bytes(seq).decode()}\n+\n"
+                    f"{bytes(qual).decode()}\n")
+    return "".join(recs).encode()
+
+
+def _se_roundtrip(tmp_path, raw, name="in.fq", **kw):
+    p = CodecParams(**{**SMALL, **kw})
+    src = tmp_path / name
+    src.write_bytes(raw)
+    arc = str(tmp_path / "out.fqz")
+    stats = compress_se(p, str(src), arc)
+    outs = decompress(arc, str(tmp_path / "back"), force=True)
+    back = open(outs[0], "rb").read()
+    assert back == raw
+    return stats
+
+
+def test_se_roundtrip_varlen(tmp_path):
+    rng = np.random.default_rng(0)
+    _se_roundtrip(tmp_path, _mk_fastq(rng, 300))
+
+
+def test_se_roundtrip_constlen(tmp_path):
+    rng = np.random.default_rng(1)
+    stats = _se_roundtrip(tmp_path, _mk_fastq(rng, 300, constant_len=100))
+    assert stats["ratio"] > 2.0
+
+
+def test_se_no_final_newline(tmp_path):
+    rng = np.random.default_rng(2)
+    _se_roundtrip(tmp_path, _mk_fastq(rng, 50)[:-1])
+
+
+def test_se_gz_input(tmp_path):
+    rng = np.random.default_rng(3)
+    raw = _mk_fastq(rng, 100)
+    src = tmp_path / "in.fq.gz"
+    with gzip.open(src, "wb") as fh:
+        fh.write(raw)
+    p = CodecParams(**SMALL)
+    arc = str(tmp_path / "out.fqz")
+    compress_se(p, str(src), arc)
+    outs = decompress(arc, str(tmp_path / "back"), force=True)
+    assert open(outs[0], "rb").read() == raw
+
+
+def test_se_multiblock(tmp_path):
+    rng = np.random.default_rng(4)
+    raw = _mk_fastq(rng, 400)
+    p = CodecParams(**SMALL)
+    p.block_size_mb = 1  # still one block; force small blocks via monkey size
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    arc = str(tmp_path / "out.fqz")
+    # shrink block size below file size to get multiple blocks
+    p.block_size_mb = 0  # 0 MB -> read_blocks uses block_size=0? guard below
+    p.block_size_mb = 1
+    import fastqueeze_tpu.pipeline.driver as drv
+    orig = drv.read_blocks
+    try:
+        drv.read_blocks = lambda path, bs: orig(path, 8192)
+        stats = compress_se(p, str(src), arc)
+    finally:
+        drv.read_blocks = orig
+    assert stats["blocks"] > 2
+    outs = decompress(arc, str(tmp_path / "back"), force=True)
+    assert open(outs[0], "rb").read() == raw
+
+
+def test_corrupt_block_detected(tmp_path):
+    rng = np.random.default_rng(5)
+    raw = _mk_fastq(rng, 100)
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    arc = str(tmp_path / "out.fqz")
+    compress_se(CodecParams(**SMALL), str(src), arc)
+    data = bytearray(open(arc, "rb").read())
+    data[-30] ^= 0xFF  # flip a bit inside the last block payload
+    open(arc, "wb").write(bytes(data))
+    with pytest.raises(ValueError, match="MD5|decode|length"):
+        decompress(arc, str(tmp_path / "back"), force=True)
+
+
+def test_pe_roundtrip(tmp_path):
+    rng = np.random.default_rng(6)
+    n = 150
+    raw1 = _mk_fastq(rng, n, constant_len=80)
+    raw2 = _mk_fastq(rng, n, constant_len=80)
+    f1, f2 = tmp_path / "a_1.fq", tmp_path / "a_2.fq"
+    f1.write_bytes(raw1)
+    f2.write_bytes(raw2)
+    arc = str(tmp_path / "pe.fqz")
+    p = CodecParams(**SMALL, is_pe=1)
+    compress_pe(p, str(f1), str(f2), arc)
+    outs = decompress(arc, str(tmp_path / "back"), force=True)
+    assert open(outs[0], "rb").read() == raw1
+    assert open(outs[1], "rb").read() == raw2
+
+
+def test_pe_mismatched_counts_rejected(tmp_path):
+    rng = np.random.default_rng(7)
+    f1, f2 = tmp_path / "a_1.fq", tmp_path / "a_2.fq"
+    f1.write_bytes(_mk_fastq(rng, 60, constant_len=50))
+    f2.write_bytes(_mk_fastq(rng, 59, constant_len=50))
+    with pytest.raises(ValueError):
+        compress_pe(CodecParams(**SMALL, is_pe=1), str(f1), str(f2),
+                    str(tmp_path / "pe.fqz"))
