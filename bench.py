@@ -1,0 +1,64 @@
+"""Headline benchmark: SE entropy-only encode throughput (reads/s).
+
+Baseline (BASELINE.md): the reference SeqArc-1.6 sustains ~98,000 reads/s
+(1 thread, x86) on 100 bp reads at ratio 6.39x.  This benchmark compresses
+a ~23.7 MB SE input (the bundled 10k-read file x10) end to end (parse +
+encode + container write), excluding one warm-up block so jit compiles are
+not billed, and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+BASELINE_READS_PER_S = 98_000.0
+TEST_FQ = "/root/reference/test/ERR2755197_test_1.fq"
+
+
+def main() -> None:
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.io.fastq import parse_block
+    from fastqueeze_tpu.pipeline.blockcodec import encode_block
+    from fastqueeze_tpu.pipeline.driver import compress_se
+
+    tmp = tempfile.mkdtemp(prefix="fqzbench")
+    src = os.path.join(tmp, "in.fq")
+    raw1 = open(TEST_FQ, "rb").read()
+    reps = 10
+    with open(src, "wb") as fh:
+        for _ in range(reps):
+            fh.write(raw1)
+    n_reads = 10_000 * reps
+
+    p = CodecParams(block_size_mb=8)
+
+    # warm-up: compile every (model, shape) once on one block
+    warm = parse_block(raw1 * 4, True)
+    encode_block(p, warm)
+
+    t0 = time.time()
+    stats = compress_se(p, src, os.path.join(tmp, "out.fqz"))
+    dt = time.time() - t0
+    reads_per_s = n_reads / dt
+
+    print(json.dumps({
+        "metric": "se_encode_reads_per_s",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+        "detail": {
+            "input_bytes": stats["raw"],
+            "compressed_bytes": stats["compressed"],
+            "ratio": round(stats["ratio"], 3),
+            "blocks": stats["blocks"],
+            "wall_s": round(dt, 3),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,7 +30,18 @@ from fastqueeze_tpu.config import SEQ_CTX_START, CodecParams
 
 @dataclass(frozen=True)
 class CtxModel:
-    """Base: order-0 (single context) adaptive model."""
+    """Base: order-0 (single context) adaptive model.
+
+    Two context interfaces:
+
+    * ``context``/``update`` — stateful per-wave walk, used by the DECODER
+      (symbols are unknown until decoded).
+    * ``context_grids(syms, aux)`` — vectorized (T, L) context construction,
+      used by the ENCODER and the frozen-model trainer.  Contexts are pure
+      functions of *previous* symbols, so the whole grid is computable
+      without the wave scan.  Must agree bit-for-bit with the stateful walk
+      (the round-trip tests enforce this).
+    """
 
     alphabet: int
     init: int = 1
@@ -47,6 +58,10 @@ class CtxModel:
     def update(self, state, sym, aux):
         return state
 
+    def context_grids(self, syms, aux):
+        """syms/aux: (T, L) grids -> (T, L) int32 context ids."""
+        return jnp.zeros(syms.shape, jnp.int32)
+
 
 @dataclass(frozen=True)
 class FlatModel(CtxModel):
@@ -58,6 +73,9 @@ class FlatModel(CtxModel):
     """
 
     def context(self, state, aux):
+        return aux["ctx"].astype(jnp.int32)
+
+    def context_grids(self, syms, aux):
         return aux["ctx"].astype(jnp.int32)
 
 
@@ -73,6 +91,10 @@ class Order1ByteModel(CtxModel):
 
     def update(self, state, sym, aux):
         return {"prev": sym.astype(jnp.int32)}
+
+    def context_grids(self, syms, aux):
+        prev = jnp.roll(syms.astype(jnp.int32), 1, axis=0).at[0].set(0)
+        return jnp.where(aux["start"], 0, prev)
 
 
 @dataclass(frozen=True)
@@ -106,6 +128,21 @@ class SeqModel(CtxModel):
     def update(self, state, sym, aux):
         h = self._eff(state, aux)
         return {"h": ((h << 2) | sym.astype(jnp.uint32)) & jnp.uint32(self.mask)}
+
+    def context_grids(self, syms, aux):
+        """Vectorized equivalent of the rolling-register walk: the context at
+        in-read position p is ((MAGIC << 2p) | pack(last min(p, order) bases))
+        & mask — built from `order` shifted copies of the symbol grid."""
+        pos = aux["pos"].astype(jnp.int32)
+        s = syms.astype(jnp.uint32)
+        acc = jnp.zeros(syms.shape, jnp.uint32)
+        for j in range(1, self.order + 1):
+            prev_j = jnp.roll(s, j, axis=0)
+            acc = acc | jnp.where(pos >= j, prev_j, jnp.uint32(0)) << (2 * (j - 1))
+        magic = jnp.uint32(SEQ_CTX_START & self.mask)
+        shift = (jnp.minimum(pos, self.order) * 2).astype(jnp.uint32)
+        magic_part = jnp.where(pos < self.order, (magic << shift), jnp.uint32(0))
+        return ((acc | magic_part) & jnp.uint32(self.mask)).astype(jnp.int32)
 
 
 @dataclass(frozen=True)
@@ -141,14 +178,8 @@ class QualModel(CtxModel):
 
     def context(self, state, aux):
         q1, q2, drops = self._eff(state, aux)
-        ctx = ((jnp.maximum(q1, q2) << 6) + q1) & 0xFFF
-        if self.qlevel >= 2:
-            ctx = ctx + jnp.where(q1 == q2, 0x1000, 0)
-            ctx = ctx + ((jnp.minimum(drops, 56) & ~7) << 10)
-        if self.qlevel >= 3:
-            pos = aux["pos"].astype(jnp.int32)
-            ctx = ctx + (jnp.minimum(pos >> 3, 15) << 16)
-        return ctx
+        pos = aux["pos"].astype(jnp.int32) if self.qlevel >= 3 else 0
+        return self._ctx_of(q1, q2, drops, pos)
 
     def update(self, state, sym, aux):
         q1, q2, drops = self._eff(state, aux)
@@ -158,6 +189,33 @@ class QualModel(CtxModel):
             "q2": q1,
             "drops": drops + jnp.maximum(0, q1 - sym),
         }
+
+    def _ctx_of(self, q1, q2, drops, pos):
+        ctx = ((jnp.maximum(q1, q2) << 6) + q1) & 0xFFF
+        if self.qlevel >= 2:
+            ctx = ctx + jnp.where(q1 == q2, 0x1000, 0)
+            ctx = ctx + ((jnp.minimum(drops, 56) & ~7) << 10)
+        if self.qlevel >= 3:
+            ctx = ctx + (jnp.minimum(pos >> 3, 15) << 16)
+        return ctx
+
+    def context_grids(self, syms, aux):
+        """Vectorized q1/q2 via in-lane shifts; Σdrops via a segmented
+        (per-read) cumulative sum along the wave axis."""
+        pos = aux["pos"].astype(jnp.int32)
+        q = syms.astype(jnp.int32)
+        q1 = jnp.where(pos >= 1, jnp.roll(q, 1, axis=0), 0)
+        q2 = jnp.where(pos >= 2, jnp.roll(q, 2, axis=0), 0)
+        d = jnp.where(pos >= 1, jnp.maximum(0, q1 - q), 0)
+        cs = jnp.cumsum(d, axis=0)
+        csx = cs - d
+        t_idx = jnp.arange(syms.shape[0], dtype=jnp.int32)[:, None]
+        start_t = t_idx - pos
+        base = jnp.take_along_axis(csx, start_t, axis=0)
+        drops = jnp.where(pos >= 1,
+                          self.drop_init + jnp.roll(cs, 1, axis=0) - base,
+                          self.drop_init)
+        return self._ctx_of(q1, q2, drops, pos).astype(jnp.int32)
 
 
 def seq_model_from_params(p: CodecParams) -> SeqModel:

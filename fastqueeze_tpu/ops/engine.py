@@ -94,27 +94,53 @@ def _freeze_invalid(new_state, old_state, valid):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("model", "n_halve"))
-def _pass1(model: CtxModel, n_halve: int, counts0, lane_state0,
-           syms, valid, aux):
-    """syms/valid/aux: (T, L) grids. Returns (start, freq) u16 grids and the
-    final counts table (needed for frozen-model training)."""
+def _pass1(model: CtxModel, n_halve: int, counts0, ctx_grid, syms, valid):
+    """Forward model walk over precomputed contexts.
 
-    def body(carry, xs):
-        counts, st = carry
-        sym, vld, aux_t = xs
+    ctx_grid/syms/valid: (T, L) grids — contexts are pure functions of
+    previous symbols (model.context_grids), so only the adaptive count
+    tables walk through the scan.  Returns (start, freq) u16 grids and the
+    final counts table."""
+
+    def body(counts, xs):
+        ctx, sym, vld = xs
         sym = sym.astype(jnp.int32)
-        ctx = model.context(st, aux_t)
+        ctx = ctx.astype(jnp.int32)
         F = _quant(counts[ctx])
         start = jnp.take_along_axis(F, sym[:, None], axis=1)[:, 0]
         end = jnp.take_along_axis(F, sym[:, None] + 1, axis=1)[:, 0]
         counts = _wave_update(counts, ctx, sym, vld, model, n_halve)
-        st = _freeze_invalid(model.update(st, sym, aux_t), st, vld)
-        return (counts, st), (start.astype(jnp.uint16),
-                              (end - start).astype(jnp.uint16))
+        return counts, (start.astype(jnp.uint16),
+                        (end - start).astype(jnp.uint16))
 
-    (counts, _), (start, freq) = lax.scan(
-        body, (counts0, lane_state0), (syms, valid, aux))
+    counts, (start, freq) = lax.scan(body, counts0, (ctx_grid, syms, valid))
     return start, freq, counts
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _ctx_grids(model: CtxModel, syms, aux):
+    return model.context_grids(syms, aux)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _train_counts(model: CtxModel, syms, valid, aux):
+    """Frozen-model training: one-shot histogram of (context, symbol)
+    occurrences (batched over every symbol at once — no wave scan), then a
+    deterministic cap rescale.  Replaces the reference's serial
+    encode_*_formodel pass (SURVEY.md §3.4) with a pure bincount."""
+    ctx = model.context_grids(syms, aux)
+    flat = ctx.astype(jnp.int32) * model.alphabet + syms.astype(jnp.int32)
+    n = model.n_ctx * model.alphabet
+    flat = jnp.where(valid, flat, n).reshape(-1)  # invalid -> spill slot
+    hist = jnp.zeros((n + 1,), jnp.int32)
+    hist = hist.at[flat].add(model.inc)
+    counts = hist[:n].reshape(model.n_ctx, model.alphabet) + model.init
+    # deterministic rescale: halve rows (rounding up, keeping >=1) until
+    # total <= cap; 24 halvings cover any prefix up to cap * 2^24 symbols
+    for _ in range(24):
+        tot = counts.sum(axis=1, keepdims=True)
+        counts = jnp.where(tot > model.cap, (counts + 1) >> 1, counts)
+    return counts
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +232,7 @@ def encode_stream(model: CtxModel, params: CodecParams,
     nsym = int(counts_per_read.sum())
     L = n_lanes or params.n_lanes(nsym)
     layout = make_layout(counts_per_read, L)
-    valid, aux = aux_grids(layout, with_pos=_wants_pos(model))
+    valid, aux = aux_grids(layout, with_pos=True)
     if extra_aux:
         for k, v in extra_aux.items():
             aux[k] = to_grid(layout, np.asarray(v))
@@ -214,10 +240,12 @@ def encode_stream(model: CtxModel, params: CodecParams,
 
     c0 = counts0 if counts0 is not None else init_counts(model)
     nh = _n_halve(model, L)
+    syms_dev = jnp.asarray(syms)
+    valid_dev = jnp.asarray(valid)
+    ctx_grid = _ctx_grids(model, syms_dev, _dev_aux(aux))
     start, freq, counts_out = _pass1(
-        model, nh, c0, model.lane_init(L),
-        jnp.asarray(syms), jnp.asarray(valid), _dev_aux(aux))
-    words, emits, x_final = _pass2(start, freq, jnp.asarray(valid))
+        model, nh, c0, ctx_grid, syms_dev, valid_dev)
+    words, emits, x_final = _pass2(start, freq, valid_dev)
 
     words_np = np.asarray(words)
     emits_np = np.asarray(emits)
@@ -246,7 +274,7 @@ def decode_stream(model: CtxModel, params: CodecParams,
     assert int(counts_per_read.sum()) == nsym, "length stream mismatch"
     layout = make_layout(counts_per_read, L)
     assert layout.T == T, f"layout mismatch T={layout.T} vs {T}"
-    valid, aux = aux_grids(layout, with_pos=_wants_pos(model))
+    valid, aux = aux_grids(layout, with_pos=True)
     if extra_aux:
         for k, v in extra_aux.items():
             aux[k] = to_grid(layout, np.asarray(v))
@@ -270,9 +298,24 @@ def decode_stream(model: CtxModel, params: CodecParams,
     return flat
 
 
-def _wants_pos(model: CtxModel) -> bool:
-    return getattr(model, "qlevel", 0) >= 3
-
-
 def _dev_aux(aux: Dict[str, np.ndarray]):
     return {k: jnp.asarray(v) for k, v in aux.items()}
+
+
+def train_counts(model: CtxModel, params: CodecParams,
+                 flat_syms: np.ndarray, counts_per_read: np.ndarray,
+                 extra_aux: Optional[Dict[str, np.ndarray]] = None,
+                 n_lanes: Optional[int] = None) -> jnp.ndarray:
+    """Host-facing frozen-model trainer: histogram a training prefix into a
+    capped counts table usable as ``counts0`` by encode/decode."""
+    counts_per_read = np.asarray(counts_per_read, np.int64)
+    nsym = int(counts_per_read.sum())
+    L = n_lanes or params.n_lanes(nsym)
+    layout = make_layout(counts_per_read, L)
+    valid, aux = aux_grids(layout, with_pos=True)
+    if extra_aux:
+        for k, v in extra_aux.items():
+            aux[k] = to_grid(layout, np.asarray(v))
+    syms = to_grid(layout, np.asarray(flat_syms, np.uint8))
+    return _train_counts(model, jnp.asarray(syms), jnp.asarray(valid),
+                         _dev_aux(aux))

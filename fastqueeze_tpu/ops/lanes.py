@@ -35,6 +35,21 @@ class LaneLayout:
         return int(self.counts.sum())
 
 
+def _bucket_T(n: int, t_pad: int) -> int:
+    """Round the wave count up to a bucketed size (multiples of t_pad up to
+    1024, then {1, 1.5} x powers of two) so jitted kernels compile once per
+    bucket instead of once per block."""
+    n = max(n, t_pad)
+    if n <= 1024:
+        return ((n + t_pad - 1) // t_pad) * t_pad
+    p = 1024
+    while True:
+        for cand in (p, p + p // 2):
+            if n <= cand:
+                return cand
+        p <<= 1
+
+
 def make_layout(counts: np.ndarray, L: int, t_pad: int = 128) -> LaneLayout:
     """Build the grid coordinate map for per-read symbol counts."""
     counts = np.asarray(counts, dtype=np.int64)
@@ -62,7 +77,7 @@ def make_layout(counts: np.ndarray, L: int, t_pad: int = 128) -> LaneLayout:
     lane_len = np.zeros(L, dtype=np.int64)
     np.add.at(lane_len, read_lane, counts)
     T_real = int(lane_len.max()) if R else 0
-    T = max(t_pad, ((T_real + t_pad - 1) // t_pad) * t_pad)
+    T = _bucket_T(T_real, t_pad)
 
     # Per-symbol coordinates in read-major order.
     N = int(counts.sum())

@@ -27,6 +27,16 @@ from fastqueeze_tpu.utils.log import info
 from fastqueeze_tpu.utils.metrics import DebugInfo
 
 
+def apply_lossy(params: CodecParams, block):
+    """R-Block quality transform (encode-side only); returns the new
+    plaintext bytes + block, so MD5s cover what decode will reproduce."""
+    from fastqueeze_tpu.pipeline.lossy import rblock_transform
+    q = block.qual_flat.astype(np.int32) - 33
+    q = rblock_transform(q, block.lengths, params.lossy_factor)
+    block.qual_flat = (q + 33).astype(np.uint8)
+    return assemble_block(block), block
+
+
 def compress_se(params: CodecParams, in_path: str, out_path: str,
                 dbg: Optional[DebugInfo] = None) -> Dict:
     dbg = dbg or DebugInfo()
@@ -37,8 +47,10 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
     total_raw = 0
     for raw, final_nl in read_blocks(in_path, block_size):
         t0 = time.time()
-        whole_md5.update(raw)
         block = parse_block(raw, final_nl)
+        if params.lossy_factor > 1.0:
+            raw, block = apply_lossy(params, block)
+        whole_md5.update(raw)
         dbg.add("parse_s", time.time() - t0)
         t0 = time.time()
         payload = encode_block(params, block)

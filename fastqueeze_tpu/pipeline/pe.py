@@ -131,6 +131,10 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
         b1 = parse_block(raw1, fnl1)
         raw2, fnl2 = f2_iter_state.take(b1.n_reads)
         b2 = parse_block(raw2, fnl2)
+        if p.lossy_factor > 1.0:
+            from fastqueeze_tpu.pipeline.driver import apply_lossy
+            raw1, b1 = apply_lossy(p, b1)
+            raw2, b2 = apply_lossy(p, b2)
         md5_1.update(raw1)
         md5_2.update(raw2)
         merged = interleave_blocks(b1, b2)
