@@ -1,0 +1,321 @@
+"""Batched seed-and-extend gapless aligner (device-side).
+
+Capability parity with the reference's HashAlignment (SURVEY.md §2.2,
+srcfile:HashAlignment.cpp: getHashSeeds @0x4107f0 rolling k-mers +
+packed-word compare units, findHashSeeds @0x4108d0 least-frequent-seed
+selection sampled every 2 bp, gaplessHashAlignPositions/hashAligner
+@0x410990/0x410f50 packed-XOR gapless compare with <= Maxmis accept and a
+reverse-complement fallback).
+
+TPU-first redesign: the per-read serial loop becomes one jitted batch over
+(B, Lp) fixed-shape code grids —
+
+* rolling k-mers for *every* position via k shifted adds (VPU),
+* seed lookup = vectorized binary search over the CSR key array
+  (jnp.searchsorted) instead of a dense 4^k table,
+* candidate verification = gathers of 2-bit packed reference words + funnel
+  shift + XOR + ``lax.population_count`` (the packed-16-mer-compare idea,
+  vectorized over B reads x C candidates at once),
+* RC fallback runs the identical pipeline on the reverse-complemented grid.
+
+Everything is static-shaped and branch-free; per-block host code buckets
+reads into (B, Lp) grids.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from fastqueeze_tpu.align.index import RefIndex
+from fastqueeze_tpu.config import CodecParams
+
+_BIG = jnp.int32(1 << 28)
+
+
+@dataclass(frozen=True)
+class AlignConfig:
+    k: int
+    stride: int
+    n_cand: int          # candidate positions verified per read (per seed)
+    max_mis: int
+    both_strands: int
+    lp: int              # padded read length (multiple of 16)
+    n_seeds: int = 1     # how many least-frequent seeds contribute candidates
+
+    @property
+    def n_words(self) -> int:
+        return self.lp // 16
+
+
+class AlignResult(NamedTuple):
+    mapped: np.ndarray    # (R,) bool
+    pos: np.ndarray       # (R,) int64 window start in ref coords
+    is_rev: np.ndarray    # (R,) bool
+    mis_mask: np.ndarray  # (R, Lp) bool, True at mismatch (window coords)
+
+
+def config_from_params(p: CodecParams, lp: int) -> AlignConfig:
+    return AlignConfig(k=p.seed_len, stride=p.seed_stride,
+                       n_cand=p.seed_max_occ, max_mis=p.max_mis,
+                       both_strands=p.both_strands, lp=lp)
+
+
+def _pack_words(codes, mask, lp):
+    """(B, Lp) 2-bit codes + validity -> (B, W) uint32 MSB-first words and
+    (B, W) uint32 2-bit-slot masks (0b11 where valid)."""
+    B = codes.shape[0]
+    W = lp // 16
+    c = jnp.where(mask, codes.astype(jnp.uint32), 0).reshape(B, W, 16)
+    m = jnp.where(mask, jnp.uint32(3), 0).reshape(B, W, 16)
+    shifts = (2 * (15 - jnp.arange(16, dtype=jnp.uint32)))[None, None, :]
+    return (c << shifts).sum(axis=2, dtype=jnp.uint32), \
+           (m << shifts).sum(axis=2, dtype=jnp.uint32)
+
+
+def _mis2bit(x):
+    """Count differing 2-bit slots in XOR word(s)."""
+    y = (x | (x >> 1)) & jnp.uint32(0x55555555)
+    return lax.population_count(y).astype(jnp.int32)
+
+
+def _fetch_ref_words(packed, start, n_words):
+    """packed (Wr,) u32; start (..,) int32 base offsets -> (.., n_words) u32
+    windows re-aligned to bit 31 (funnel shift over word pairs)."""
+    w0 = lax.shift_right_logical(start, 4)
+    ph = (start & 15).astype(jnp.uint32)
+    sh = 2 * ph
+    nw = packed.shape[0]
+    out = []
+    for j in range(n_words):
+        a = packed[jnp.clip(w0 + j, 0, nw - 1)]
+        b = packed[jnp.clip(w0 + j + 1, 0, nw - 1)]
+        lo = jnp.where(sh > 0, b >> (32 - jnp.maximum(sh, 1)), 0)
+        out.append((a << sh) | lo)
+    return jnp.stack(out, axis=-1)
+
+
+def _ref_base_at(packed, idx):
+    """Gather single 2-bit codes at absolute positions idx."""
+    w = packed[jnp.clip(lax.shift_right_logical(idx, 4), 0,
+                        packed.shape[0] - 1)]
+    sh = 2 * (15 - (idx & 15)).astype(jnp.uint32)
+    return ((w >> sh) & 3).astype(jnp.uint8)
+
+
+def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, ref_len,
+                codes, dege, lengths):
+    """codes (B, Lp) effective-strand 2-bit codes; returns per-read
+    (best_mis, best_pos) over the candidate set."""
+    B, Lp = codes.shape
+    k, stride, C = cfg.k, cfg.stride, cfg.n_cand
+    P = Lp - k + 1
+
+    pos_i = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    base_valid = pos_i < lengths[:, None]
+
+    # rolling k-mers at every start position
+    kv = jnp.zeros((B, P), jnp.uint32)
+    for j in range(k):
+        kv = (kv << 2) | codes[:, j:j + P].astype(jnp.uint32)
+    # window validity: inside read and degenerate-free
+    cs = jnp.cumsum(dege.astype(jnp.int32), axis=1)
+    csz = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cs], axis=1)
+    win_dege = (csz[:, k:] - csz[:, :-k]) > 0
+    win_valid = (jnp.arange(P, dtype=jnp.int32)[None, :]
+                 <= (lengths[:, None] - k)) & ~win_dege
+
+    # sample every `stride` positions; least-frequent seed(s) win
+    ps = np.arange(0, P, stride, dtype=np.int32)
+    kv_s = kv[:, ps]
+    ok_s = win_valid[:, ps]
+    ii = jnp.clip(jnp.searchsorted(keys, kv_s), 0, keys.shape[0] - 1)
+    found = (keys[ii] == kv_s) & ok_s
+    occ = jnp.where(found,
+                    (offsets[ii + 1] - offsets[ii]).astype(jnp.int32), _BIG)
+
+    # candidate windows from the cfg.n_seeds least-frequent seeds' CSR slices
+    cand_list, ok_list = [], []
+    cj = jnp.arange(C, dtype=jnp.int32)[None, :]
+    s_idx = jnp.arange(occ.shape[1], dtype=jnp.int32)[None, :]
+    for _ in range(cfg.n_seeds):
+        j_best = jnp.argmin(occ, axis=1)
+        occ_best = jnp.take_along_axis(occ, j_best[:, None], axis=1)[:, 0]
+        occ = jnp.where(s_idx == j_best[:, None], _BIG, occ)  # exclude next
+        seed_off = jnp.asarray(ps, jnp.int32)[j_best]
+        key_idx = jnp.take_along_axis(ii, j_best[:, None], axis=1)[:, 0]
+        base = offsets[key_idx].astype(jnp.int32)
+        in_range = cj < jnp.minimum(occ_best, C)[:, None]
+        ptr = jnp.clip(base[:, None] + cj, 0, positions.shape[0] - 1)
+        cand = positions[ptr].astype(jnp.int32) - seed_off[:, None]
+        cand_list.append(cand)
+        ok_list.append(in_range & (cand >= 0)
+                       & (cand + lengths[:, None] <= ref_len))
+    cand = jnp.concatenate(cand_list, axis=1)
+    cand_ok = jnp.concatenate(ok_list, axis=1)
+
+    # gapless packed compare, all candidates at once
+    rw, mw = _pack_words(codes, base_valid, Lp)
+    refw = _fetch_ref_words(packed, cand, cfg.n_words)     # (B, C, W)
+    mis = _mis2bit((rw[:, None, :] ^ refw) & mw[:, None, :]).sum(axis=2)
+    mis = jnp.where(cand_ok, mis, _BIG)
+
+    c_best = jnp.argmin(mis, axis=1)
+    mis_best = jnp.take_along_axis(mis, c_best[:, None], axis=1)[:, 0]
+    pos_best = jnp.take_along_axis(cand, c_best[:, None], axis=1)[:, 0]
+    return mis_best, pos_best
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, ref_len,
+                 codes, dege, lengths):
+    B, Lp = codes.shape
+    pos_i = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    valid = pos_i < lengths[:, None]
+    has_dege = (dege & valid).any(axis=1)
+
+    mis_f, pos_f = _one_strand(cfg, keys, offsets, positions, packed,
+                               ref_len, codes, dege, lengths)
+
+    # reverse complement grid (per read: base i <- 3 - codes[len-1-i])
+    ridx = jnp.clip(lengths[:, None] - 1 - pos_i, 0, Lp - 1)
+    rc = jnp.where(valid, 3 - jnp.take_along_axis(codes.astype(jnp.int32),
+                                                  ridx, axis=1), 0)
+    rc = rc.astype(jnp.uint8)
+    rdege = jnp.where(valid, jnp.take_along_axis(
+        dege.astype(jnp.int32), ridx, axis=1), 0).astype(bool)
+    mis_r, pos_r = _one_strand(cfg, keys, offsets, positions, packed,
+                               ref_len, rc, rdege, lengths)
+
+    if cfg.both_strands:
+        use_rev = mis_r < mis_f
+    else:  # RC only as fallback (reference default, SURVEY.md §2.2)
+        use_rev = mis_f > cfg.max_mis
+    mis = jnp.where(use_rev, mis_r, mis_f)
+    pos = jnp.where(use_rev, pos_r, pos_f)
+    mapped = (mis <= cfg.max_mis) & ~has_dege & (lengths >= cfg.k)
+
+    # per-base mismatch mask (window coords) for the accepted alignment
+    eff = jnp.where(use_rev[:, None], rc, codes)
+    refc = _ref_base_at(packed, jnp.clip(pos[:, None], 0, None) + pos_i)
+    mis_mask = (eff != refc) & valid & mapped[:, None]
+    return mapped, pos, use_rev & mapped, mis_mask
+
+
+class Aligner:
+    """Host wrapper: holds device copies of the index, buckets read batches.
+
+    Index arrays exceed int32 offsets only for >2G-position references —
+    those need the sharded-index path (parallel/mesh.py); guarded here.
+    """
+
+    BATCH = 4096
+
+    def __init__(self, idx: RefIndex, params: CodecParams):
+        if idx.n_positions >= (1 << 31) or idx.ref_len >= (1 << 31):
+            raise ValueError("reference too large for single-chip index; "
+                             "use the sharded index path")
+        if idx.k > 15:
+            raise ValueError("device aligner supports seed_len <= 15 "
+                             "(k-mer keys must fit 30 bits)")
+        self.params = params
+        self.ref_len = idx.ref_len
+        self.k = idx.k
+        keys = idx.keys.astype(np.uint32)
+        if not len(keys):
+            keys = np.zeros(1, np.uint32)
+        self._keys = jnp.asarray(keys)
+        offs = idx.offsets.astype(np.int32)
+        if len(offs) < 2:
+            offs = np.zeros(2, np.int32)
+        self._offsets = jnp.asarray(offs)
+        pos = idx.positions.astype(np.int32)
+        if not len(pos):
+            pos = np.zeros(1, np.int32)
+        self._positions = jnp.asarray(pos)
+        self._packed = jnp.asarray(idx.packed.astype(np.uint32))
+
+    def _lp_bucket(self, max_len: int) -> int:
+        """Bucketed padded length ({1, 1.5} x powers of two, >= 32, x16
+        aligned) so the jitted aligner compiles once per bucket."""
+        b = 32
+        while b < max_len:
+            b = b + (b >> 1) if (b & (b - 1)) == 0 else (b // 3) * 4
+        return b
+
+    def align(self, codes_flat: np.ndarray, dege_flat: np.ndarray,
+              lengths: np.ndarray) -> AlignResult:
+        """codes_flat: concatenated 2-bit read codes (degenerate bases as 0);
+        dege_flat: bool mask of degenerate bases; lengths: per-read."""
+        R = len(lengths)
+        if R == 0 or self.ref_len < self.k:
+            lp = 32
+            return AlignResult(np.zeros(R, bool), np.zeros(R, np.int64),
+                               np.zeros(R, bool), np.zeros((R, lp), bool))
+        max_len = int(lengths.max())
+        lp = self._lp_bucket(max_len)
+        p = self.params
+        cfg = AlignConfig(k=self.k, stride=p.seed_stride,
+                          n_cand=p.seed_max_occ, max_mis=p.max_mis,
+                          both_strands=p.both_strands, lp=lp)
+
+        # grid-ify
+        offs = np.cumsum(lengths) - lengths
+        gi = (np.arange(int(lengths.sum()), dtype=np.int64)
+              - np.repeat(offs, lengths))
+        rows = np.repeat(np.arange(R), lengths)
+        codes = np.zeros((R, lp), np.uint8)
+        dege = np.zeros((R, lp), bool)
+        codes[rows, gi] = codes_flat
+        dege[rows, gi] = dege_flat
+
+        mapped = np.zeros(R, bool)
+        pos = np.zeros(R, np.int64)
+        is_rev = np.zeros(R, bool)
+        mis_mask = np.zeros((R, lp), bool)
+
+        # tier 1: cheap pass, first seed_max_occ candidates, all reads
+        self._run_tier(cfg, codes, dege, lengths, np.arange(R),
+                       mapped, pos, is_rev, mis_mask, self.BATCH)
+
+        # tier 2 (reference parity on repetitive data: findHashSeeds checks
+        # up to 100k occurrences of the least-frequent seed @0x4108d0):
+        # rescue unmapped reads with a much deeper candidate list
+        big = p.seed_big_occ
+        if big > cfg.n_cand:
+            todo = np.flatnonzero(~mapped & (lengths >= self.k))
+            if len(todo):
+                cfg2 = AlignConfig(k=self.k, stride=p.seed_stride,
+                                   n_cand=big, max_mis=p.max_mis,
+                                   both_strands=p.both_strands, lp=lp,
+                                   n_seeds=2)
+                self._run_tier(cfg2, codes, dege, lengths, todo,
+                               mapped, pos, is_rev, mis_mask,
+                               max(256, self.BATCH * cfg.n_cand // big))
+        return AlignResult(mapped, pos, is_rev, mis_mask)
+
+    def _run_tier(self, cfg: AlignConfig, codes, dege, lengths, rows,
+                  mapped, pos, is_rev, mis_mask, batch: int) -> None:
+        lp = codes.shape[1]
+        B = batch
+        for s in range(0, len(rows), B):
+            sel = rows[s:s + B]
+            n = len(sel)
+            cb = np.zeros((B, lp), np.uint8)
+            db = np.zeros((B, lp), bool)
+            lb = np.zeros(B, np.int32)
+            cb[:n], db[:n], lb[:n] = codes[sel], dege[sel], lengths[sel]
+            m, p_, r, mm = _align_batch(
+                cfg, self._keys, self._offsets, self._positions,
+                self._packed, jnp.int32(self.ref_len),
+                jnp.asarray(cb), jnp.asarray(db), jnp.asarray(lb))
+            mapped[sel] = np.asarray(m)[:n]
+            pos[sel] = np.asarray(p_)[:n]
+            is_rev[sel] = np.asarray(r)[:n]
+            mis_mask[sel] = np.asarray(mm)[:n]

@@ -65,9 +65,18 @@ class CodecParams:
     max_mis: int = 7
     both_strands: int = 0
     max_insr: int = 0
-    seed_max_occ: int = 64          # drop seeds with more reference hits
+    seed_max_occ: int = 64          # tier-1: candidates verified per read
+    seed_big_occ: int = 1024        # tier-2 (unmapped rescue) candidate cap
+    seed_drop_occ: int = 65536      # build-time drop: hyper-repetitive seeds
     seed_stride: int = 2            # sample read seeds every N bp
     min_map_ratio: float = 0.25     # block falls back to entropy-only below
+
+    # --- reference-aligned mode (set when compressing with a reference;
+    #     decode rejects a wrong/missing reference via these, fixing the
+    #     reference's segfault-y behavior) ---
+    aligned: int = 0
+    ref_md5: str = ""
+    ref_len: int = 0
 
     # --- frozen-model mode (reference: usemodel) ---
     use_model: int = 0              # 0=auto, 1=force on, -1=force off

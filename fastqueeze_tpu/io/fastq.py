@@ -72,8 +72,26 @@ def _extract_concat(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray):
 
 
 def parse_block(raw: bytes, final_newline: bool = True) -> FastqBlock:
-    """Parse whole-record FASTQ bytes into SoA form."""
+    """Parse whole-record FASTQ bytes into SoA form.
+
+    Uses the native C++ scanner (io/native.py -> native/fqscan.cpp) when
+    available — one pass over the buffer — else vectorized numpy."""
     buf = np.frombuffer(raw, np.uint8)
+    from fastqueeze_tpu.io import native
+    spans = native.parse_spans(buf, not final_newline)
+    if spans is not None:
+        sp, R = spans
+        seq_lens = (sp["sq_e"] - sp["sq_s"]).astype(np.int64)
+        total = int(seq_lens.sum())
+        seq_flat = native.gather(buf, sp["sq_s"], sp["sq_e"], total)
+        qual_flat = native.gather(buf, sp["qu_s"], sp["qu_e"], total)
+        ids = [raw[s:e] for s, e in zip(sp["id_s"].tolist(),
+                                        sp["id_e"].tolist())]
+        plus = [raw[s:e] for s, e in zip(sp["pl_s"].tolist(),
+                                         sp["pl_e"].tolist())]
+        return FastqBlock(n_reads=R, ids=ids, plus=plus, seq_flat=seq_flat,
+                          qual_flat=qual_flat, lengths=seq_lens,
+                          raw_len=len(raw), final_newline=final_newline)
     starts, ends = _line_spans(buf, not final_newline)
     nlines = len(starts)
     if nlines % 4:
@@ -172,8 +190,12 @@ def _finish(data: bytes) -> Tuple[bytes, bool]:
 
 
 def _record_boundary(data: bytes) -> int:
-    """Largest offset that ends a whole number of 4-line records."""
-    # count newlines; walk back to a multiple-of-4 newline
+    """Largest offset that ends a whole number of 4-line records
+    (reference: cultbuf, SURVEY.md C5)."""
+    from fastqueeze_tpu.io import native
+    nb = native.record_boundary(data)
+    if nb is not None:
+        return nb
     buf = np.frombuffer(data, np.uint8)
     nl_pos = np.flatnonzero(buf == NL)
     n_complete = (len(nl_pos) // 4) * 4

@@ -1,0 +1,135 @@
+"""ctypes bridge to the native C++ FASTQ scanner (native/fqscan.cpp).
+
+The library is built on demand with `make -C native` (g++ is in the image;
+pybind11 is not, hence the plain C ABI).  Every entry degrades gracefully:
+if the library is missing and cannot be built, callers fall back to the
+vectorized-numpy implementations in io/fastq.py.  Set FASTQUEEZE_NO_NATIVE=1
+to force the fallback.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libfqnative.so")
+
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
+                           capture_output=True, timeout=120)
+        return r.returncode == 0 and os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("FASTQUEEZE_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.fq_record_boundary.restype = ctypes.c_int64
+    lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]
+    lib.fq_parse_block.restype = ctypes.c_int64
+    lib.fq_parse_block.argtypes = ([_U8P, ctypes.c_int64, ctypes.c_int]
+                                   + [_I64P, _I64P, ctypes.c_int64]
+                                   + [_I64P] * 8)
+    lib.fq_gather.restype = None
+    lib.fq_gather.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64, _U8P]
+    lib.fq_scatter.restype = None
+    lib.fq_scatter.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64, _U8P]
+    _LIB = lib
+    return _LIB
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(_U8P)
+
+
+def _i64p(a: np.ndarray):
+    return a.ctypes.data_as(_I64P)
+
+
+def record_boundary(data: bytes) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    return int(lib.fq_record_boundary(_u8p(buf), len(buf)))
+
+
+def parse_spans(buf: np.ndarray, missing_final_nl: bool):
+    """Returns dict of 8 span arrays + R, or None when native unavailable
+    (caller falls back).  Raises ValueError on malformed FASTQ — the same
+    failures the numpy parser reports."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(buf)
+    max_lines = int(np.count_nonzero(buf == 10)) + 2
+    ls = np.empty(max_lines, np.int64)
+    le = np.empty(max_lines, np.int64)
+    Rmax = max_lines // 4 + 1
+    outs = [np.empty(Rmax, np.int64) for _ in range(8)]
+    R = lib.fq_parse_block(_u8p(buf), n, int(missing_final_nl),
+                           _i64p(ls), _i64p(le), max_lines,
+                           *[_i64p(o) for o in outs])
+    if R == -1:
+        raise ValueError("FASTQ block line count not divisible by 4")
+    if R == -2:
+        raise ValueError("record: ID line does not start with '@'")
+    if R == -3:
+        raise ValueError("malformed FASTQ: '+' line missing")
+    if R == -4:
+        raise ValueError("seq/qual length mismatch")
+    if R < 0:
+        raise ValueError(f"native FASTQ parse failed ({R})")
+    R = int(R)
+    keys = ("id_s", "id_e", "sq_s", "sq_e", "pl_s", "pl_e", "qu_s", "qu_e")
+    return {k: o[:R] for k, o in zip(keys, outs)}, R
+
+
+def gather(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+           total: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(total, np.uint8)
+    s = np.ascontiguousarray(starts, np.int64)
+    e = np.ascontiguousarray(ends, np.int64)
+    lib.fq_gather(_u8p(buf), _i64p(s), _i64p(e), len(s), _u8p(out))
+    return out
+
+
+def scatter(flat: np.ndarray, dest_starts: np.ndarray, lens: np.ndarray,
+            out: np.ndarray) -> bool:
+    lib = get_lib()
+    if lib is None:
+        return False
+    f = np.ascontiguousarray(flat, np.uint8)
+    d = np.ascontiguousarray(dest_starts, np.int64)
+    ln = np.ascontiguousarray(lens, np.int64)
+    lib.fq_scatter(_u8p(f), _i64p(d), _i64p(ln), len(d), _u8p(out))
+    return True

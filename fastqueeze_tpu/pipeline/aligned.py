@@ -1,0 +1,198 @@
+"""Reference-aligned compression pipelines (SE and PE).
+
+Capability parity with the reference's aligned encode path (SURVEY.md C7
+AlignEncodeSEJob/AlignEncodePEJob: per-block doAlign -> AlignInfoProcess ->
+doAlignEncode) and the per-block aligned/fqz-only decision ("Only Fqzcomp
+will be called if no index given or align ratio too low" — binary help;
+debug line `Total block:N Align block:A Fqz block:F`).
+
+The aligner itself is the batched device kernel in align/hash.py; this
+module owns the per-block orchestration: parse -> align -> encode with
+alignment streams, falling back to entropy-only when the block's mapping
+ratio is below ``min_map_ratio``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from fastqueeze_tpu.align.hash import Aligner, AlignResult
+from fastqueeze_tpu.align.index import load_index
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.container.arcfile import (
+    FLAG_ALIGNED, FLAG_PE, ArcWriter, BlockInfo)
+from fastqueeze_tpu.container.encap import write_tlv
+from fastqueeze_tpu.io.fastq import FastqBlock, parse_block, read_blocks
+from fastqueeze_tpu.pipeline.blockcodec import _BASE_MAP, encode_block
+from fastqueeze_tpu.utils.metrics import DebugInfo
+
+
+def _read_codes(block: FastqBlock) -> Tuple[np.ndarray, np.ndarray]:
+    codes = _BASE_MAP[block.seq_flat]
+    dege = codes == 255
+    return np.where(dege, 0, codes).astype(np.uint8), dege
+
+
+def align_block(aligner: Aligner, block: FastqBlock) -> AlignResult:
+    codes, dege = _read_codes(block)
+    return aligner.align(codes, dege, block.lengths)
+
+
+def _maybe_align(p: CodecParams, aligner: Aligner, block: FastqBlock,
+                 dbg: DebugInfo):
+    """Align the block; return (align_or_None, n_mapped).  A block whose
+    mapping ratio is under min_map_ratio is coded entropy-only (the
+    reference's per-block Align/Fqz decision)."""
+    t0 = time.time()
+    res = align_block(aligner, block)
+    dbg.add("align_s", time.time() - t0)
+    n_mapped = int(res.mapped.sum())
+    if block.n_reads and n_mapped / block.n_reads < p.min_map_ratio:
+        dbg.add("fqz_blocks", 1)
+        return None, 0
+    dbg.add("align_blocks", 1)
+    dbg.add("mapped_reads", n_mapped)
+    return res, n_mapped
+
+
+def prepare_ref(p: CodecParams, ref_path: str):
+    """Load (or rebuild) the index, stamp ref identity into the params."""
+    idx, ref = load_index(ref_path, p)
+    p.aligned = 1
+    p.ref_md5 = ref.md5
+    p.ref_len = ref.length
+    p.seed_len = idx.k
+    return Aligner(idx, p), ref
+
+
+def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
+                        out_path: str,
+                        dbg: Optional[DebugInfo] = None) -> Dict:
+    dbg = dbg or DebugInfo()
+    aligner, ref = prepare_ref(p, ref_path)
+    block_size = p.block_size_mb * (1 << 20)
+    whole_md5 = hashlib.md5()
+    writer = ArcWriter(out_path, p, [os.path.basename(in_path)], [])
+    frozen = None
+    from fastqueeze_tpu.pipeline.frozen import decide_use_model
+    if decide_use_model(p, os.path.getsize(in_path)):
+        from fastqueeze_tpu.pipeline.driver import train_frozen_prefix
+        frozen, blob = train_frozen_prefix(p, in_path, dbg)
+        writer.set_model(blob)
+    idx = 0
+    total_raw = 0
+    total_mapped = total_reads = 0
+    for raw, final_nl in read_blocks(in_path, block_size):
+        block = parse_block(raw, final_nl)
+        if p.lossy_factor > 1.0:
+            from fastqueeze_tpu.pipeline.driver import apply_lossy
+            raw, block = apply_lossy(p, block)
+        whole_md5.update(raw)
+        align, n_mapped = _maybe_align(p, aligner, block, dbg)
+        t0 = time.time()
+        payload = encode_block(p, block, frozen=frozen, align=align,
+                               ref_codes=ref.codes)
+        dbg.add("encode_s", time.time() - t0)
+        info = BlockInfo(payload_len=len(payload), n_reads=block.n_reads,
+                         raw_len1=len(raw),
+                         flags=FLAG_ALIGNED if align is not None else 0,
+                         md5=hashlib.md5(raw).digest())
+        writer.add_block(idx, payload, info)
+        total_mapped += n_mapped
+        total_reads += block.n_reads
+        total_raw += len(raw)
+        idx += 1
+    writer.input_md5s = [whole_md5.digest()]
+    writer.finalize()
+    out_size = os.path.getsize(out_path)
+    dbg.add("raw_bytes", total_raw)
+    dbg.add("out_bytes", out_size)
+    return {"blocks": idx, "raw": total_raw, "compressed": out_size,
+            "ratio": total_raw / out_size if out_size else 0.0,
+            "mapped": total_mapped, "reads": total_reads}
+
+
+def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
+                        out_path: str,
+                        dbg: Optional[DebugInfo] = None) -> Dict:
+    """PE aligned: mates interleaved into one block (pair order), every read
+    aligned; pair relations (both-map / 1Y2N / 1N2Y / none, reference
+    compressPERelation) fall out of the per-read map flags; insert sizes are
+    tallied for the stats table (CaclInsertSize parity)."""
+    from fastqueeze_tpu.pipeline.pe import (
+        TAG_PE_META, TAG_PE_BODY, _RecordReader, interleave_blocks)
+    dbg = dbg or DebugInfo()
+    aligner, ref = prepare_ref(p, ref_path)
+    p.is_pe = 1
+    block_size = p.block_size_mb * (1 << 20)
+    md5_1, md5_2 = hashlib.md5(), hashlib.md5()
+    writer = ArcWriter(out_path, p,
+                       [os.path.basename(in1), os.path.basename(in2)], [])
+    frozen = None
+    from fastqueeze_tpu.pipeline.frozen import decide_use_model
+    if decide_use_model(p, os.path.getsize(in1) + os.path.getsize(in2)):
+        from fastqueeze_tpu.pipeline.pe import train_frozen_pe_prefix
+        frozen, blob = train_frozen_pe_prefix(p, in1, in2)
+        writer.set_model(blob)
+    rr2 = _RecordReader(in2)
+    idx = 0
+    total_raw = 0
+    total_mapped = total_reads = 0
+    for raw1, fnl1 in read_blocks(in1, block_size // 2):
+        b1 = parse_block(raw1, fnl1)
+        raw2, fnl2 = rr2.take(b1.n_reads)
+        b2 = parse_block(raw2, fnl2)
+        if p.lossy_factor > 1.0:
+            from fastqueeze_tpu.pipeline.driver import apply_lossy
+            raw1, b1 = apply_lossy(p, b1)
+            raw2, b2 = apply_lossy(p, b2)
+        md5_1.update(raw1)
+        md5_2.update(raw2)
+        merged = interleave_blocks(b1, b2)
+        align, n_mapped = _maybe_align(p, aligner, merged, dbg)
+        if align is not None:
+            _tally_pe_relations(align, dbg)
+        t0 = time.time()
+        body = encode_block(p, merged, frozen=frozen, align=align,
+                            ref_codes=ref.codes)
+        dbg.add("encode_s", time.time() - t0)
+        meta = {"fnl1": b1.final_newline, "fnl2": b2.final_newline}
+        payload = (write_tlv(TAG_PE_META, json.dumps(meta).encode())
+                   + write_tlv(TAG_PE_BODY, body))
+        flags = FLAG_PE | (FLAG_ALIGNED if align is not None else 0)
+        writer.add_block(idx, payload, BlockInfo(
+            payload_len=len(payload), n_reads=b1.n_reads,
+            raw_len1=len(raw1), raw_len2=len(raw2), flags=flags,
+            md5=hashlib.md5(raw1 + raw2).digest()))
+        total_mapped += n_mapped
+        total_reads += merged.n_reads
+        total_raw += len(raw1) + len(raw2)
+        idx += 1
+    if rr2.take_rest():
+        raise ValueError("PE inputs have different read counts")
+    writer.input_md5s = [md5_1.digest(), md5_2.digest()]
+    writer.finalize()
+    out_size = os.path.getsize(out_path)
+    return {"blocks": idx, "raw": total_raw, "compressed": out_size,
+            "ratio": total_raw / out_size if out_size else 0.0,
+            "mapped": total_mapped, "reads": total_reads}
+
+
+def _tally_pe_relations(align: AlignResult, dbg: DebugInfo) -> None:
+    """Pair-relation histogram (reference stats: both-map, 1Y2N, 1N2Y) and
+    modal insert size over both-mapped pairs."""
+    m1, m2 = align.mapped[0::2], align.mapped[1::2]
+    dbg.add("pe_both_map", int((m1 & m2).sum()))
+    dbg.add("pe_1Y2N", int((m1 & ~m2).sum()))
+    dbg.add("pe_1N2Y", int((~m1 & m2).sum()))
+    dbg.add("pe_none", int((~m1 & ~m2).sum()))
+    both = m1 & m2
+    if both.any():
+        ins = np.abs(align.pos[0::2][both] - align.pos[1::2][both])
+        dbg.add("pe_insert_median", float(np.median(ins)))

@@ -22,7 +22,7 @@ import numpy as np
 from fastqueeze_tpu.config import CodecParams
 from fastqueeze_tpu.container.encap import iter_tlv, write_tlv
 from fastqueeze_tpu.models.base import (
-    FlatModel, Order1ByteModel, QualModel, byte_model,
+    CtxModel, FlatModel, Order1ByteModel, QualModel, byte_model,
     qual_model_from_params, seq_model_from_params)
 from fastqueeze_tpu.io.fastq import FastqBlock
 from fastqueeze_tpu.ops.engine import decode_stream, encode_stream
@@ -42,6 +42,12 @@ TAG_PLUSVAR = 10
 TAG_PLUSRAW = 11
 TAG_SEQ = 12
 TAG_QUAL = 13
+TAG_AMAP = 14     # per-read mapped flag
+TAG_APOS = 15     # mapped: window start position bytes
+TAG_AREV = 16     # mapped: reverse-complement flag
+TAG_AMISC = 17    # mapped: mismatch count per read
+TAG_AMISP = 18    # mapped: mismatch positions (window coords, delta)
+TAG_AMISB = 19    # mapped: substituted bases (2-bit), ctx = ref base
 
 _VAR_CHUNK = 256  # var byte streams are cut into pseudo-reads for lane ||ism
 
@@ -98,8 +104,60 @@ def _qual_alphabet(qmax: int) -> int:
     return ((qmax + 1 + 7) // 8) * 8
 
 
+def _code_flags(p: CodecParams, bits: np.ndarray) -> bytes:
+    """Entropy-code a boolean vector through an adaptive binary model."""
+    model = CtxModel(alphabet=2, init=p.byte_init, inc=p.byte_inc,
+                     cap=p.byte_cap)
+    counts = _chunk_counts(len(bits))
+    return encode_stream(model, p, bits.astype(np.uint8), counts)
+
+
+def _decode_flags(p: CodecParams, blob: bytes, n: int) -> np.ndarray:
+    model = CtxModel(alphabet=2, init=p.byte_init, inc=p.byte_inc,
+                     cap=p.byte_cap)
+    counts = _chunk_counts(n)
+    return decode_stream(model, p, blob, counts).astype(bool)
+
+
+def _le_byte_stream(values: np.ndarray, nbytes: int):
+    """values -> per-item little-endian bytes, ctx = byte index."""
+    n = len(values)
+    syms = np.empty(n * nbytes, np.uint8)
+    for b in range(nbytes):
+        syms[b::nbytes] = (values >> (8 * b)) & 0xFF
+    counts = np.full(n, nbytes, np.int64)
+    ctx = np.tile(np.arange(nbytes, dtype=np.uint8), n)
+    return syms, counts, ctx
+
+
+def _from_le_bytes(syms: np.ndarray, n: int, nbytes: int) -> np.ndarray:
+    vals = np.zeros(n, np.int64)
+    for b in range(nbytes):
+        vals |= syms[b::nbytes].astype(np.int64) << (8 * b)
+    return vals
+
+
+def _code_le(p: CodecParams, values: np.ndarray, nbytes: int) -> bytes:
+    syms, counts, ctx = _le_byte_stream(values.astype(np.int64), nbytes)
+    model = FlatModel(alphabet=256, init=p.byte_init, inc=p.byte_inc,
+                      cap=p.byte_cap, n_ctx=nbytes)
+    return encode_stream(model, p, syms, counts, extra_aux={"ctx": ctx})
+
+
+def _decode_le(p: CodecParams, blob: bytes, n: int, nbytes: int) -> np.ndarray:
+    model = FlatModel(alphabet=256, init=p.byte_init, inc=p.byte_inc,
+                      cap=p.byte_cap, n_ctx=nbytes)
+    counts = np.full(n, nbytes, np.int64)
+    ctx = np.tile(np.arange(nbytes, dtype=np.uint8), n)
+    syms = decode_stream(model, p, blob, counts, extra_aux={"ctx": ctx})
+    return _from_le_bytes(syms, n, nbytes)
+
+
 def encode_block(p: CodecParams, block: FastqBlock,
-                 frozen: Optional[Dict] = None) -> bytes:
+                 frozen: Optional[Dict] = None,
+                 align=None, ref_codes: Optional[np.ndarray] = None) -> bytes:
+    """align: AlignResult over this block's reads (or None for entropy-only);
+    ref_codes: the reference 2-bit code array (required with align)."""
     R = block.n_reads
     lengths = block.lengths
     out = io.BytesIO()
@@ -125,6 +183,8 @@ def encode_block(p: CodecParams, block: FastqBlock,
     if frozen is not None:
         qmax = max(qmax, frozen["qmax"])
 
+    mapped = align.mapped if align is not None else np.zeros(R, bool)
+    n_mapped = int(mapped.sum())
     const_len = int(lengths[0]) if R and (lengths == lengths[0]).all() else None
     meta = {
         "R": R,
@@ -132,6 +192,7 @@ def encode_block(p: CodecParams, block: FastqBlock,
         "fnl": block.final_newline,
         "qmax": qmax,
         "nd": n_dege,
+        "nm": n_mapped,
     }
 
     # --- lengths ---
@@ -184,39 +245,114 @@ def encode_block(p: CodecParams, block: FastqBlock,
         dege_sections = [(TAG_DEGCNT, cnt_payload), (TAG_DEGPOS, pos_payload),
                          (TAG_DEGCHR, chr_payload)]
 
-    # --- sequence (ACGT through the context model) ---
-    seq_counts = lengths - dege_cnt
+    # --- alignment streams (reference: decomposeAlignInfo @0x433860,
+    #     AlignInfoProcess @0x4118b0 — pos/rev/misCnt/misPos/misChar) ---
+    align_sections = []
+    if n_mapped:
+        assert ref_codes is not None, "aligned encode needs ref_codes"
+        align_sections = _encode_align_streams(
+            p, block, align, ref_codes, mapped, meta)
+    if align is not None:
+        align_sections.insert(0, (TAG_AMAP, _code_flags(p, mapped)))
+
+    # --- sequence: unmapped reads' ACGT through the context model ---
+    mapped_sym = np.repeat(mapped, lengths)
+    seq_counts = (lengths - dege_cnt)[~mapped]
     seq_model = seq_model_from_params(p)
     seq_payload = encode_stream(
-        seq_model, p, codes[~dege_mask], seq_counts,
+        seq_model, p, codes[~dege_mask & ~mapped_sym], seq_counts,
         counts0=frozen["seq_counts"] if frozen else None)
 
     # --- quality ---
     qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
                        inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
                        drop_init=p.q_drop_init)
+    qc0 = None
+    if frozen is not None:
+        from fastqueeze_tpu.pipeline.frozen import fit_qual_alphabet
+        qc0 = fit_qual_alphabet(frozen["qual_counts"], qmodel.alphabet,
+                                p.qual_init)
     qual_payload = encode_stream(
-        qmodel, p, qflat.astype(np.uint8), lengths,
-        counts0=frozen["qual_counts"] if frozen else None)
+        qmodel, p, qflat.astype(np.uint8), lengths, counts0=qc0)
 
     # --- assemble TLV ---
     out.write(write_tlv(TAG_META, json.dumps(meta).encode()))
     if len_payload is not None:
         out.write(write_tlv(TAG_LEN, len_payload))
-    for tag, payload in dege_sections + id_sections + plus_sections:
+    for tag, payload in (dege_sections + id_sections + plus_sections
+                         + align_sections):
         out.write(write_tlv(tag, payload))
     out.write(write_tlv(TAG_SEQ, seq_payload))
     out.write(write_tlv(TAG_QUAL, qual_payload))
     return out.getvalue()
 
 
+def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
+                          ref_codes: np.ndarray, mapped: np.ndarray,
+                          meta: Dict) -> list:
+    """Mapped reads -> pos / rev / mis-count / mis-pos / mis-char streams."""
+    lengths = block.lengths
+    mlens = lengths[mapped]
+    posb = max(1, (int(ref_codes.size).bit_length() + 7) // 8)
+    mposb = 1 if (len(mlens) == 0 or int(mlens.max()) <= 255) else 2
+    meta["posb"] = posb
+    meta["mposb"] = mposb
+
+    pos = align.pos[mapped]
+    rev = align.is_rev[mapped]
+    mm = align.mis_mask[mapped]                      # (M, lp) window coords
+    mis_cnt = mm.sum(axis=1).astype(np.int64)
+    if mis_cnt.max(initial=0) > 255:
+        raise ValueError(">255 mismatches in one read")
+
+    # mismatch (read, window-col) pairs, row-major = per-read ascending
+    rows, cols = np.nonzero(mm)
+    # delta within read (first mismatch absolute)
+    prev = np.empty_like(cols)
+    prev[0:1] = 0
+    prev[1:] = cols[:-1]
+    first = np.empty(len(rows), bool)
+    first[0:1] = True
+    first[1:] = rows[1:] != rows[:-1]
+    deltas = np.where(first, cols, cols - prev)
+
+    # substituted base = effective-strand read base at the window col;
+    # context = the reference base it replaced
+    moffs = (np.cumsum(lengths) - lengths)[mapped]
+    eff_col = np.where(rev[rows], mlens[rows] - 1 - cols, cols)
+    read_base = _BASE_MAP[block.seq_flat[moffs[rows] + eff_col]]
+    sub_base = np.where(rev[rows], 3 - read_base, read_base).astype(np.uint8)
+    ref_base = ref_codes[pos[rows] + cols]
+
+    sections = [
+        (TAG_APOS, _code_le(p, pos, posb)),
+        (TAG_AREV, _code_flags(p, rev)),
+        (TAG_AMISC, _code_bytes(p, mis_cnt.astype(np.uint8).tobytes(),
+                                order1=False)),
+    ]
+    if len(rows):
+        sections.append((TAG_AMISP, _code_le(p, deltas, mposb)))
+        chr_model = FlatModel(alphabet=4, init=p.byte_init, inc=p.byte_inc,
+                              cap=p.byte_cap, n_ctx=4)
+        chr_payload = encode_stream(
+            chr_model, p, sub_base, _chunk_counts(len(rows)),
+            extra_aux={"ctx": ref_base.astype(np.uint8)})
+        sections.append((TAG_AMISB, chr_payload))
+    return sections
+
+
 def decode_block(p: CodecParams, payload: bytes,
-                 frozen: Optional[Dict] = None) -> FastqBlock:
+                 frozen: Optional[Dict] = None,
+                 ref_codes: Optional[np.ndarray] = None) -> FastqBlock:
     sections = dict(iter_tlv(payload))
     meta = json.loads(sections[TAG_META].decode())
     R = meta["R"]
     n_dege = meta["nd"]
     qmax = meta["qmax"]
+    n_mapped = meta.get("nm", 0)
+    if n_mapped and ref_codes is None:
+        raise ValueError("archive was reference-aligned: decode needs the "
+                         "reference FASTA")
 
     # --- lengths ---
     if meta["clen"] is not None:
@@ -249,28 +385,41 @@ def decode_block(p: CodecParams, payload: bytes,
         dchr = np.frombuffer(
             _decode_bytes(p, sections[TAG_DEGCHR], order1=False), np.uint8)
 
-    # --- sequence ---
-    seq_counts = lengths - dege_cnt
+    # --- map flags + alignment streams ---
+    mapped = np.zeros(R, bool)
+    if TAG_AMAP in sections:
+        mapped = _decode_flags(p, sections[TAG_AMAP], R)
+
+    # --- sequence (unmapped reads) ---
+    mapped_sym = np.repeat(mapped, lengths)
+    seq_counts = (lengths - dege_cnt)[~mapped]
     seq_model = seq_model_from_params(p)
     acgt = decode_stream(seq_model, p, sections[TAG_SEQ], seq_counts,
                          counts0=frozen["seq_counts"] if frozen else None)
     seq_flat = np.empty(int(lengths.sum()), np.uint8)
+    read_off = np.cumsum(lengths) - lengths
+    fill = np.zeros(len(seq_flat), bool)   # True where a byte is written
     if n_dege:
-        read_off = np.cumsum(lengths) - lengths
         dege_abs = np.repeat(read_off, dege_cnt) + dpos
-        mask = np.zeros(len(seq_flat), bool)
-        mask[dege_abs] = True
-        seq_flat[mask] = dchr
-        seq_flat[~mask] = _BASE_INV[acgt]
-    else:
-        seq_flat[:] = _BASE_INV[acgt]
+        seq_flat[dege_abs] = dchr
+        fill[dege_abs] = True
+    if n_mapped:
+        _decode_align_streams(p, sections, meta, mapped, lengths, read_off,
+                              ref_codes, seq_flat)
+        fill |= mapped_sym
+    seq_flat[~fill] = _BASE_INV[acgt]
 
     # --- quality ---
     qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
                        inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
                        drop_init=p.q_drop_init)
+    qc0 = None
+    if frozen is not None:
+        from fastqueeze_tpu.pipeline.frozen import fit_qual_alphabet
+        qc0 = fit_qual_alphabet(frozen["qual_counts"], qmodel.alphabet,
+                                p.qual_init)
     qsyms = decode_stream(qmodel, p, sections[TAG_QUAL], lengths,
-                          counts0=frozen["qual_counts"] if frozen else None)
+                          counts0=qc0)
     qual_flat = (qsyms.astype(np.uint8) + 33)
 
     # --- IDs ---
@@ -301,3 +450,53 @@ def decode_block(p: CodecParams, payload: bytes,
     return FastqBlock(n_reads=R, ids=ids, plus=plus, seq_flat=seq_flat,
                       qual_flat=qual_flat, lengths=lengths, raw_len=raw_len,
                       final_newline=meta["fnl"])
+
+
+def _decode_align_streams(p: CodecParams, sections: Dict, meta: Dict,
+                          mapped: np.ndarray, lengths: np.ndarray,
+                          read_off: np.ndarray, ref_codes: np.ndarray,
+                          seq_flat: np.ndarray) -> None:
+    """Reconstruct mapped reads from the reference (SURVEY.md C16,
+    srcfile:BitbufProcess.cpp decompressBitBufSE -> doGetSeq + RC + patch),
+    writing ACGT bytes into seq_flat in place."""
+    M = int(mapped.sum())
+    posb, mposb = meta["posb"], meta["mposb"]
+    mlens = lengths[mapped]
+    moffs = read_off[mapped]
+
+    pos = _decode_le(p, sections[TAG_APOS], M, posb)
+    rev = _decode_flags(p, sections[TAG_AREV], M)
+    cnt_raw = _decode_bytes(p, sections[TAG_AMISC], order1=False)
+    mis_cnt = np.frombuffer(cnt_raw, np.uint8).astype(np.int64)
+    n_mis = int(mis_cnt.sum())
+
+    # fetch window codes (host gather — the doGetSeq equivalent)
+    total = int(mlens.sum())
+    win_off = np.cumsum(mlens) - mlens
+    sym_read = np.repeat(np.arange(M), mlens)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(win_off, mlens)
+    win = ref_codes[np.repeat(pos, mlens) + intra].copy()
+
+    if n_mis:
+        deltas = _decode_le(p, sections[TAG_AMISP], n_mis, mposb)
+        rows = np.repeat(np.arange(M), mis_cnt)
+        # undo within-read delta coding: segmented cumsum of deltas
+        first_of_read = (np.cumsum(mis_cnt) - mis_cnt)[rows]
+        cs = np.cumsum(deltas)
+        seg_start = np.zeros(n_mis, np.int64)
+        nz = first_of_read > 0
+        seg_start[nz] = cs[first_of_read[nz] - 1]
+        cols = cs - seg_start
+        ref_base = win[win_off[rows] + cols].copy()
+        chr_model = FlatModel(alphabet=4, init=p.byte_init, inc=p.byte_inc,
+                              cap=p.byte_cap, n_ctx=4)
+        sub = decode_stream(chr_model, p, sections[TAG_AMISB],
+                            _chunk_counts(n_mis),
+                            extra_aux={"ctx": ref_base.astype(np.uint8)})
+        win[win_off[rows] + cols] = sub
+
+    # orient: reverse-complement where rev, then place into seq_flat
+    src_intra = np.where(rev[sym_read], mlens[sym_read] - 1 - intra, intra)
+    val = win[win_off[sym_read] + src_intra]
+    val = np.where(rev[sym_read], 3 - val, val)
+    seq_flat[moffs[sym_read] + intra] = _BASE_INV[val]

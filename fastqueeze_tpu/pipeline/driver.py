@@ -37,12 +37,34 @@ def apply_lossy(params: CodecParams, block):
     return assemble_block(block), block
 
 
+def train_frozen_prefix(params: CodecParams, in_path: str,
+                        dbg: Optional[DebugInfo] = None):
+    """usemodel preprocess (reference doPreProcess, SURVEY.md §3.4): train
+    frozen model tables on the input's first ~model_train_mb MB."""
+    from fastqueeze_tpu.pipeline.frozen import serialize_frozen, train_frozen
+    t0 = time.time()
+    prefix = next(iter(read_blocks(in_path, params.model_train_mb << 20)))
+    block = parse_block(*prefix)
+    if params.lossy_factor > 1.0:
+        _, block = apply_lossy(params, block)
+    frozen = train_frozen(params, block)
+    blob = serialize_frozen(frozen)
+    if dbg:
+        dbg.add("train_s", time.time() - t0)
+    return frozen, blob
+
+
 def compress_se(params: CodecParams, in_path: str, out_path: str,
                 dbg: Optional[DebugInfo] = None) -> Dict:
+    from fastqueeze_tpu.pipeline.frozen import decide_use_model
     dbg = dbg or DebugInfo()
     block_size = params.block_size_mb * (1 << 20)
     whole_md5 = hashlib.md5()
     writer = ArcWriter(out_path, params, [os.path.basename(in_path)], [])
+    frozen = None
+    if decide_use_model(params, os.path.getsize(in_path)):
+        frozen, blob = train_frozen_prefix(params, in_path, dbg)
+        writer.set_model(blob)
     idx = 0
     total_raw = 0
     for raw, final_nl in read_blocks(in_path, block_size):
@@ -53,7 +75,7 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
         whole_md5.update(raw)
         dbg.add("parse_s", time.time() - t0)
         t0 = time.time()
-        payload = encode_block(params, block)
+        payload = encode_block(params, block, frozen=frozen)
         dbg.add("encode_s", time.time() - t0)
         info = BlockInfo(payload_len=len(payload), n_reads=block.n_reads,
                          raw_len1=len(raw), md5=hashlib.md5(raw).digest())
@@ -77,10 +99,12 @@ def decompress(arc_path: str, out_prefix: Optional[str],
     dbg = dbg or DebugInfo()
     with ArcReader(arc_path) as reader:
         params = reader.params
+        ref_codes = _load_ref_for_decode(params, ref)
         if params.is_pe:
             from fastqueeze_tpu.pipeline.pe import decompress_pe_blocks
             return decompress_pe_blocks(reader, out_prefix, dbg, ref=ref,
-                                        pipeout=pipeout, force=force)
+                                        pipeout=pipeout, force=force,
+                                        ref_codes=ref_codes)
         out_name = _se_out_name(arc_path, out_prefix, reader.file_list)
         if indir:
             out_name = os.path.join(os.path.dirname(os.path.abspath(arc_path)),
@@ -89,6 +113,10 @@ def decompress(arc_path: str, out_prefix: Optional[str],
             out_name = None
         elif os.path.exists(out_name) and not force:
             raise ValueError(f"{out_name} exists (use -f to overwrite)")
+        frozen = None
+        if reader.model_blob is not None:
+            from fastqueeze_tpu.pipeline.frozen import deserialize_frozen
+            frozen = deserialize_frozen(reader.model_blob)
         whole_md5 = hashlib.md5()
         import contextlib
         with (open(out_name, "wb") if out_name
@@ -96,7 +124,8 @@ def decompress(arc_path: str, out_prefix: Optional[str],
             for i, binfo in enumerate(reader.blocks):
                 payload = reader.read_block(i)
                 t0 = time.time()
-                block = decode_block(params, payload)
+                block = decode_block(params, payload, frozen=frozen,
+                                     ref_codes=ref_codes)
                 dbg.add("decode_s", time.time() - t0)
                 t0 = time.time()
                 raw = assemble_block(block)
@@ -109,6 +138,23 @@ def decompress(arc_path: str, out_prefix: Optional[str],
         if reader.input_md5s and whole_md5.digest() != reader.input_md5s[0]:
             raise ValueError("whole-input MD5 mismatch")
         return [out_name] if out_name else []
+
+
+def _load_ref_for_decode(params: CodecParams, ref: Optional[str]):
+    """Aligned archives need the reference FASTA at decode (but never the
+    index — reference parity, SURVEY.md §2.2 "decompression does not");
+    wrong/missing references are rejected up front."""
+    if not getattr(params, "aligned", 0):
+        return None
+    if not ref:
+        raise ValueError("archive was compressed with a reference; decode "
+                         "needs the same FASTA (fastqueeze -d ref.fa arc)")
+    from fastqueeze_tpu.align.ref import load_fasta
+    r = load_fasta(ref)
+    if params.ref_md5 and r.md5 != params.ref_md5:
+        raise ValueError(f"wrong reference file: md5 {r.md5} != archive's "
+                         f"{params.ref_md5}")
+    return r.codes
 
 
 def _se_out_name(arc_path: str, out_prefix: Optional[str],

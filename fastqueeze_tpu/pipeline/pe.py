@@ -119,6 +119,11 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
     md5_1, md5_2 = hashlib.md5(), hashlib.md5()
     writer = ArcWriter(out_path, p,
                        [os.path.basename(in1), os.path.basename(in2)], [])
+    frozen = None
+    from fastqueeze_tpu.pipeline.frozen import decide_use_model
+    if decide_use_model(p, os.path.getsize(in1) + os.path.getsize(in2)):
+        frozen, blob = train_frozen_pe_prefix(p, in1, in2)
+        writer.set_model(blob)
     it1 = read_blocks(in1, block_size // 2)
     idx = 0
     total_raw = 0
@@ -139,7 +144,7 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
         md5_2.update(raw2)
         merged = interleave_blocks(b1, b2)
         t0 = time.time()
-        payload = _encode_pe_block(p, merged, b1, b2)
+        payload = _encode_pe_block(p, merged, b1, b2, frozen=frozen)
         dbg.add("encode_s", time.time() - t0)
         info = BlockInfo(payload_len=len(payload), n_reads=b1.n_reads,
                          raw_len1=len(raw1), raw_len2=len(raw2),
@@ -195,8 +200,27 @@ class _RecordReader:
         return rest
 
 
+def train_frozen_pe_prefix(p: CodecParams, in1: str, in2: str):
+    """usemodel preprocess over the pair: train on the interleaved prefix,
+    exactly the stream shape the per-block coder sees."""
+    from fastqueeze_tpu.io.fastq import read_blocks
+    from fastqueeze_tpu.pipeline.frozen import serialize_frozen, train_frozen
+    half = (p.model_train_mb << 20) // 2
+    b1 = parse_block(*next(iter(read_blocks(in1, half))))
+    rr2 = _RecordReader(in2)
+    b2 = parse_block(*rr2.take(b1.n_reads))
+    rr2.take_rest()
+    if p.lossy_factor > 1.0:
+        from fastqueeze_tpu.pipeline.driver import apply_lossy
+        _, b1 = apply_lossy(p, b1)
+        _, b2 = apply_lossy(p, b2)
+    frozen = train_frozen(p, interleave_blocks(b1, b2))
+    return frozen, serialize_frozen(frozen)
+
+
 def _encode_pe_block(p: CodecParams, merged: FastqBlock,
-                     b1: FastqBlock, b2: FastqBlock) -> bytes:
+                     b1: FastqBlock, b2: FastqBlock,
+                     frozen=None) -> bytes:
     """PE block = shared-model body over interleaved mates.
 
     The body coder sees the interleaved block; IDs of both mates are inside
@@ -206,14 +230,15 @@ def _encode_pe_block(p: CodecParams, merged: FastqBlock,
     alternating IDs already collapse; nothing extra is stored.
     """
     meta = {"fnl1": b1.final_newline, "fnl2": b2.final_newline}
-    body = encode_block(p, merged)
+    body = encode_block(p, merged, frozen=frozen)
     return (write_tlv(TAG_PE_META, json.dumps(meta).encode())
             + write_tlv(TAG_PE_BODY, body))
 
 
 def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
                          dbg: DebugInfo, ref: Optional[str] = None,
-                         pipeout: int = 0, force: bool = False) -> List[str]:
+                         pipeout: int = 0, force: bool = False,
+                         ref_codes=None) -> List[str]:
     p = reader.params
     names = _pe_out_names(reader, out_prefix)
     md5_1, md5_2 = hashlib.md5(), hashlib.md5()
@@ -233,7 +258,8 @@ def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
             sections = dict(iter_tlv(payload))
             meta = json.loads(sections[TAG_PE_META].decode())
             merged = decode_block(p, sections[TAG_PE_BODY],
-                                  frozen=_frozen_of(reader, p))
+                                  frozen=_frozen_of(reader, p),
+                                  ref_codes=ref_codes)
             b1, b2 = deinterleave_block(merged, meta["fnl1"], meta["fnl2"])
             raw1, raw2 = assemble_block(b1), assemble_block(b2)
             if hashlib.md5(raw1 + raw2).digest() != binfo.md5:
@@ -258,8 +284,18 @@ def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
     return names if not pipeout else []
 
 
+_FROZEN_CACHE = {}
+
+
 def _frozen_of(reader, p):
-    return None  # frozen-model PE support arrives with usemodel mode
+    if reader.model_blob is None:
+        return None
+    key = id(reader)
+    if key not in _FROZEN_CACHE:
+        from fastqueeze_tpu.pipeline.frozen import deserialize_frozen
+        _FROZEN_CACHE.clear()
+        _FROZEN_CACHE[key] = deserialize_frozen(reader.model_blob)
+    return _FROZEN_CACHE[key]
 
 
 def _write_interleaved(out, b1: FastqBlock, b2: FastqBlock) -> None:

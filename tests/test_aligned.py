@@ -1,0 +1,185 @@
+"""Alignment subsystem tests: index build/save/load, batched aligner
+correctness, aligned SE/PE round-trips, wrong-ref rejection
+(SURVEY.md §4 golden tests for the +ref configs)."""
+
+import numpy as np
+import pytest
+
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.align.ref import load_fasta, pack_2bit, unpack_2bit
+from fastqueeze_tpu.align.index import (
+    build_from_ref, build_index, load_index, load_index_file, save_index)
+from fastqueeze_tpu.align.hash import Aligner
+
+SMALL = dict(slevel=0, lanes_min=16, lanes_max=32, lane_target_symbols=512,
+             seed_len=10, seed_max_occ=8, seed_big_occ=32, max_mis=4)
+
+
+def _write_fasta(path, codes, name="chr1"):
+    seq = "".join("ACGT"[c] for c in codes)
+    with open(path, "w") as f:
+        f.write(f">{name} test\n")
+        for i in range(0, len(seq), 70):
+            f.write(seq[i:i + 70] + "\n")
+
+
+@pytest.fixture(scope="module")
+def ref_env(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("refs")
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, 20_000).astype(np.uint8)
+    fa = str(tmp / "ref.fa")
+    _write_fasta(fa, codes)
+    return fa, codes, rng
+
+
+def test_pack_roundtrip():
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 15, 16, 17, 100):
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        assert np.array_equal(unpack_2bit(pack_2bit(codes), n), codes)
+
+
+def test_index_build_save_load(ref_env, tmp_path):
+    fa, codes, _ = ref_env
+    p = CodecParams(**SMALL)
+    out = build_index(fa, p, str(tmp_path / "ref.fqzidx"))
+    idx = load_index_file(out)
+    assert idx.ref_len == len(codes)
+    assert idx.k == p.seed_len
+    assert np.array_equal(np.sort(idx.keys), idx.keys)
+    assert int(idx.offsets[-1]) == idx.n_positions
+    # every stored position's k-mer equals its key
+    ref = load_fasta(fa)
+    j = 5 if idx.n_keys > 5 else 0
+    s, e = int(idx.offsets[j]), int(idx.offsets[j + 1])
+    for pos in idx.positions[s:e]:
+        kv = 0
+        for c in codes[pos:pos + idx.k]:
+            kv = (kv << 2) | int(c)
+        assert kv == int(idx.keys[j])
+
+
+def test_align_exact_mutated_rc(ref_env):
+    fa, ref_codes, rng = ref_env
+    p = CodecParams(**SMALL)
+    ref = load_fasta(fa)
+    idx = build_from_ref(ref, p)
+    al = Aligner(idx, p)
+
+    R, L = 64, 60
+    starts = rng.integers(0, len(ref_codes) - L, R)
+    reads = ref_codes[starts[:, None] + np.arange(L)[None, :]].copy()
+    true_rev = np.zeros(R, bool)
+    for i in range(R):
+        mp = rng.choice(L, rng.integers(0, 4), replace=False)
+        reads[i, mp] = (reads[i, mp] + rng.integers(1, 4, len(mp))) % 4
+        if i % 3 == 0:
+            reads[i] = 3 - reads[i][::-1]
+            true_rev[i] = True
+    reads[:4] = rng.integers(0, 4, (4, L))      # random: should not map
+    lengths = np.full(R, L, np.int64)
+    res = al.align(reads.reshape(-1), np.zeros(R * L, bool), lengths)
+    assert res.mapped[4:].sum() >= R - 8
+    # reconstruction: window + patches (+ RC) == read
+    for i in np.flatnonzero(res.mapped):
+        win = ref_codes[res.pos[i]:res.pos[i] + L].copy()
+        eff = (3 - reads[i][::-1]) if res.is_rev[i] else reads[i]
+        mm = res.mis_mask[i, :L]
+        win[mm] = eff[mm]
+        out = (3 - win[::-1]) if res.is_rev[i] else win
+        assert np.array_equal(out, reads[i])
+
+
+def test_degenerate_reads_unmapped(ref_env):
+    fa, ref_codes, _ = ref_env
+    p = CodecParams(**SMALL)
+    idx = build_from_ref(load_fasta(fa), p)
+    al = Aligner(idx, p)
+    L = 60
+    reads = ref_codes[100:100 + L][None, :].copy()
+    dege = np.zeros((1, L), bool)
+    dege[0, 30] = True
+    res = al.align(reads.reshape(-1), dege.reshape(-1),
+                   np.array([L], np.int64))
+    assert not res.mapped[0]
+
+
+def _mk_fastq_from_ref(rng, ref_codes, n, L=60, rev_every=4, n_every=11):
+    recs = []
+    for i in range(n):
+        s = int(rng.integers(0, len(ref_codes) - L))
+        seq = ref_codes[s:s + L].copy()
+        mp = rng.choice(L, rng.integers(0, 3), replace=False)
+        seq[mp] = (seq[mp] + rng.integers(1, 4, len(mp))) % 4
+        if i % rev_every == 0:
+            seq = 3 - seq[::-1]
+        txt = "".join("ACGT"[c] for c in seq)
+        if i % n_every == 0:
+            txt = txt[:20] + "N" + txt[21:]
+        qual = "".join(chr(33 + int(q)) for q in
+                       np.clip(rng.integers(2, 40, L), 0, 40))
+        recs.append(f"@aln.{i} {i} length={L}\n{txt}\n+\n{qual}\n")
+    return "".join(recs).encode()
+
+
+def test_aligned_se_roundtrip(ref_env, tmp_path):
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    from fastqueeze_tpu.pipeline.driver import decompress
+    fa, ref_codes, rng = ref_env
+    raw = _mk_fastq_from_ref(rng, ref_codes, 120)
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    p = CodecParams(**SMALL)
+    arc = str(tmp_path / "out.fqz")
+    stats = compress_se_aligned(p, fa, str(src), arc)
+    assert stats["mapped"] > 60
+    outs = decompress(arc, str(tmp_path / "back"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw
+    # wrong ref rejected
+    other = str(tmp_path / "other.fa")
+    _write_fasta(other, np.random.default_rng(1).integers(0, 4, 5000)
+                 .astype(np.uint8))
+    with pytest.raises(ValueError, match="wrong reference"):
+        decompress(arc, str(tmp_path / "back2"), ref=other, force=True)
+    # missing ref rejected
+    with pytest.raises(ValueError, match="needs the same FASTA"):
+        decompress(arc, str(tmp_path / "back3"), force=True)
+
+
+def test_aligned_pe_roundtrip(ref_env, tmp_path):
+    from fastqueeze_tpu.pipeline.pe import compress_pe
+    from fastqueeze_tpu.pipeline.driver import decompress
+    fa, ref_codes, rng = ref_env
+    raw1 = _mk_fastq_from_ref(rng, ref_codes, 80)
+    raw2 = _mk_fastq_from_ref(rng, ref_codes, 80)
+    f1, f2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    f1.write_bytes(raw1)
+    f2.write_bytes(raw2)
+    p = CodecParams(**SMALL)
+    arc = str(tmp_path / "pe.fqz")
+    stats = compress_pe(p, str(f1), str(f2), arc, ref=fa)
+    assert stats["mapped"] > 80
+    outs = decompress(arc, str(tmp_path / "peback"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw1
+    assert open(outs[1], "rb").read() == raw2
+
+
+def test_low_map_ratio_falls_back_to_entropy(ref_env, tmp_path):
+    """Random reads (unmappable) must still round-trip: the per-block
+    aligned/fqz decision falls back (reference: Fqz block)."""
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    from fastqueeze_tpu.pipeline.driver import decompress
+    fa, _, rng = ref_env
+    recs = []
+    for i in range(60):
+        seq = "".join(rng.choice(list("ACGT"), 50))
+        recs.append(f"@rnd.{i}\n{seq}\n+\n{'I' * 50}\n")
+    raw = "".join(recs).encode()
+    src = tmp_path / "rnd.fq"
+    src.write_bytes(raw)
+    p = CodecParams(**SMALL)
+    arc = str(tmp_path / "rnd.fqz")
+    stats = compress_se_aligned(p, fa, str(src), arc)
+    outs = decompress(arc, str(tmp_path / "rndback"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw
