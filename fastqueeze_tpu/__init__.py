@@ -23,4 +23,26 @@ range coding in C++ — SURVEY.md §2.1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: the wave-coder jits once per
+    (model, T, L) bucket; caching makes every later process start warm
+    (first-ever compile of a shape is 10-40 s on TPU)."""
+    if _os.environ.get("FASTQUEEZE_NO_COMPILE_CACHE"):
+        return
+    import jax
+    cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "fastqueeze_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from fastqueeze_tpu.config import CodecParams  # noqa: F401

@@ -81,6 +81,14 @@ class CodecParams:
     # --- frozen-model mode (reference: usemodel) ---
     use_model: int = 0              # 0=auto, 1=force on, -1=force off
     model_train_mb: int = 34        # prefix size used to train frozen models
+    frozen_adapt: int = 0           # 0 = code against the frozen snapshot
+                                    # (reference semantics; no wave scan on
+                                    # encode); 1 = keep adapting per block
+
+    # --- stream routing: streams with <= this many symbols are coded by
+    #     the native host range coder (each device stream costs a ~36 ms
+    #     tunnel round-trip); big streams use the device wave-rANS ---
+    host_stream_max: int = 1 << 20
 
     # --- lane policy (TPU engine; no reference equivalent) ---
     lanes_min: int = 64

@@ -60,6 +60,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fq_gather.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64, _U8P]
     lib.fq_scatter.restype = None
     lib.fq_scatter.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64, _U8P]
+    _i32 = ctypes.c_int32
+    _u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.rc_encode_ctx.restype = ctypes.c_int64
+    lib.rc_encode_ctx.argtypes = [_U8P, _u32p, ctypes.c_int64, _i32, _i32,
+                                  _i32, _i32, _i32, _U8P, ctypes.c_int64]
+    lib.rc_decode_ctx.restype = ctypes.c_int64
+    lib.rc_decode_ctx.argtypes = [_U8P, ctypes.c_int64, _u32p,
+                                  ctypes.c_int64, _i32, _i32, _i32, _i32,
+                                  _i32, _U8P]
+    lib.rc_encode_o1.restype = ctypes.c_int64
+    lib.rc_encode_o1.argtypes = [_U8P, ctypes.c_int64, _i32, _i32, _i32,
+                                 _i32, _U8P, ctypes.c_int64]
+    lib.rc_decode_o1.restype = ctypes.c_int64
+    lib.rc_decode_o1.argtypes = [_U8P, ctypes.c_int64, ctypes.c_int64, _i32,
+                                 _i32, _i32, _i32, _U8P]
     _LIB = lib
     return _LIB
 
@@ -133,3 +148,61 @@ def scatter(flat: np.ndarray, dest_starts: np.ndarray, lens: np.ndarray,
     ln = np.ascontiguousarray(lens, np.int64)
     lib.fq_scatter(_u8p(f), _i64p(d), _i64p(ln), len(d), _u8p(out))
     return True
+
+
+def _u32p_of(a: Optional[np.ndarray]):
+    if a is None:
+        return None
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def rc_encode_ctx(syms, ctx, n_ctx, alphabet, init, inc, cap):
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap_bytes = len(syms) * 2 + 64
+    out = np.empty(cap_bytes, np.uint8)
+    n = lib.rc_encode_ctx(_u8p(syms), _u32p_of(ctx), len(syms), n_ctx,
+                          alphabet, init, inc, cap, _u8p(out), cap_bytes)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def rc_decode_ctx(data, n, ctx, n_ctx, alphabet, init, inc, cap):
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(n, np.uint8)
+    r = lib.rc_decode_ctx(_u8p(buf), len(buf), _u32p_of(ctx), n, n_ctx,
+                          alphabet, init, inc, cap, _u8p(out))
+    if r < 0:
+        return None
+    return out
+
+
+def rc_encode_o1(syms, alphabet, init, inc, cap):
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap_bytes = len(syms) * 2 + 64
+    out = np.empty(cap_bytes, np.uint8)
+    n = lib.rc_encode_o1(_u8p(syms), len(syms), alphabet, init, inc, cap,
+                         _u8p(out), cap_bytes)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def rc_decode_o1(data, n, alphabet, init, inc, cap):
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(n, np.uint8)
+    r = lib.rc_decode_o1(_u8p(buf), len(buf), n, alphabet, init, inc, cap,
+                         _u8p(out))
+    if r < 0:
+        return None
+    return out

@@ -122,6 +122,160 @@ def _ctx_grids(model: CtxModel, syms, aux):
     return model.context_grids(syms, aux)
 
 
+def _pack2_host(grid: np.ndarray) -> np.ndarray:
+    """(T, L) 2-bit symbols -> (T, L//4) packed bytes (transfer shrink: the
+    TPU tunnel is the bottleneck, ~14 MB/s h2d)."""
+    T, L = grid.shape
+    g = grid.reshape(T, L // 4, 4).astype(np.uint8)
+    return (g[:, :, 0] | (g[:, :, 1] << 2) | (g[:, :, 2] << 4)
+            | (g[:, :, 3] << 6))
+
+
+@jax.jit
+def _unpack2_dev(packed):
+    T, Lq = packed.shape
+    parts = jnp.stack([(packed >> s) & 3 for s in (0, 2, 4, 6)], axis=2)
+    return parts.reshape(T, Lq * 4)
+
+
+@jax.jit
+def _pack2_dev(grid):
+    T, L = grid.shape
+    g = grid.reshape(T, L // 4, 4).astype(jnp.uint8)
+    return (g[:, :, 0] | (g[:, :, 1] << 2) | (g[:, :, 2] << 4)
+            | (g[:, :, 3] << 6))
+
+
+def _unpack2_host(packed: np.ndarray) -> np.ndarray:
+    T, Lq = packed.shape
+    parts = np.stack([(packed >> s) & 3 for s in (0, 2, 4, 6)], axis=2)
+    return parts.reshape(T, Lq * 4)
+
+
+def _pack6_host(grid: np.ndarray) -> np.ndarray:
+    """(T, L) 6-bit symbols -> (T, 3L/4) bytes (4 syms per 24 bits)."""
+    T, L = grid.shape
+    g = grid.reshape(T, L // 4, 4).astype(np.uint32)
+    v = g[:, :, 0] | (g[:, :, 1] << 6) | (g[:, :, 2] << 12) | (g[:, :, 3] << 18)
+    out = np.empty((T, L // 4, 3), np.uint8)
+    out[:, :, 0] = v & 0xFF
+    out[:, :, 1] = (v >> 8) & 0xFF
+    out[:, :, 2] = (v >> 16) & 0xFF
+    return out.reshape(T, (L // 4) * 3)
+
+
+@jax.jit
+def _unpack6_dev(packed):
+    T, L3 = packed.shape
+    q = L3 // 3
+    p3 = packed.reshape(T, q, 3).astype(jnp.uint32)
+    v = p3[:, :, 0] | (p3[:, :, 1] << 8) | (p3[:, :, 2] << 16)
+    parts = jnp.stack([(v >> s) & 63 for s in (0, 6, 12, 18)], axis=2)
+    return parts.reshape(T, q * 4).astype(jnp.uint8)
+
+
+@jax.jit
+def _pack6_dev(grid):
+    T, L = grid.shape
+    g = grid.reshape(T, L // 4, 4).astype(jnp.uint32)
+    v = g[:, :, 0] | (g[:, :, 1] << 6) | (g[:, :, 2] << 12) | (g[:, :, 3] << 18)
+    out = jnp.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF],
+                    axis=2).astype(jnp.uint8)
+    return out.reshape(T, (L // 4) * 3)
+
+
+def _unpack6_host(packed: np.ndarray) -> np.ndarray:
+    T, L3 = packed.shape
+    q = L3 // 3
+    p3 = packed.reshape(T, q, 3).astype(np.uint32)
+    v = p3[:, :, 0] | (p3[:, :, 1] << 8) | (p3[:, :, 2] << 16)
+    parts = np.stack([(v >> s) & 63 for s in (0, 6, 12, 18)], axis=2)
+    return parts.reshape(T, q * 4).astype(np.uint8)
+
+
+def _pack_mode(model: CtxModel, L: int) -> int:
+    """0 = none, 2 = 2-bit, 6 = 6-bit transfer packing."""
+    if L % 4:
+        return 0
+    if model.alphabet <= 4:
+        return 2
+    if model.alphabet <= 64:
+        return 6
+    return 0
+
+
+def _pack_host(grid: np.ndarray, mode: int) -> np.ndarray:
+    if mode == 2:
+        return _pack2_host(grid)
+    if mode == 6:
+        return _pack6_host(grid)
+    return grid
+
+
+def _unpack_dev(grid, mode: int):
+    if mode == 2:
+        return _unpack2_dev(grid)
+    if mode == 6:
+        return _unpack6_dev(grid)
+    return grid
+
+
+def _pack_dev(grid, mode: int):
+    if mode == 2:
+        return _pack2_dev(grid)
+    if mode == 6:
+        return _pack6_dev(grid)
+    return grid
+
+
+def _unpack_host(grid: np.ndarray, mode: int) -> np.ndarray:
+    if mode == 2:
+        return _unpack2_host(grid)
+    if mode == 6:
+        return _unpack6_host(grid)
+    return grid
+
+
+@functools.partial(jax.jit, static_argnames=("T",))
+def _device_aux(T: int, counts_grid):
+    """Compute valid / pos / start grids on device from the (J, L) per-slot
+    read-length grid (slot (j, l) = read j*L + l, the round-robin layout of
+    lanes.make_layout).  Replaces ~4 MB/stream of host-built grids with a
+    tiny int32 upload."""
+    J, L = counts_grid.shape
+    c = counts_grid.astype(jnp.int32)
+    lane_len = c.sum(axis=0)
+    t_idx = jnp.arange(T, dtype=jnp.int32)[:, None]
+    valid = t_idx < lane_len[None, :]
+    # read start offsets within the lane: exclusive cumsum down the slots
+    s = jnp.cumsum(c, axis=0) - c                       # (J, L)
+    lanes = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[None, :], (J, L))
+    # scatter each read's start wave into its lane's timeline, then cummax
+    # gives "start wave of the read covering t" at every wave t
+    marks = jnp.zeros((T, L), jnp.int32)
+    s_clip = jnp.minimum(s, T - 1)
+    marks = marks.at[s_clip.reshape(-1), lanes.reshape(-1)].max(
+        s.reshape(-1))
+    run_start = lax.cummax(marks, axis=0)
+    pos = (t_idx - run_start).astype(jnp.uint16)
+    start = (t_idx == run_start)
+    return valid, {"start": start & valid, "pos": jnp.where(valid, pos, 0)}
+
+
+@jax.jit
+def _compact_words(words, emits):
+    """Device-side stream compaction: scatter emitted 16-bit words into a
+    dense prefix (canonical (wave, lane) order).  Host then transfers only
+    n_words * 2 bytes instead of the full (T, L) grid + mask."""
+    flat_w = words.reshape(-1)
+    flat_e = emits.reshape(-1)
+    n = flat_w.shape[0]
+    idx = jnp.cumsum(flat_e.astype(jnp.int32)) - 1
+    tgt = jnp.where(flat_e, idx, n)          # out-of-bounds -> dropped
+    out = jnp.zeros((n,), jnp.uint16).at[tgt].set(flat_w, mode="drop")
+    return out, flat_e.sum().astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def _train_counts(model: CtxModel, syms, valid, aux):
     """Frozen-model training: one-shot histogram of (context, symbol)
@@ -141,6 +295,59 @@ def _train_counts(model: CtxModel, syms, valid, aux):
         tot = counts.sum(axis=1, keepdims=True)
         counts = jnp.where(tot > model.cap, (counts + 1) >> 1, counts)
     return counts
+
+
+@jax.jit
+def _quant_full(counts0):
+    """(n_ctx, A) -> (n_ctx, A+1) cumulative freq table summing to M."""
+    return _quant(counts0)
+
+
+@functools.partial(jax.jit, static_argnames=("alphabet",))
+def _pass1_frozen(alphabet: int, counts0, ctx_grid, syms):
+    """Frozen-model encode walk: no adaptation, so (start, freq) is a pure
+    gather from the prequantized table — no wave scan at all.  This is the
+    reference's usemodel semantics (SURVEY.md §2.1): blocks are coded
+    against the trained snapshot."""
+    flat = _quant_full(counts0).reshape(-1)
+    base = ctx_grid.astype(jnp.int32) * (alphabet + 1) + syms.astype(jnp.int32)
+    start = flat[base]
+    end = flat[base + 1]
+    return start.astype(jnp.uint16), (end - start).astype(jnp.uint16)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _decode_frozen(model: CtxModel, counts0, lane_state0,
+                   states, words, valid, aux):
+    """Frozen-model decode: the scan walks only the lane context state and
+    the rANS arithmetic; the model table is static (prequantized)."""
+    Fq = _quant_full(counts0)
+    nwords = words.shape[0]
+
+    def body(carry, xs):
+        st, x, off = carry
+        vld, aux_t = xs
+        ctx = model.context(st, aux_t)
+        F = Fq[ctx]
+        low = (x & _MASK_M).astype(jnp.int32)
+        sym = jnp.sum(F[:, 1:] <= low[:, None], axis=1).astype(jnp.int32)
+        start = jnp.take_along_axis(F, sym[:, None], axis=1)[:, 0].astype(_U32)
+        end = jnp.take_along_axis(F, sym[:, None] + 1, axis=1)[:, 0].astype(_U32)
+        f = end - start
+        xn = f * (x >> PROB_BITS) + (x & _MASK_M) - start
+        need = (xn < RANS_L) & vld
+        rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
+        idx = jnp.minimum(off + rank, nwords - 1)
+        w = words[idx].astype(_U32)
+        xn = jnp.where(need, (xn << 16) | w, xn)
+        x = jnp.where(vld, xn, x)
+        off = off + jnp.sum(need.astype(jnp.int32))
+        st = _freeze_invalid(model.update(st, sym, aux_t), st, vld)
+        return (st, x, off), sym.astype(jnp.uint8)
+
+    (_, x, _), syms = lax.scan(
+        body, (lane_state0, states, jnp.int32(0)), (valid, aux))
+    return syms, x
 
 
 # ---------------------------------------------------------------------------
@@ -217,67 +424,210 @@ def _decode(model: CtxModel, n_halve: int, counts0, lane_state0,
 _HDR = struct.Struct("<IIII")  # T, L, n_words, n_symbols
 
 
+def _counts_grid(counts_per_read: np.ndarray, L: int) -> np.ndarray:
+    """(R,) read lengths -> (ceil(R/L), L) round-robin slot grid (read r at
+    slot (r // L, r % L)) — the only per-layout host->device upload."""
+    R = len(counts_per_read)
+    J = max(1, (R + L - 1) // L)
+    pad = np.zeros(J * L, np.int32)
+    pad[:R] = counts_per_read
+    return pad.reshape(J, L)
+
+
+def _make_grids(model, params, flat_syms, counts_per_read, extra_aux,
+                n_lanes):
+    """Common grid setup.  Without extra_aux the valid/pos/start grids are
+    computed on device from the tiny counts grid; with extra_aux (caller-
+    supplied per-symbol contexts) the host grid path is used."""
+    counts_per_read = np.asarray(counts_per_read, np.int64)
+    nsym = int(counts_per_read.sum())
+    L = n_lanes or params.n_lanes(nsym)
+    layout = make_layout(counts_per_read, L)
+    if extra_aux:
+        valid, aux = aux_grids(layout, with_pos=True)
+        for k, v in extra_aux.items():
+            aux[k] = to_grid(layout, np.asarray(v))
+        valid_dev = jnp.asarray(valid)
+        aux_dev = _dev_aux(aux)
+    else:
+        cg = jnp.asarray(_counts_grid(counts_per_read, L))
+        valid_dev, aux_dev = _device_aux(layout.T, cg)
+    return layout, nsym, L, valid_dev, aux_dev
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "n_halve", "T", "pmode"))
+def _encode_fused_adapt(model: CtxModel, n_halve: int, T: int,
+                        pmode: int, c0, syms_in, counts_grid):
+    """Single-dispatch encode: aux grids + context build + adaptive model
+    walk + rANS + compaction, all fused under one jit."""
+    valid, aux = _device_aux(T, counts_grid)
+    syms = _unpack_dev(syms_in, pmode)
+    ctx = model.context_grids(syms, aux)
+    start, freq, counts_out = _pass1(model, n_halve, c0, ctx, syms, valid)
+    words, emits, x_final = _pass2(start, freq, valid)
+    wp, nw = _compact_words(words, emits)
+    return wp, nw, x_final, counts_out
+
+
+@functools.partial(jax.jit, static_argnames=("model", "T", "pmode"))
+def _encode_fused_frozen(model: CtxModel, T: int, pmode: int,
+                         counts0, syms_in, counts_grid):
+    valid, aux = _device_aux(T, counts_grid)
+    syms = _unpack_dev(syms_in, pmode)
+    ctx = model.context_grids(syms, aux)
+    start, freq = _pass1_frozen(model.alphabet, counts0, ctx, syms)
+    start = jnp.where(valid, start, 0)
+    freq = jnp.where(valid, freq, 1)
+    words, emits, x_final = _pass2(start, freq, valid)
+    wp, nw = _compact_words(words, emits)
+    return wp, nw, x_final
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "n_halve", "T", "pmode"))
+def _decode_fused_adapt(model: CtxModel, n_halve: int, T: int,
+                        pmode: int, c0, lane0, states, words,
+                        counts_grid):
+    valid, aux = _device_aux(T, counts_grid)
+    syms, counts_out, x = _decode(model, n_halve, c0, lane0, states, words,
+                                  valid, aux)
+    return _pack_dev(syms, pmode), counts_out
+
+
+@functools.partial(jax.jit, static_argnames=("model", "T", "pmode"))
+def _decode_fused_frozen(model: CtxModel, T: int, pmode: int,
+                         counts0, lane0, states, words, counts_grid):
+    valid, aux = _device_aux(T, counts_grid)
+    syms, x = _decode_frozen(model, counts0, lane0, states, words, valid,
+                             aux)
+    return _pack_dev(syms, pmode)
+
+
+class EncodeJob:
+    """Dispatched-but-unfinalized device encode: all device work is queued
+    asynchronously; :meth:`finalize` syncs and serializes.  Callers dispatch
+    several streams (and do host-side coding in between) before paying the
+    tunnel round-trip once per stream."""
+
+    def __init__(self, T: int, L: int, nsym: int, wpacked, n_words_dev,
+                 x_final, counts_out):
+        self._T, self._L, self._nsym = T, L, nsym
+        self._wpacked = wpacked
+        self._n_words = n_words_dev
+        self._x_final = x_final
+        self.counts_out = counts_out
+
+    def finalize(self) -> bytes:
+        n_words = int(self._n_words)
+        stream_words = np.asarray(self._wpacked[:n_words])
+        return (_HDR.pack(self._T, self._L, n_words, self._nsym)
+                + np.asarray(self._x_final).astype("<u4").tobytes()
+                + stream_words.astype("<u2").tobytes())
+
+
+def encode_stream_job(model: CtxModel, params: CodecParams,
+                      flat_syms: np.ndarray, counts_per_read: np.ndarray,
+                      extra_aux: Optional[Dict[str, np.ndarray]] = None,
+                      counts0: Optional[jnp.ndarray] = None,
+                      n_lanes: Optional[int] = None,
+                      adapt: bool = True) -> EncodeJob:
+    """Dispatch one stream's encode to the device; returns an EncodeJob."""
+    counts_per_read = np.asarray(counts_per_read, np.int64)
+    nsym = int(counts_per_read.sum())
+    L = n_lanes or params.n_lanes(nsym)
+
+    if not extra_aux:
+        # fused single-dispatch path: aux grids computed on device
+        layout = make_layout(counts_per_read, L)
+        syms = to_grid(layout, np.asarray(flat_syms, np.uint8))
+        pmode = _pack_mode(model, L)
+        syms = _pack_host(syms, pmode)
+        cg = jnp.asarray(_counts_grid(counts_per_read, L))
+        syms_dev = jnp.asarray(syms)
+        if adapt:
+            c0 = counts0 if counts0 is not None else init_counts(model)
+            wp, nw, xf, counts_out = _encode_fused_adapt(
+                model, _n_halve(model, L), layout.T, pmode, c0, syms_dev,
+                cg)
+        else:
+            assert counts0 is not None, "frozen encode needs counts0"
+            wp, nw, xf = _encode_fused_frozen(
+                model, layout.T, pmode, counts0, syms_dev, cg)
+            counts_out = counts0
+        return EncodeJob(layout.T, L, nsym, wp, nw, xf, counts_out)
+
+    layout, nsym, L, valid_dev, aux_dev = _make_grids(
+        model, params, flat_syms, counts_per_read, extra_aux, n_lanes)
+    syms_dev = jnp.asarray(to_grid(layout, np.asarray(flat_syms, np.uint8)))
+    ctx_grid = _ctx_grids(model, syms_dev, aux_dev)
+
+    if adapt:
+        c0 = counts0 if counts0 is not None else init_counts(model)
+        nh = _n_halve(model, L)
+        start, freq, counts_out = _pass1(
+            model, nh, c0, ctx_grid, syms_dev, valid_dev)
+    else:
+        assert counts0 is not None, "frozen encode needs counts0"
+        start, freq = _pass1_frozen(model.alphabet, counts0, ctx_grid,
+                                    syms_dev)
+        start = jnp.where(valid_dev, start, 0)
+        freq = jnp.where(valid_dev, freq, 1)
+        counts_out = counts0
+    words, emits, x_final = _pass2(start, freq, valid_dev)
+    wpacked, n_words_dev = _compact_words(words, emits)
+    return EncodeJob(layout.T, L, nsym, wpacked, n_words_dev, x_final,
+                     counts_out)
+
+
 def encode_stream(model: CtxModel, params: CodecParams,
                   flat_syms: np.ndarray, counts_per_read: np.ndarray,
                   extra_aux: Optional[Dict[str, np.ndarray]] = None,
                   counts0: Optional[jnp.ndarray] = None,
                   n_lanes: Optional[int] = None,
-                  return_counts: bool = False):
+                  return_counts: bool = False,
+                  adapt: bool = True):
     """Encode one logical stream (read-major flat symbols + per-read counts).
 
     Returns the serialized payload:
         header(T, L, n_words, n_symbols) | L x u32 final states | words u16[]
+
+    adapt=False requires counts0 (a frozen table) and codes every symbol
+    against it without updates — the usemodel fast path.
     """
-    counts_per_read = np.asarray(counts_per_read, np.int64)
-    nsym = int(counts_per_read.sum())
-    L = n_lanes or params.n_lanes(nsym)
-    layout = make_layout(counts_per_read, L)
-    valid, aux = aux_grids(layout, with_pos=True)
-    if extra_aux:
-        for k, v in extra_aux.items():
-            aux[k] = to_grid(layout, np.asarray(v))
-    syms = to_grid(layout, np.asarray(flat_syms, np.uint8))
-
-    c0 = counts0 if counts0 is not None else init_counts(model)
-    nh = _n_halve(model, L)
-    syms_dev = jnp.asarray(syms)
-    valid_dev = jnp.asarray(valid)
-    ctx_grid = _ctx_grids(model, syms_dev, _dev_aux(aux))
-    start, freq, counts_out = _pass1(
-        model, nh, c0, ctx_grid, syms_dev, valid_dev)
-    words, emits, x_final = _pass2(start, freq, valid_dev)
-
-    words_np = np.asarray(words)
-    emits_np = np.asarray(emits)
-    stream_words = words_np[emits_np]           # (wave, lane) C-order ✓
-    payload = (_HDR.pack(layout.T, L, len(stream_words), nsym)
-               + np.asarray(x_final).astype("<u4").tobytes()
-               + stream_words.astype("<u2").tobytes())
+    job = encode_stream_job(model, params, flat_syms, counts_per_read,
+                            extra_aux, counts0, n_lanes, adapt)
+    payload = job.finalize()
     if return_counts:
-        return payload, counts_out
+        return payload, job.counts_out
     return payload
 
 
-def decode_stream(model: CtxModel, params: CodecParams,
-                  payload: bytes, counts_per_read: np.ndarray,
-                  extra_aux: Optional[Dict[str, np.ndarray]] = None,
-                  counts0: Optional[jnp.ndarray] = None,
-                  return_counts: bool = False):
-    """Inverse of :func:`encode_stream` -> read-major flat symbols."""
+class DecodeJob:
+    def __init__(self, layout, syms_dev, counts_out, pmode: int = 0):
+        self._layout = layout
+        self._syms = syms_dev
+        self._pmode = pmode
+        self.counts_out = counts_out
+
+    def finalize(self) -> np.ndarray:
+        grid = _unpack_host(np.asarray(self._syms), self._pmode)
+        return from_grid(self._layout, grid)
+
+
+def decode_stream_job(model: CtxModel, params: CodecParams,
+                      payload: bytes, counts_per_read: np.ndarray,
+                      extra_aux: Optional[Dict[str, np.ndarray]] = None,
+                      counts0: Optional[jnp.ndarray] = None,
+                      adapt: bool = True) -> DecodeJob:
+    """Dispatch one stream's decode to the device; returns a DecodeJob."""
     T, L, n_words, nsym = _HDR.unpack_from(payload, 0)
     off = _HDR.size
     states = np.frombuffer(payload, "<u4", L, off).copy()
     off += 4 * L
     words = np.frombuffer(payload, "<u2", n_words, off).copy()
-
     counts_per_read = np.asarray(counts_per_read, np.int64)
     assert int(counts_per_read.sum()) == nsym, "length stream mismatch"
-    layout = make_layout(counts_per_read, L)
-    assert layout.T == T, f"layout mismatch T={layout.T} vs {T}"
-    valid, aux = aux_grids(layout, with_pos=True)
-    if extra_aux:
-        for k, v in extra_aux.items():
-            aux[k] = to_grid(layout, np.asarray(v))
 
     # pad the word stream to a power-of-two bucket so the jitted decode is
     # compiled once per bucket, not once per stream length
@@ -286,20 +636,69 @@ def decode_stream(model: CtxModel, params: CodecParams,
         bucket <<= 1
     words_pad = np.zeros(bucket, np.uint16)
     words_pad[:n_words] = words
-    c0 = counts0 if counts0 is not None else init_counts(model)
-    nh = _n_halve(model, L)
-    syms, counts_out, x_end = _decode(
-        model, nh, c0, model.lane_init(L),
-        jnp.asarray(states, jnp.uint32), jnp.asarray(words_pad),
-        jnp.asarray(valid), _dev_aux(aux))
-    flat = from_grid(layout, np.asarray(syms))
+    states_dev = jnp.asarray(states, jnp.uint32)
+    words_dev = jnp.asarray(words_pad)
+
+    if not extra_aux:
+        layout = make_layout(counts_per_read, L)
+        assert layout.T == T, f"layout mismatch T={layout.T} vs {T}"
+        pmode = _pack_mode(model, L)
+        cg = jnp.asarray(_counts_grid(counts_per_read, L))
+        if adapt:
+            c0 = counts0 if counts0 is not None else init_counts(model)
+            syms, counts_out = _decode_fused_adapt(
+                model, _n_halve(model, L), T, pmode, c0,
+                model.lane_init(L), states_dev, words_dev, cg)
+        else:
+            assert counts0 is not None, "frozen decode needs counts0"
+            syms = _decode_fused_frozen(
+                model, T, pmode, counts0, model.lane_init(L), states_dev,
+                words_dev, cg)
+            counts_out = counts0
+        return DecodeJob(layout, syms, counts_out, pmode=pmode)
+
+    layout, nsym2, L2, valid_dev, aux_dev = _make_grids(
+        model, params, None, counts_per_read, extra_aux, L)
+    assert layout.T == T, f"layout mismatch T={layout.T} vs {T}"
+    if adapt:
+        c0 = counts0 if counts0 is not None else init_counts(model)
+        nh = _n_halve(model, L)
+        syms, counts_out, x_end = _decode(
+            model, nh, c0, model.lane_init(L), states_dev, words_dev,
+            valid_dev, aux_dev)
+    else:
+        assert counts0 is not None, "frozen decode needs counts0"
+        syms, x_end = _decode_frozen(
+            model, counts0, model.lane_init(L), states_dev, words_dev,
+            valid_dev, aux_dev)
+        counts_out = counts0
+    return DecodeJob(layout, syms, counts_out)
+
+
+def decode_stream(model: CtxModel, params: CodecParams,
+                  payload: bytes, counts_per_read: np.ndarray,
+                  extra_aux: Optional[Dict[str, np.ndarray]] = None,
+                  counts0: Optional[jnp.ndarray] = None,
+                  return_counts: bool = False,
+                  adapt: bool = True):
+    """Inverse of :func:`encode_stream` -> read-major flat symbols."""
+    job = decode_stream_job(model, params, payload, counts_per_read,
+                            extra_aux, counts0, adapt)
+    flat = job.finalize()
     if return_counts:
-        return flat, counts_out
+        return flat, job.counts_out
     return flat
 
 
 def _dev_aux(aux: Dict[str, np.ndarray]):
     return {k: jnp.asarray(v) for k, v in aux.items()}
+
+
+@functools.partial(jax.jit, static_argnames=("model", "T", "pmode"))
+def _train_fused(model: CtxModel, T: int, pmode: int, syms_in, counts_grid):
+    valid, aux = _device_aux(T, counts_grid)
+    syms = _unpack_dev(syms_in, pmode)
+    return _train_counts(model, syms, valid, aux)
 
 
 def train_counts(model: CtxModel, params: CodecParams,
@@ -309,13 +708,16 @@ def train_counts(model: CtxModel, params: CodecParams,
     """Host-facing frozen-model trainer: histogram a training prefix into a
     capped counts table usable as ``counts0`` by encode/decode."""
     counts_per_read = np.asarray(counts_per_read, np.int64)
-    nsym = int(counts_per_read.sum())
-    L = n_lanes or params.n_lanes(nsym)
-    layout = make_layout(counts_per_read, L)
-    valid, aux = aux_grids(layout, with_pos=True)
-    if extra_aux:
-        for k, v in extra_aux.items():
-            aux[k] = to_grid(layout, np.asarray(v))
+    if not extra_aux:
+        nsym = int(counts_per_read.sum())
+        L = n_lanes or params.n_lanes(nsym)
+        layout = make_layout(counts_per_read, L)
+        pmode = _pack_mode(model, L)
+        syms = _pack_host(to_grid(layout, np.asarray(flat_syms, np.uint8)),
+                          pmode)
+        cg = jnp.asarray(_counts_grid(counts_per_read, L))
+        return _train_fused(model, layout.T, pmode, jnp.asarray(syms), cg)
+    layout, _, L, valid_dev, aux_dev = _make_grids(
+        model, params, flat_syms, counts_per_read, extra_aux, n_lanes)
     syms = to_grid(layout, np.asarray(flat_syms, np.uint8))
-    return _train_counts(model, jnp.asarray(syms), jnp.asarray(valid),
-                         _dev_aux(aux))
+    return _train_counts(model, jnp.asarray(syms), valid_dev, aux_dev)

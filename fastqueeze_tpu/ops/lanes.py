@@ -29,6 +29,7 @@ class LaneLayout:
     lane_len: np.ndarray        # (L,) symbols per lane
     read_start_t: np.ndarray    # (R,) wave index of each read's first symbol
     read_lane: np.ndarray       # (R,) lane of each read
+    const_len: int = 0          # > 0: every read has this length (fast path)
 
     @property
     def n_symbols(self) -> int:
@@ -51,9 +52,22 @@ def _bucket_T(n: int, t_pad: int) -> int:
 
 
 def make_layout(counts: np.ndarray, L: int, t_pad: int = 128) -> LaneLayout:
-    """Build the grid coordinate map for per-read symbol counts."""
+    """Build the grid coordinate map for per-read symbol counts.
+
+    Constant-length reads (the dominant case) take a coordinate-free fast
+    path: the grid is a pure reshape/transpose of the flat symbol array, so
+    no (N,)-sized index arrays are ever materialized."""
     counts = np.asarray(counts, dtype=np.int64)
     R = len(counts)
+    if R and counts.min() == counts.max() and counts[0] > 0:
+        C = int(counts[0])
+        J = (R + L - 1) // L
+        T = _bucket_T(J * C, t_pad)
+        lane_cnt = np.full(L, R // L, np.int64)
+        lane_cnt[:R - (R // L) * L] += 1
+        return LaneLayout(L=L, T=T, counts=counts, sym_t=None,
+                          sym_lane=None, lane_len=lane_cnt * C,
+                          read_start_t=None, read_lane=None, const_len=C)
     read_lane = (np.arange(R, dtype=np.int64) % L) if R else np.zeros(0, np.int64)
 
     # Start offset of each read within its lane: segmented exclusive cumsum
@@ -97,19 +111,44 @@ def to_grid(layout: LaneLayout, flat: np.ndarray,
     """Scatter read-major flat symbols into the (T, L) grid."""
     dtype = dtype or flat.dtype
     grid = np.full((layout.T, layout.L), fill, dtype=dtype)
+    if layout.const_len:
+        C, L, R = layout.const_len, layout.L, len(layout.counts)
+        J = (R + L - 1) // L
+        pad = np.zeros(J * L * C, dtype=flat.dtype)
+        pad[:R * C] = flat
+        # read r = j*L + l occupies rows j*C..(j+1)*C-1 of lane l
+        grid[:J * C] = pad.reshape(J, L, C).transpose(0, 2, 1).reshape(
+            J * C, L)
+        return grid
     grid[layout.sym_t, layout.sym_lane] = flat
     return grid
 
 
 def from_grid(layout: LaneLayout, grid: np.ndarray) -> np.ndarray:
     """Gather the (T, L) grid back to read-major flat symbols."""
-    return np.asarray(grid)[layout.sym_t, layout.sym_lane]
+    grid = np.asarray(grid)
+    if layout.const_len:
+        C, L, R = layout.const_len, layout.L, len(layout.counts)
+        J = (R + L - 1) // L
+        flat = grid[:J * C].reshape(J, C, L).transpose(0, 2, 1).reshape(-1)
+        return flat[:R * C]
+    return grid[layout.sym_t, layout.sym_lane]
 
 
 def aux_grids(layout: LaneLayout, with_pos: bool = False) -> Dict[str, np.ndarray]:
     """valid / read-start / (optional) position grids for the engine."""
     t_idx = np.arange(layout.T, dtype=np.int64)[:, None]
     valid = t_idx < layout.lane_len[None, :]
+    if layout.const_len:
+        C = layout.const_len
+        start = (t_idx % C == 0) & valid
+        aux = {"start": start}
+        if with_pos:
+            pos = np.broadcast_to((t_idx % C).astype(np.uint16),
+                                  (layout.T, layout.L)).copy()
+            pos[~valid] = 0
+            aux["pos"] = pos
+        return valid, aux
     start = np.zeros((layout.T, layout.L), dtype=bool)
     nz = layout.counts > 0
     start[layout.read_start_t[nz], layout.read_lane[nz]] = True

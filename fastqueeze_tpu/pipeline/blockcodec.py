@@ -25,7 +25,9 @@ from fastqueeze_tpu.models.base import (
     CtxModel, FlatModel, Order1ByteModel, QualModel, byte_model,
     qual_model_from_params, seq_model_from_params)
 from fastqueeze_tpu.io.fastq import FastqBlock
-from fastqueeze_tpu.ops.engine import decode_stream, encode_stream
+from fastqueeze_tpu.ops import host_rans
+from fastqueeze_tpu.ops.engine import (
+    decode_stream, decode_stream_job, encode_stream, encode_stream_job)
 from fastqueeze_tpu.pipeline.idproc import (
     IdBinSchema, analyze_ids, reconstruct_ids)
 
@@ -66,23 +68,43 @@ def _chunk_counts(n: int, chunk: int = _VAR_CHUNK) -> np.ndarray:
 
 
 def _code_bytes(p: CodecParams, raw: bytes, order1: bool = True) -> bytes:
-    """Entropy-code a small host byte string (chunked into pseudo-reads).
-    Falls back to storing raw when coding does not help (marker byte)."""
+    """Entropy-code a host byte string.  Marker dispatch: 0 = stored raw,
+    1 = device wave-rANS, 2 = host serial range coder.  Small streams go to
+    the host coder — each device stream costs a ~36 ms tunnel round-trip."""
     if not raw:
         return b"\x00"
-    model = byte_model(p, order1=order1)
-    counts = _chunk_counts(len(raw))
     flat = np.frombuffer(raw, np.uint8)
-    payload = encode_stream(model, p, flat, counts)
-    if len(payload) + 1 >= len(raw) + 5:
+    if len(flat) <= p.host_stream_max:
+        if order1:
+            blob = host_rans.encode_o1(flat, 256, p.byte_init, p.byte_inc,
+                                       p.byte_cap)
+        else:
+            blob = host_rans.encode_ctx(flat, None, 1, 256, p.byte_init,
+                                        p.byte_inc, p.byte_cap)
+        payload = b"\x02" + len(raw).to_bytes(4, "little") + blob
+    else:
+        model = byte_model(p, order1=order1)
+        counts = _chunk_counts(len(raw))
+        payload = (b"\x01" + len(raw).to_bytes(4, "little")
+                   + encode_stream(model, p, flat, counts))
+    if len(payload) >= len(raw) + 1:
         return b"\x00" + raw
-    return b"\x01" + len(raw).to_bytes(4, "little") + payload
+    return payload
 
 
 def _decode_bytes(p: CodecParams, blob: bytes, order1: bool = True) -> bytes:
-    if blob[:1] == b"\x00":
+    marker = blob[:1]
+    if marker == b"\x00":
         return blob[1:]
     n = int.from_bytes(blob[1:5], "little")
+    if marker == b"\x02":
+        if order1:
+            flat = host_rans.decode_o1(blob[5:], n, 256, p.byte_init,
+                                       p.byte_inc, p.byte_cap)
+        else:
+            flat = host_rans.decode_ctx(blob[5:], n, None, 1, 256,
+                                        p.byte_init, p.byte_inc, p.byte_cap)
+        return flat.tobytes()
     model = byte_model(p, order1=order1)
     counts = _chunk_counts(n)
     flat = decode_stream(model, p, blob[5:], counts)
@@ -105,18 +127,26 @@ def _qual_alphabet(qmax: int) -> int:
 
 
 def _code_flags(p: CodecParams, bits: np.ndarray) -> bytes:
-    """Entropy-code a boolean vector through an adaptive binary model."""
+    """Entropy-code a boolean vector through an adaptive binary model
+    (marker 1 = device, 2 = host order-1)."""
+    b8 = bits.astype(np.uint8)
+    if len(bits) <= p.host_stream_max:
+        return b"\x02" + host_rans.encode_o1(b8, 2, p.byte_init, p.byte_inc,
+                                             p.byte_cap)
     model = CtxModel(alphabet=2, init=p.byte_init, inc=p.byte_inc,
                      cap=p.byte_cap)
     counts = _chunk_counts(len(bits))
-    return encode_stream(model, p, bits.astype(np.uint8), counts)
+    return b"\x01" + encode_stream(model, p, b8, counts)
 
 
 def _decode_flags(p: CodecParams, blob: bytes, n: int) -> np.ndarray:
+    if blob[:1] == b"\x02":
+        return host_rans.decode_o1(blob[1:], n, 2, p.byte_init, p.byte_inc,
+                                   p.byte_cap).astype(bool)
     model = CtxModel(alphabet=2, init=p.byte_init, inc=p.byte_inc,
                      cap=p.byte_cap)
     counts = _chunk_counts(n)
-    return decode_stream(model, p, blob, counts).astype(bool)
+    return decode_stream(model, p, blob[1:], counts).astype(bool)
 
 
 def _le_byte_stream(values: np.ndarray, nbytes: int):
@@ -137,19 +167,54 @@ def _from_le_bytes(syms: np.ndarray, n: int, nbytes: int) -> np.ndarray:
     return vals
 
 
+def _code_syms_ctx(p: CodecParams, syms: np.ndarray, ctx: np.ndarray,
+                   n_ctx: int, alphabet: int) -> bytes:
+    """Generic precomputed-context symbol stream (marker 1/2 dispatch)."""
+    if len(syms) <= p.host_stream_max:
+        return b"\x02" + host_rans.encode_ctx(
+            syms, ctx.astype(np.uint32), n_ctx, alphabet, p.byte_init,
+            p.byte_inc, p.byte_cap)
+    model = FlatModel(alphabet=alphabet, init=p.byte_init, inc=p.byte_inc,
+                      cap=p.byte_cap, n_ctx=n_ctx)
+    return b"\x01" + encode_stream(model, p, syms, _chunk_counts(len(syms)),
+                                   extra_aux={"ctx": ctx})
+
+
+def _decode_syms_ctx(p: CodecParams, blob: bytes, n: int, ctx: np.ndarray,
+                     n_ctx: int, alphabet: int) -> np.ndarray:
+    if blob[:1] == b"\x02":
+        return host_rans.decode_ctx(blob[1:], n, ctx.astype(np.uint32),
+                                    n_ctx, alphabet, p.byte_init,
+                                    p.byte_inc, p.byte_cap)
+    model = FlatModel(alphabet=alphabet, init=p.byte_init, inc=p.byte_inc,
+                      cap=p.byte_cap, n_ctx=n_ctx)
+    return decode_stream(model, p, blob[1:], _chunk_counts(n),
+                         extra_aux={"ctx": ctx})
+
+
 def _code_le(p: CodecParams, values: np.ndarray, nbytes: int) -> bytes:
     syms, counts, ctx = _le_byte_stream(values.astype(np.int64), nbytes)
+    if len(syms) <= p.host_stream_max:
+        return b"\x02" + host_rans.encode_ctx(
+            syms, ctx.astype(np.uint32), nbytes, 256, p.byte_init,
+            p.byte_inc, p.byte_cap)
     model = FlatModel(alphabet=256, init=p.byte_init, inc=p.byte_inc,
                       cap=p.byte_cap, n_ctx=nbytes)
-    return encode_stream(model, p, syms, counts, extra_aux={"ctx": ctx})
+    return b"\x01" + encode_stream(model, p, syms, counts,
+                                   extra_aux={"ctx": ctx})
 
 
 def _decode_le(p: CodecParams, blob: bytes, n: int, nbytes: int) -> np.ndarray:
+    ctx = np.tile(np.arange(nbytes, dtype=np.uint8), n)
+    if blob[:1] == b"\x02":
+        syms = host_rans.decode_ctx(blob[1:], n * nbytes,
+                                    ctx.astype(np.uint32), nbytes, 256,
+                                    p.byte_init, p.byte_inc, p.byte_cap)
+        return _from_le_bytes(syms, n, nbytes)
     model = FlatModel(alphabet=256, init=p.byte_init, inc=p.byte_inc,
                       cap=p.byte_cap, n_ctx=nbytes)
     counts = np.full(n, nbytes, np.int64)
-    ctx = np.tile(np.arange(nbytes, dtype=np.uint8), n)
-    syms = decode_stream(model, p, blob, counts, extra_aux={"ctx": ctx})
+    syms = decode_stream(model, p, blob[1:], counts, extra_aux={"ctx": ctx})
     return _from_le_bytes(syms, n, nbytes)
 
 
@@ -158,6 +223,17 @@ def encode_block(p: CodecParams, block: FastqBlock,
                  align=None, ref_codes: Optional[np.ndarray] = None) -> bytes:
     """align: AlignResult over this block's reads (or None for entropy-only);
     ref_codes: the reference 2-bit code array (required with align)."""
+    return encode_block_job(p, block, frozen, align, ref_codes)()
+
+
+def encode_block_job(p: CodecParams, block: FastqBlock,
+                     frozen: Optional[Dict] = None,
+                     align=None, ref_codes: Optional[np.ndarray] = None):
+    """Dispatch phase of encode_block: device streams are queued and host
+    streams coded; the returned thunk syncs the device and assembles the
+    block TLV.  Drivers keep the next block's host work running while the
+    device crunches this one (reference analogue: ReadBufPool pipelining,
+    SURVEY.md C5/C6)."""
     R = block.n_reads
     lengths = block.lengths
     out = io.BytesIO()
@@ -195,16 +271,34 @@ def encode_block(p: CodecParams, block: FastqBlock,
         "nm": n_mapped,
     }
 
+    # --- dispatch the big device streams first (seq + qual); host streams
+    #     are coded while the device crunches, then the jobs are finalized
+    adapt = frozen is None or bool(p.frozen_adapt)
+    mapped_sym = np.repeat(mapped, lengths)
+    seq_counts = (lengths - dege_cnt)[~mapped]
+    seq_model = seq_model_from_params(p)
+    seq_job = encode_stream_job(
+        seq_model, p, codes[~dege_mask & ~mapped_sym], seq_counts,
+        counts0=frozen["seq_counts"] if frozen else None, adapt=adapt)
+
+    qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
+                       inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
+                       drop_init=p.q_drop_init)
+    qc0 = None
+    if frozen is not None:
+        from fastqueeze_tpu.pipeline.frozen import fit_qual_alphabet
+        qc0 = fit_qual_alphabet(frozen["qual_counts"], qmodel.alphabet,
+                                p.qual_init)
+    qual_job = encode_stream_job(
+        qmodel, p, qflat.astype(np.uint8), lengths, counts0=qc0,
+        adapt=adapt)
+
     # --- lengths ---
     len_payload = None
     if const_len is None and R:
         if lengths.max() > 0xFFFF:
             raise ValueError("read length > 65535 unsupported")
-        syms, counts, ctx = _two_byte_stream(lengths)
-        model = FlatModel(alphabet=256, init=p.byte_init, inc=p.byte_inc,
-                          cap=p.byte_cap, n_ctx=2)
-        len_payload = encode_stream(model, p, syms, counts,
-                                    extra_aux={"ctx": ctx})
+        len_payload = _code_le(p, lengths, 2)
 
     # --- IDs (host binning; var fields coded on-device) ---
     schema, var_payload = analyze_ids(block.ids)
@@ -235,11 +329,7 @@ def encode_block(p: CodecParams, block: FastqBlock,
         cnt_payload = _code_bytes(
             p, dege_cnt.astype(np.uint8).tobytes(), order1=False)
         dpos = pos_in_read[dege_mask]
-        syms, counts, ctx = _two_byte_stream(dpos)
-        model = FlatModel(alphabet=256, init=p.byte_init, inc=p.byte_inc,
-                          cap=p.byte_cap, n_ctx=2)
-        pos_payload = encode_stream(model, p, syms, counts,
-                                    extra_aux={"ctx": ctx})
+        pos_payload = _code_le(p, dpos, 2)
         chr_payload = _code_bytes(
             p, block.seq_flat[dege_mask].tobytes(), order1=False)
         dege_sections = [(TAG_DEGCNT, cnt_payload), (TAG_DEGPOS, pos_payload),
@@ -255,36 +345,21 @@ def encode_block(p: CodecParams, block: FastqBlock,
     if align is not None:
         align_sections.insert(0, (TAG_AMAP, _code_flags(p, mapped)))
 
-    # --- sequence: unmapped reads' ACGT through the context model ---
-    mapped_sym = np.repeat(mapped, lengths)
-    seq_counts = (lengths - dege_cnt)[~mapped]
-    seq_model = seq_model_from_params(p)
-    seq_payload = encode_stream(
-        seq_model, p, codes[~dege_mask & ~mapped_sym], seq_counts,
-        counts0=frozen["seq_counts"] if frozen else None)
+    def finalize() -> bytes:
+        # --- collect the device streams, assemble TLV ---
+        seq_payload = seq_job.finalize()
+        qual_payload = qual_job.finalize()
+        out.write(write_tlv(TAG_META, json.dumps(meta).encode()))
+        if len_payload is not None:
+            out.write(write_tlv(TAG_LEN, len_payload))
+        for tag, payload in (dege_sections + id_sections + plus_sections
+                             + align_sections):
+            out.write(write_tlv(tag, payload))
+        out.write(write_tlv(TAG_SEQ, seq_payload))
+        out.write(write_tlv(TAG_QUAL, qual_payload))
+        return out.getvalue()
 
-    # --- quality ---
-    qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
-                       inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
-                       drop_init=p.q_drop_init)
-    qc0 = None
-    if frozen is not None:
-        from fastqueeze_tpu.pipeline.frozen import fit_qual_alphabet
-        qc0 = fit_qual_alphabet(frozen["qual_counts"], qmodel.alphabet,
-                                p.qual_init)
-    qual_payload = encode_stream(
-        qmodel, p, qflat.astype(np.uint8), lengths, counts0=qc0)
-
-    # --- assemble TLV ---
-    out.write(write_tlv(TAG_META, json.dumps(meta).encode()))
-    if len_payload is not None:
-        out.write(write_tlv(TAG_LEN, len_payload))
-    for tag, payload in (dege_sections + id_sections + plus_sections
-                         + align_sections):
-        out.write(write_tlv(tag, payload))
-    out.write(write_tlv(TAG_SEQ, seq_payload))
-    out.write(write_tlv(TAG_QUAL, qual_payload))
-    return out.getvalue()
+    return finalize
 
 
 def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
@@ -332,12 +407,8 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
     ]
     if len(rows):
         sections.append((TAG_AMISP, _code_le(p, deltas, mposb)))
-        chr_model = FlatModel(alphabet=4, init=p.byte_init, inc=p.byte_inc,
-                              cap=p.byte_cap, n_ctx=4)
-        chr_payload = encode_stream(
-            chr_model, p, sub_base, _chunk_counts(len(rows)),
-            extra_aux={"ctx": ref_base.astype(np.uint8)})
-        sections.append((TAG_AMISB, chr_payload))
+        sections.append((TAG_AMISB, _code_syms_ctx(
+            p, sub_base, ref_base.astype(np.uint8), 4, 4)))
     return sections
 
 
@@ -358,14 +429,7 @@ def decode_block(p: CodecParams, payload: bytes,
     if meta["clen"] is not None:
         lengths = np.full(R, meta["clen"], np.int64)
     elif R:
-        model = FlatModel(alphabet=256, init=p.byte_init, inc=p.byte_inc,
-                          cap=p.byte_cap, n_ctx=2)
-        counts = np.full(R, 2, np.int64)
-        ctx = np.tile(np.array([0, 1], np.uint8), R)
-        syms = decode_stream(model, p, sections[TAG_LEN], counts,
-                             extra_aux={"ctx": ctx})
-        lengths = (syms[0::2].astype(np.int64)
-                   | (syms[1::2].astype(np.int64) << 8))
+        lengths = _decode_le(p, sections[TAG_LEN], R, 2)
     else:
         lengths = np.zeros(0, np.int64)
 
@@ -374,28 +438,36 @@ def decode_block(p: CodecParams, payload: bytes,
     if n_dege:
         cnt_raw = _decode_bytes(p, sections[TAG_DEGCNT], order1=False)
         dege_cnt = np.frombuffer(cnt_raw, np.uint8).astype(np.int64)
-        model = FlatModel(alphabet=256, init=p.byte_init, inc=p.byte_inc,
-                          cap=p.byte_cap, n_ctx=2)
-        counts = np.full(n_dege, 2, np.int64)
-        ctx = np.tile(np.array([0, 1], np.uint8), n_dege)
-        syms = decode_stream(model, p, sections[TAG_DEGPOS], counts,
-                             extra_aux={"ctx": ctx})
-        dpos = (syms[0::2].astype(np.int64)
-                | (syms[1::2].astype(np.int64) << 8))
+        dpos = _decode_le(p, sections[TAG_DEGPOS], n_dege, 2)
         dchr = np.frombuffer(
             _decode_bytes(p, sections[TAG_DEGCHR], order1=False), np.uint8)
 
-    # --- map flags + alignment streams ---
+    # --- map flags ---
     mapped = np.zeros(R, bool)
     if TAG_AMAP in sections:
         mapped = _decode_flags(p, sections[TAG_AMAP], R)
 
-    # --- sequence (unmapped reads) ---
+    # --- dispatch device streams (seq + qual), then do host work ---
+    adapt = frozen is None or bool(p.frozen_adapt)
     mapped_sym = np.repeat(mapped, lengths)
     seq_counts = (lengths - dege_cnt)[~mapped]
     seq_model = seq_model_from_params(p)
-    acgt = decode_stream(seq_model, p, sections[TAG_SEQ], seq_counts,
-                         counts0=frozen["seq_counts"] if frozen else None)
+    seq_job = decode_stream_job(
+        seq_model, p, sections[TAG_SEQ], seq_counts,
+        counts0=frozen["seq_counts"] if frozen else None, adapt=adapt)
+
+    qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
+                       inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
+                       drop_init=p.q_drop_init)
+    qc0 = None
+    if frozen is not None:
+        from fastqueeze_tpu.pipeline.frozen import fit_qual_alphabet
+        qc0 = fit_qual_alphabet(frozen["qual_counts"], qmodel.alphabet,
+                                p.qual_init)
+    qual_job = decode_stream_job(qmodel, p, sections[TAG_QUAL], lengths,
+                                 counts0=qc0, adapt=adapt)
+
+    # --- sequence assembly (host) ---
     seq_flat = np.empty(int(lengths.sum()), np.uint8)
     read_off = np.cumsum(lengths) - lengths
     fill = np.zeros(len(seq_flat), bool)   # True where a byte is written
@@ -407,19 +479,11 @@ def decode_block(p: CodecParams, payload: bytes,
         _decode_align_streams(p, sections, meta, mapped, lengths, read_off,
                               ref_codes, seq_flat)
         fill |= mapped_sym
+    acgt = seq_job.finalize()
     seq_flat[~fill] = _BASE_INV[acgt]
 
     # --- quality ---
-    qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
-                       inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
-                       drop_init=p.q_drop_init)
-    qc0 = None
-    if frozen is not None:
-        from fastqueeze_tpu.pipeline.frozen import fit_qual_alphabet
-        qc0 = fit_qual_alphabet(frozen["qual_counts"], qmodel.alphabet,
-                                p.qual_init)
-    qsyms = decode_stream(qmodel, p, sections[TAG_QUAL], lengths,
-                          counts0=qc0)
+    qsyms = qual_job.finalize()
     qual_flat = (qsyms.astype(np.uint8) + 33)
 
     # --- IDs ---
@@ -488,11 +552,8 @@ def _decode_align_streams(p: CodecParams, sections: Dict, meta: Dict,
         seg_start[nz] = cs[first_of_read[nz] - 1]
         cols = cs - seg_start
         ref_base = win[win_off[rows] + cols].copy()
-        chr_model = FlatModel(alphabet=4, init=p.byte_init, inc=p.byte_inc,
-                              cap=p.byte_cap, n_ctx=4)
-        sub = decode_stream(chr_model, p, sections[TAG_AMISB],
-                            _chunk_counts(n_mis),
-                            extra_aux={"ctx": ref_base.astype(np.uint8)})
+        sub = _decode_syms_ctx(p, sections[TAG_AMISB], n_mis,
+                               ref_base.astype(np.uint8), 4, 4)
         win[win_off[rows] + cols] = sub
 
     # orient: reverse-complement where rev, then place into seq_flat

@@ -67,6 +67,15 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
         writer.set_model(blob)
     idx = 0
     total_raw = 0
+    pending = None          # (idx, finalize, BlockInfo) — device in flight
+    from fastqueeze_tpu.pipeline.blockcodec import encode_block_job
+
+    def flush(pend):
+        t0 = time.time()
+        payload = pend[1]()
+        dbg.add("encode_s", time.time() - t0)
+        writer.add_block(pend[0], payload, pend[2])
+
     for raw, final_nl in read_blocks(in_path, block_size):
         t0 = time.time()
         block = parse_block(raw, final_nl)
@@ -75,14 +84,18 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
         whole_md5.update(raw)
         dbg.add("parse_s", time.time() - t0)
         t0 = time.time()
-        payload = encode_block(params, block, frozen=frozen)
-        dbg.add("encode_s", time.time() - t0)
-        info = BlockInfo(payload_len=len(payload), n_reads=block.n_reads,
+        fin = encode_block_job(params, block, frozen=frozen)
+        dbg.add("dispatch_s", time.time() - t0)
+        info = BlockInfo(payload_len=0, n_reads=block.n_reads,
                          raw_len1=len(raw), md5=hashlib.md5(raw).digest())
-        writer.add_block(idx, payload, info)
+        if pending is not None:
+            flush(pending)
+        pending = (idx, fin, info)
         dbg.add("reads", block.n_reads)
         total_raw += len(raw)
         idx += 1
+    if pending is not None:
+        flush(pending)
     writer.input_md5s = [whole_md5.digest()]
     writer.finalize()
     out_size = os.path.getsize(out_path)
