@@ -29,8 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-d", "--decompress", action="store_true")
     ap.add_argument("pos", nargs="*", default=[],
                     help="[ref.fa] for -c; [ref.fa] archive for -d")
-    ap.add_argument("-1", dest="in1", help="input FASTQ (SE or PE1)")
+    ap.add_argument("-1", dest="in1", action="append",
+                    help="input FASTQ (SE or PE1); repeat with -m")
     ap.add_argument("-2", dest="in2", help="input FASTQ (PE2)")
+    ap.add_argument("-m", dest="multi", action="store_true",
+                    help="multi-file archive: pass several -1 inputs")
+    ap.add_argument("-L", "--list", dest="list_arc", metavar="ARCHIVE",
+                    help="list archive contents (files, blocks, params)")
     ap.add_argument("-o", dest="out", help="output archive / prefix")
     ap.add_argument("-f", dest="force", action="store_true",
                     help="force overwrite")
@@ -47,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                     "stdout: 1=SE/PE1 2=PE2 3=interleaved")
     ap.add_argument("-p", dest="indir", action="store_true",
                     help="write output next to input")
+    ap.add_argument("-D", dest="dump_config", action="store_true",
+                    help="write ./fastqueeze.config with current defaults")
     ap.add_argument("--block-mb", type=int, default=50)
     ap.add_argument("--slevel", type=int, default=3)
     ap.add_argument("--qlevel", type=int, default=2)
@@ -54,46 +61,94 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _list_archive(path: str) -> None:
+    """showFileList parity (reference C11): archive contents summary."""
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    with ArcReader(path) as r:
+        p = r.params
+        kind = ("PE" if p.is_pe else
+                ("multi" if getattr(p, "multi", 0) else "SE"))
+        print(f"{path}: {kind} archive, {len(r.blocks)} block(s), "
+              f"{len(r.file_list)} file(s)")
+        print(f"  params: slevel={p.slevel} qlevel={p.qlevel} "
+              f"block={p.block_size_mb}MB lossy={p.lossy_factor} "
+              f"aligned={p.aligned}"
+              + (f" ref_md5={p.ref_md5}" if p.aligned else ""))
+        if r.model_blob is not None:
+            print(f"  frozen model: {len(r.model_blob):,} B")
+        for i, name in enumerate(r.file_list):
+            raw = sum((b.raw_len2 if (p.is_pe and i == 1) else b.raw_len1)
+                      for b in r.blocks
+                      if p.is_pe or b.file_id == i or not getattr(p, "multi", 0))
+            print(f"  [{i}] {name}  {raw:,} B plaintext")
+        total_payload = sum(b.payload_len for b in r.blocks)
+        total_raw = sum(b.raw_len1 + b.raw_len2 for b in r.blocks)
+        print(f"  blocks: {total_raw:,} B -> {total_payload:,} B "
+              f"({total_raw / max(total_payload, 1):.2f}x)")
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     t_start = time.time()
     dbg = DebugInfo()
     try:
-        if args.index:
+        if args.dump_config:
+            path = CodecParams().dump_config_file()
+            info(f"wrote {path}")
+        elif args.index:
             from fastqueeze_tpu.align.index import build_index
             p = CodecParams()
+            p.apply_config_file()
             out = build_index(args.index, p)
             info(f"index written: {out}")
+        elif args.list_arc:
+            _list_archive(args.list_arc)
         elif args.compress:
             if not args.in1:
                 error("compress needs -1 <input.fq>")
                 return 2
-            out = args.out or (os.path.splitext(args.in1)[0])
+            in1 = args.in1[0]
+            out = args.out or (os.path.splitext(in1)[0])
             if not out.endswith(".fqz"):
                 out += ".fqz"
             if args.indir:
-                out = os.path.join(os.path.dirname(os.path.abspath(args.in1)),
+                out = os.path.join(os.path.dirname(os.path.abspath(in1)),
                                    os.path.basename(out))
             if os.path.exists(out) and not args.force:
                 error(f"{out} exists (use -f to overwrite)")
                 return 2
             ref = args.pos[0] if args.pos else None
-            p = CodecParams(block_size_mb=args.block_mb, slevel=args.slevel,
-                            qlevel=args.qlevel, lossy_factor=args.lossy,
-                            max_insr=args.max_insr,
-                            is_pe=1 if args.in2 else 0)
-            if args.in2:
+            p = CodecParams(is_pe=1 if args.in2 else 0)
+            p.apply_config_file()      # developer config (seqarc.config)
+            defaults = build_parser().parse_args(
+                ["-c"] + (["-1", in1] if args.in1 else []))
+            for attr, val, dflt in (
+                    ("block_size_mb", args.block_mb, defaults.block_mb),
+                    ("slevel", args.slevel, defaults.slevel),
+                    ("qlevel", args.qlevel, defaults.qlevel),
+                    ("lossy_factor", args.lossy, defaults.lossy),
+                    ("max_insr", args.max_insr, defaults.max_insr),
+                    ("threads", args.threads, defaults.threads)):
+                if val != dflt:        # explicit CLI flag beats config file
+                    setattr(p, attr, val)
+            if args.multi:
+                if args.in2 or ref:
+                    error("-m supports plain SE inputs (no -2 / reference)")
+                    return 2
+                from fastqueeze_tpu.pipeline.driver import compress_multi
+                stats = compress_multi(p, args.in1, out, dbg=dbg)
+            elif args.in2:
                 from fastqueeze_tpu.pipeline.pe import compress_pe
-                stats = compress_pe(p, args.in1, args.in2, out,
+                stats = compress_pe(p, in1, args.in2, out,
                                     ref=ref, dbg=dbg)
             else:
                 if ref:
                     from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
-                    stats = compress_se_aligned(p, ref, args.in1, out,
+                    stats = compress_se_aligned(p, ref, in1, out,
                                                 dbg=dbg)
                 else:
                     from fastqueeze_tpu.pipeline.driver import compress_se
-                    stats = compress_se(p, args.in1, out, dbg=dbg)
+                    stats = compress_se(p, in1, out, dbg=dbg)
             info(f"compressed {stats['raw']:,} -> {stats['compressed']:,} B "
                  f"(ratio {stats['ratio']:.2f}x) in {stats['blocks']} blocks")
         elif args.decompress:
@@ -107,7 +162,7 @@ def main(argv=None) -> int:
             from fastqueeze_tpu.pipeline.driver import decompress
             outs = decompress(arc, args.out, dbg=dbg, ref=ref,
                               pipeout=args.pipeout, force=args.force,
-                              indir=args.indir)
+                              indir=args.indir, threads=args.threads)
             if outs:
                 info("wrote: " + ", ".join(outs))
         else:

@@ -35,8 +35,9 @@ class CodecParams:
     TPU-engine parameters that have no reference equivalent.
     """
 
-    # --- block pipeline (reference: BlockSize(M):50) ---
+    # --- block pipeline (reference: BlockSize(M):50, -t threads) ---
     block_size_mb: int = 50
+    threads: int = 1               # host worker threads (blocks in flight)
 
     # --- sequence model (reference: Slevel:3 → order = Slevel+7) ---
     slevel: int = 3                 # context order = slevel + 7 (2 bits/base)
@@ -98,6 +99,9 @@ class CodecParams:
     # --- paired-end ---
     is_pe: int = 0
 
+    # --- multi-file archive (reference: -m, SURVEY.md §5) ---
+    multi: int = 0
+
     def seq_order(self) -> int:
         return self.slevel + 7
 
@@ -121,9 +125,54 @@ class CodecParams:
             nl <<= 1
         return max(self.lanes_min, min(self.lanes_max, nl))
 
+    # --- developer config file (reference: ./seqarc.config, SURVEY.md §5;
+    #     keys below mirror its spelling).  Unlike the reference, every
+    #     parameter also lands in the archive, so decoding never needs the
+    #     file (the reference crashes without it — fixed pitfall).
+    _CONFIG_KEYS = {
+        "BlockSize(M)": "block_size_mb",
+        "Slevel": "slevel",
+        "Qlevel": "qlevel",
+        "Seedlen": "seed_len",
+        "Maxmis": "max_mis",
+        "Bothstrands": "both_strands",
+        "Maxinsr": "max_insr",
+        "Threads": "threads",
+        "SeedMaxOcc": "seed_max_occ",
+        "SeedBigOcc": "seed_big_occ",
+        "SeedStride": "seed_stride",
+        "Usemodel": "use_model",
+        "ModelTrain(M)": "model_train_mb",
+        "HostStreamMax": "host_stream_max",
+    }
+
+    def apply_config_file(self, path: str = "./fastqueeze.config") -> bool:
+        import os
+        if not os.path.exists(path):
+            return False
+        with open(path) as fh:
+            for line in fh:
+                line = line.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue
+                key, val = line.split(":", 1)
+                attr = self._CONFIG_KEYS.get(key.strip())
+                if attr is not None:
+                    setattr(self, attr, int(val.strip()))
+        return True
+
+    def dump_config_file(self, path: str = "./fastqueeze.config") -> str:
+        with open(path, "w") as fh:
+            fh.write("# fastqueeze developer config "
+                     "(reference: seqarc.config)\n")
+            for key, attr in self._CONFIG_KEYS.items():
+                fh.write(f"{key}:{getattr(self, attr)}\n")
+        return path
+
     # --- serialization (into the container PARAM section) ---
     def to_bytes(self) -> bytes:
-        return json.dumps(dataclasses.asdict(self), sort_keys=True).encode()
+        d = dataclasses.asdict(self)
+        return json.dumps(d, sort_keys=True).encode()
 
     @classmethod
     def from_bytes(cls, raw: bytes) -> "CodecParams":

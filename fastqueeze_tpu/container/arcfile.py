@@ -49,18 +49,19 @@ class BlockInfo:
     raw_len2: int = 0       # ... to file 2 (PE only)
     flags: int = 0
     md5: bytes = b"\x00" * 16
+    file_id: int = 0        # multi-file archives (-m): which input file
 
-    _STRUCT = struct.Struct("<QQQQI16s")
+    _STRUCT = struct.Struct("<QQQQII16s")
 
     def pack(self) -> bytes:
         return self._STRUCT.pack(
             self.payload_len, self.n_reads, self.raw_len1, self.raw_len2,
-            self.flags, self.md5)
+            self.flags, self.file_id, self.md5)
 
     @classmethod
     def unpack(cls, raw: bytes, off: int) -> "BlockInfo":
-        p, n, r1, r2, f, m = cls._STRUCT.unpack_from(raw, off)
-        return cls(p, n, r1, r2, f, m)
+        p, n, r1, r2, f, fid, m = cls._STRUCT.unpack_from(raw, off)
+        return cls(p, n, r1, r2, f, m, fid)
 
     @classmethod
     def size(cls) -> int:

@@ -97,7 +97,7 @@ def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
         align, n_mapped = _maybe_align(p, aligner, block, dbg)
         t0 = time.time()
         payload = encode_block(p, block, frozen=frozen, align=align,
-                               ref_codes=ref.codes)
+                               ref_codes=ref.codes, dbg=dbg)
         dbg.add("encode_s", time.time() - t0)
         info = BlockInfo(payload_len=len(payload), n_reads=block.n_reads,
                          raw_len1=len(raw),
@@ -160,7 +160,7 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
             _tally_pe_relations(align, dbg)
         t0 = time.time()
         body = encode_block(p, merged, frozen=frozen, align=align,
-                            ref_codes=ref.codes)
+                            ref_codes=ref.codes, dbg=dbg)
         dbg.add("encode_s", time.time() - t0)
         meta = {"fnl1": b1.final_newline, "fnl2": b2.final_newline}
         payload = (write_tlv(TAG_PE_META, json.dumps(meta).encode())

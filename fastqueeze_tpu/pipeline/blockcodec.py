@@ -50,6 +50,8 @@ TAG_AREV = 16     # mapped: reverse-complement flag
 TAG_AMISC = 17    # mapped: mismatch count per read
 TAG_AMISP = 18    # mapped: mismatch positions (window coords, delta)
 TAG_AMISB = 19    # mapped: substituted bases (2-bit), ctx = ref base
+TAG_APDF = 20     # PE -I: delta-coded flag per eligible mate-2
+TAG_APD = 21      # PE -I: zigzag insert deltas for flagged mate-2s
 
 _VAR_CHUNK = 256  # var byte streams are cut into pseudo-reads for lane ||ism
 
@@ -220,15 +222,17 @@ def _decode_le(p: CodecParams, blob: bytes, n: int, nbytes: int) -> np.ndarray:
 
 def encode_block(p: CodecParams, block: FastqBlock,
                  frozen: Optional[Dict] = None,
-                 align=None, ref_codes: Optional[np.ndarray] = None) -> bytes:
+                 align=None, ref_codes: Optional[np.ndarray] = None,
+                 dbg=None) -> bytes:
     """align: AlignResult over this block's reads (or None for entropy-only);
     ref_codes: the reference 2-bit code array (required with align)."""
-    return encode_block_job(p, block, frozen, align, ref_codes)()
+    return encode_block_job(p, block, frozen, align, ref_codes, dbg)()
 
 
 def encode_block_job(p: CodecParams, block: FastqBlock,
                      frozen: Optional[Dict] = None,
-                     align=None, ref_codes: Optional[np.ndarray] = None):
+                     align=None, ref_codes: Optional[np.ndarray] = None,
+                     dbg=None):
     """Dispatch phase of encode_block: device streams are queued and host
     streams coded; the returned thunk syncs the device and assembles the
     block TLV.  Drivers keep the next block's host work running while the
@@ -357,6 +361,19 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
             out.write(write_tlv(tag, payload))
         out.write(write_tlv(TAG_SEQ, seq_payload))
         out.write(write_tlv(TAG_QUAL, qual_payload))
+        if dbg is not None:
+            # per-stream size table (reference printEncodeDebugInfo parity)
+            nsym = int(lengths.sum())
+            dbg.add("sz_seq", len(seq_payload))
+            dbg.add("sz_qual", len(qual_payload))
+            dbg.add("sz_len", len(len_payload) if len_payload else 0)
+            dbg.add("sz_id", sum(len(x) for _, x in id_sections))
+            dbg.add("sz_plus", sum(len(x) for _, x in plus_sections))
+            dbg.add("sz_dege", sum(len(x) for _, x in dege_sections))
+            dbg.add("sz_align", sum(len(x) for _, x in align_sections))
+            dbg.add("raw_seq", nsym)
+            dbg.add("raw_qual", nsym)
+            dbg.add("raw_id", sum(len(i) for i in block.ids))
         return out.getvalue()
 
     return finalize
@@ -377,6 +394,36 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
     rev = align.is_rev[mapped]
     mm = align.mis_mask[mapped]                      # (M, lp) window coords
     mis_cnt = mm.sum(axis=1).astype(np.int64)
+
+    # PE -I mode (reference: -I maxinsr, "mate position encoded as an
+    # insert-bounded delta" — broken in the reference binary, SURVEY.md §6;
+    # implemented correctly here): a mapped mate-2 whose mate-1 is mapped
+    # and within max_insr is coded as a zigzag delta off mate-1's position.
+    pe_sections = []
+    abs_mask_m = np.ones(len(pos), bool)     # mapped reads coded absolutely
+    R = block.n_reads
+    if p.is_pe and p.max_insr > 0 and R:
+        idx = np.arange(R)
+        m1_mapped = np.zeros(R, bool)
+        m1_mapped[1::2] = mapped[0::2]
+        cand = mapped & (idx % 2 == 1) & m1_mapped
+        pos1_of = np.zeros(R, np.int64)
+        pos1_of[1::2] = align.pos[0::2]
+        delta = align.pos - pos1_of
+        ok = cand & (np.abs(delta) <= p.max_insr)
+        if cand.any():
+            cand_m = cand[mapped]
+            ok_m = ok[mapped]
+            pe_sections.append((TAG_APDF, _code_flags(p, ok_m[cand_m])))
+            if ok.any():
+                zz = delta[ok]
+                zz = np.where(zz >= 0, 2 * zz, -2 * zz - 1)
+                insb = max(1, (int(2 * p.max_insr + 1).bit_length() + 7)
+                           // 8)
+                meta["insb"] = insb
+                pe_sections.append((TAG_APD, _code_le(p, zz, insb)))
+            abs_mask_m = ~ok_m
+    meta["nabs"] = int(abs_mask_m.sum())
     if mis_cnt.max(initial=0) > 255:
         raise ValueError(">255 mismatches in one read")
 
@@ -399,8 +446,8 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
     sub_base = np.where(rev[rows], 3 - read_base, read_base).astype(np.uint8)
     ref_base = ref_codes[pos[rows] + cols]
 
-    sections = [
-        (TAG_APOS, _code_le(p, pos, posb)),
+    sections = pe_sections + [
+        (TAG_APOS, _code_le(p, pos[abs_mask_m], posb)),
         (TAG_AREV, _code_flags(p, rev)),
         (TAG_AMISC, _code_bytes(p, mis_cnt.astype(np.uint8).tobytes(),
                                 order1=False)),
@@ -528,7 +575,31 @@ def _decode_align_streams(p: CodecParams, sections: Dict, meta: Dict,
     mlens = lengths[mapped]
     moffs = read_off[mapped]
 
-    pos = _decode_le(p, sections[TAG_APOS], M, posb)
+    nabs = meta.get("nabs", M)
+    pos_abs = _decode_le(p, sections[TAG_APOS], nabs, posb)
+    if TAG_APDF in sections:
+        # PE -I: reconstruct delta-coded mate-2 positions off mate-1's
+        R = len(mapped)
+        idx = np.arange(R)
+        m1_mapped = np.zeros(R, bool)
+        m1_mapped[1::2] = mapped[0::2]
+        cand = mapped & (idx % 2 == 1) & m1_mapped
+        cand_m = cand[mapped]
+        okflags = _decode_flags(p, sections[TAG_APDF], int(cand_m.sum()))
+        ok_m = np.zeros(M, bool)
+        ok_m[cand_m] = okflags
+        m_idx = np.flatnonzero(mapped)
+        pos_r = np.zeros(R, np.int64)
+        pos_r[m_idx[~ok_m]] = pos_abs
+        n_delta = int(ok_m.sum())
+        if n_delta:
+            zz = _decode_le(p, sections[TAG_APD], n_delta, meta["insb"])
+            delta = np.where(zz % 2 == 0, zz // 2, -((zz + 1) // 2))
+            ok_reads = m_idx[ok_m]
+            pos_r[ok_reads] = pos_r[ok_reads - 1] + delta
+        pos = pos_r[mapped]
+    else:
+        pos = pos_abs
     rev = _decode_flags(p, sections[TAG_AREV], M)
     cnt_raw = _decode_bytes(p, sections[TAG_AMISC], order1=False)
     mis_cnt = np.frombuffer(cnt_raw, np.uint8).astype(np.int64)

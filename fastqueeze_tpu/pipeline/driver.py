@@ -67,35 +67,60 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
         writer.set_model(blob)
     idx = 0
     total_raw = 0
-    pending = None          # (idx, finalize, BlockInfo) — device in flight
-    from fastqueeze_tpu.pipeline.blockcodec import encode_block_job
 
-    def flush(pend):
-        t0 = time.time()
-        payload = pend[1]()
-        dbg.add("encode_s", time.time() - t0)
-        writer.add_block(pend[0], payload, pend[2])
+    if params.threads > 1:
+        from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
 
-    for raw, final_nl in read_blocks(in_path, block_size):
-        t0 = time.time()
-        block = parse_block(raw, final_nl)
-        if params.lossy_factor > 1.0:
-            raw, block = apply_lossy(params, block)
-        whole_md5.update(raw)
-        dbg.add("parse_s", time.time() - t0)
-        t0 = time.time()
-        fin = encode_block_job(params, block, frozen=frozen)
-        dbg.add("dispatch_s", time.time() - t0)
-        info = BlockInfo(payload_len=0, n_reads=block.n_reads,
-                         raw_len1=len(raw), md5=hashlib.md5(raw).digest())
+        def work(i, item):
+            raw, final_nl = item
+            block = parse_block(raw, final_nl)
+            if params.lossy_factor > 1.0:
+                raw, block = apply_lossy(params, block)
+            payload = encode_block(params, block, frozen=frozen, dbg=dbg)
+            return raw, payload, block.n_reads
+
+        t_all = time.time()
+        for i, (raw, payload, n_reads) in ordered_parallel(
+                read_blocks(in_path, block_size), work, params.threads):
+            whole_md5.update(raw)
+            writer.add_block(i, payload, BlockInfo(
+                payload_len=len(payload), n_reads=n_reads,
+                raw_len1=len(raw), md5=hashlib.md5(raw).digest()))
+            dbg.add("reads", n_reads)
+            total_raw += len(raw)
+            idx = i + 1
+        dbg.add("encode_s", time.time() - t_all)
+    else:
+        pending = None      # (idx, finalize, BlockInfo) — device in flight
+        from fastqueeze_tpu.pipeline.blockcodec import encode_block_job
+
+        def flush(pend):
+            t0 = time.time()
+            payload = pend[1]()
+            dbg.add("encode_s", time.time() - t0)
+            writer.add_block(pend[0], payload, pend[2])
+
+        for raw, final_nl in read_blocks(in_path, block_size):
+            t0 = time.time()
+            block = parse_block(raw, final_nl)
+            if params.lossy_factor > 1.0:
+                raw, block = apply_lossy(params, block)
+            whole_md5.update(raw)
+            dbg.add("parse_s", time.time() - t0)
+            t0 = time.time()
+            fin = encode_block_job(params, block, frozen=frozen, dbg=dbg)
+            dbg.add("dispatch_s", time.time() - t0)
+            info = BlockInfo(payload_len=0, n_reads=block.n_reads,
+                             raw_len1=len(raw),
+                             md5=hashlib.md5(raw).digest())
+            if pending is not None:
+                flush(pending)
+            pending = (idx, fin, info)
+            dbg.add("reads", block.n_reads)
+            total_raw += len(raw)
+            idx += 1
         if pending is not None:
             flush(pending)
-        pending = (idx, fin, info)
-        dbg.add("reads", block.n_reads)
-        total_raw += len(raw)
-        idx += 1
-    if pending is not None:
-        flush(pending)
     writer.input_md5s = [whole_md5.digest()]
     writer.finalize()
     out_size = os.path.getsize(out_path)
@@ -108,16 +133,25 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
 def decompress(arc_path: str, out_prefix: Optional[str],
                dbg: Optional[DebugInfo] = None, ref: Optional[str] = None,
                pipeout: int = 0, force: bool = False,
-               indir: bool = False) -> List[str]:
+               indir: bool = False, threads: int = 0) -> List[str]:
     dbg = dbg or DebugInfo()
     with ArcReader(arc_path) as reader:
         params = reader.params
+        if threads:            # decode-side -t overrides the encoder's
+            params.threads = threads
         ref_codes = _load_ref_for_decode(params, ref)
         if params.is_pe:
             from fastqueeze_tpu.pipeline.pe import decompress_pe_blocks
             return decompress_pe_blocks(reader, out_prefix, dbg, ref=ref,
                                         pipeout=pipeout, force=force,
                                         ref_codes=ref_codes)
+        if getattr(params, "multi", 0):
+            frozen_m = None
+            if reader.model_blob is not None:
+                from fastqueeze_tpu.pipeline.frozen import deserialize_frozen
+                frozen_m = deserialize_frozen(reader.model_blob)
+            return _decompress_multi(reader, out_prefix, dbg, frozen_m,
+                                     ref_codes, force)
         out_name = _se_out_name(arc_path, out_prefix, reader.file_list)
         if indir:
             out_name = os.path.join(os.path.dirname(os.path.abspath(arc_path)),
@@ -132,25 +166,117 @@ def decompress(arc_path: str, out_prefix: Optional[str],
             frozen = deserialize_frozen(reader.model_blob)
         whole_md5 = hashlib.md5()
         import contextlib
+
+        def decode_one(i, payload):
+            block = decode_block(params, payload, frozen=frozen,
+                                 ref_codes=ref_codes)
+            raw = assemble_block(block)
+            if hashlib.md5(raw).digest() != reader.blocks[i].md5:
+                raise ValueError(
+                    f"block {i}: MD5 mismatch (corrupt archive)")
+            return raw
+
         with (open(out_name, "wb") if out_name
               else contextlib.nullcontext(sys.stdout.buffer)) as out:
-            for i, binfo in enumerate(reader.blocks):
-                payload = reader.read_block(i)
+            if params.threads > 1:
+                from fastqueeze_tpu.pipeline.parallel_host import (
+                    ordered_parallel)
+                payloads = (reader.read_block(i)
+                            for i in range(len(reader.blocks)))
                 t0 = time.time()
-                block = decode_block(params, payload, frozen=frozen,
-                                     ref_codes=ref_codes)
+                for i, raw in ordered_parallel(payloads, decode_one,
+                                               params.threads):
+                    whole_md5.update(raw)
+                    out.write(raw)
                 dbg.add("decode_s", time.time() - t0)
-                t0 = time.time()
-                raw = assemble_block(block)
-                dbg.add("assemble_s", time.time() - t0)
-                if hashlib.md5(raw).digest() != binfo.md5:
-                    raise ValueError(
-                        f"block {i}: MD5 mismatch (corrupt archive)")
-                whole_md5.update(raw)
-                out.write(raw)
+            else:
+                for i in range(len(reader.blocks)):
+                    payload = reader.read_block(i)
+                    t0 = time.time()
+                    raw = decode_one(i, payload)
+                    dbg.add("decode_s", time.time() - t0)
+                    whole_md5.update(raw)
+                    out.write(raw)
         if reader.input_md5s and whole_md5.digest() != reader.input_md5s[0]:
             raise ValueError("whole-input MD5 mismatch")
         return [out_name] if out_name else []
+
+
+def compress_multi(params: CodecParams, in_paths: List[str], out_path: str,
+                   dbg: Optional[DebugInfo] = None) -> Dict:
+    """Multi-file archive (reference -m mode, SURVEY.md §5: several inputs
+    into one archive with a file-list section; that path is bit-rotted in
+    the reference binary — decode segfaults — and works here).  Blocks are
+    tagged with their input file id; one whole-input MD5 per file."""
+    from fastqueeze_tpu.pipeline.frozen import decide_use_model
+    dbg = dbg or DebugInfo()
+    params.multi = 1
+    block_size = params.block_size_mb * (1 << 20)
+    writer = ArcWriter(out_path, params,
+                       [os.path.basename(x) for x in in_paths], [])
+    frozen = None
+    total_in = sum(os.path.getsize(x) for x in in_paths)
+    if decide_use_model(params, total_in):
+        frozen, blob = train_frozen_prefix(params, in_paths[0], dbg)
+        writer.set_model(blob)
+    idx = 0
+    total_raw = 0
+    md5s = []
+    for fid, path in enumerate(in_paths):
+        whole = hashlib.md5()
+        for raw, final_nl in read_blocks(path, block_size):
+            block = parse_block(raw, final_nl)
+            if params.lossy_factor > 1.0:
+                raw, block = apply_lossy(params, block)
+            whole.update(raw)
+            payload = encode_block(params, block, frozen=frozen)
+            writer.add_block(idx, payload, BlockInfo(
+                payload_len=len(payload), n_reads=block.n_reads,
+                raw_len1=len(raw), md5=hashlib.md5(raw).digest(),
+                file_id=fid))
+            total_raw += len(raw)
+            idx += 1
+        md5s.append(whole.digest())
+    writer.input_md5s = md5s
+    writer.finalize()
+    out_size = os.path.getsize(out_path)
+    return {"blocks": idx, "raw": total_raw, "compressed": out_size,
+            "files": len(in_paths),
+            "ratio": total_raw / out_size if out_size else 0.0}
+
+
+def _decompress_multi(reader: ArcReader, out_prefix: Optional[str],
+                      dbg: DebugInfo, frozen, ref_codes,
+                      force: bool) -> List[str]:
+    params = reader.params
+    names = []
+    for i, orig in enumerate(reader.file_list):
+        if out_prefix:
+            names.append(f"{out_prefix}{i}.fastq")
+        else:
+            names.append(orig)
+    for n in names:
+        if os.path.exists(n) and not force:
+            raise ValueError(f"{n} exists (use -f to overwrite)")
+    outs = [open(n, "wb") for n in names]
+    md5s = [hashlib.md5() for _ in names]
+    try:
+        for i, binfo in enumerate(reader.blocks):
+            payload = reader.read_block(i)
+            block = decode_block(params, payload, frozen=frozen,
+                                 ref_codes=ref_codes)
+            raw = assemble_block(block)
+            if hashlib.md5(raw).digest() != binfo.md5:
+                raise ValueError(f"block {i}: MD5 mismatch (corrupt archive)")
+            outs[binfo.file_id].write(raw)
+            md5s[binfo.file_id].update(raw)
+    finally:
+        for o in outs:
+            o.close()
+    for i, m in enumerate(md5s):
+        if i < len(reader.input_md5s) and m.digest() != reader.input_md5s[i]:
+            raise ValueError(f"file {i}: whole-input MD5 mismatch")
+    return names
 
 
 def _load_ref_for_decode(params: CodecParams, ref: Optional[str]):

@@ -183,3 +183,40 @@ def test_low_map_ratio_falls_back_to_entropy(ref_env, tmp_path):
     stats = compress_se_aligned(p, fa, str(src), arc)
     outs = decompress(arc, str(tmp_path / "rndback"), ref=fa, force=True)
     assert open(outs[0], "rb").read() == raw
+
+
+def test_aligned_pe_insert_delta_roundtrip(ref_env, tmp_path):
+    """PE -I mode (broken in the reference binary; reimplemented): mate-2
+    positions near mate-1 are coded as insert-bounded deltas."""
+    from fastqueeze_tpu.pipeline.pe import compress_pe
+    from fastqueeze_tpu.pipeline.driver import decompress
+    fa, ref_codes, rng = ref_env
+    # build proper pairs: mate2 within +-200 bp of mate1
+    recs1, recs2 = [], []
+    L = 60
+    for i in range(80):
+        s1 = int(rng.integers(0, len(ref_codes) - L - 300))
+        s2 = s1 + int(rng.integers(20, 200))
+        seq1 = ref_codes[s1:s1 + L]
+        seq2 = 3 - ref_codes[s2:s2 + L][::-1]
+        q = "I" * L
+        recs1.append(f"@pair.{i}\n"
+                     f"{''.join('ACGT'[c] for c in seq1)}\n+\n{q}\n")
+        recs2.append(f"@pair.{i}\n"
+                     f"{''.join('ACGT'[c] for c in seq2)}\n+\n{q}\n")
+    f1, f2 = tmp_path / "i1.fq", tmp_path / "i2.fq"
+    f1.write_bytes("".join(recs1).encode())
+    f2.write_bytes("".join(recs2).encode())
+    p = CodecParams(max_insr=1000, **SMALL)
+    arc = str(tmp_path / "ins.fqz")
+    stats = compress_pe(p, str(f1), str(f2), arc, ref=fa)
+    assert stats["mapped"] > 100
+    outs = decompress(arc, str(tmp_path / "insback"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == f1.read_bytes()
+    assert open(outs[1], "rb").read() == f2.read_bytes()
+    # -I should not be larger than absolute coding
+    p2 = CodecParams(max_insr=0, **SMALL)
+    arc2 = str(tmp_path / "noins.fqz")
+    compress_pe(p2, str(f1), str(f2), arc2, ref=fa)
+    import os
+    assert os.path.getsize(arc) <= os.path.getsize(arc2) + 64

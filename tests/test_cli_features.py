@@ -1,0 +1,75 @@
+"""CLI-level feature parity: multi-file archives (-m), archive listing
+(-L), developer config file (-D / fastqueeze.config), pipe-out."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.pipeline.driver import compress_multi, decompress
+
+SMALL = dict(slevel=0, lanes_min=16, lanes_max=32, lane_target_symbols=512)
+
+
+def _mk_fastq(rng, n, L=50, tag="m"):
+    recs = []
+    for i in range(n):
+        seq = "".join(rng.choice(list("ACGT"), L))
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(2, 40, L))
+        recs.append(f"@{tag}.{i}\n{seq}\n+\n{qual}\n")
+    return "".join(recs).encode()
+
+
+def test_multi_file_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    raws = [_mk_fastq(rng, 60 + 20 * i, tag=f"f{i}") for i in range(3)]
+    paths = []
+    for i, raw in enumerate(raws):
+        pth = tmp_path / f"in{i}.fq"
+        pth.write_bytes(raw)
+        paths.append(str(pth))
+    p = CodecParams(**SMALL)
+    arc = str(tmp_path / "multi.fqz")
+    stats = compress_multi(p, paths, arc)
+    assert stats["files"] == 3
+    os.chdir(tmp_path)
+    outs = decompress(arc, str(tmp_path / "back_m"), force=True)
+    assert len(outs) == 3
+    for raw, name in zip(raws, outs):
+        assert open(name, "rb").read() == raw
+        assert os.path.basename(name).startswith("back_m")
+
+
+def test_config_file_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    p = CodecParams()
+    path = p.dump_config_file()
+    assert os.path.exists(path)
+    q = CodecParams()
+    with open(path, "a") as fh:
+        fh.write("Slevel:1\nMaxmis:3\n")
+    assert q.apply_config_file()
+    assert q.slevel == 1 and q.max_mis == 3
+
+
+def test_cli_list_and_config(tmp_path, monkeypatch):
+    from fastqueeze_tpu.cli import main
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(6)
+    src = tmp_path / "in.fq"
+    src.write_bytes(_mk_fastq(rng, 80))
+    assert main(["-D"]) == 0
+    assert os.path.exists("fastqueeze.config")
+    with open("fastqueeze.config", "a") as fh:
+        fh.write("Slevel:0\n")
+    arc = str(tmp_path / "x.fqz")
+    assert main(["-c", "-1", str(src), "-o", arc, "-f"]) == 0
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    with ArcReader(arc) as r:
+        assert r.params.slevel == 0          # config file applied
+    assert main(["-L", arc]) == 0
+    assert main(["-d", arc, "-o", str(tmp_path / "back"), "-f"]) == 0
+    assert (tmp_path / "back.fastq").read_bytes() == src.read_bytes()

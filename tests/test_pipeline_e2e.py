@@ -132,3 +132,32 @@ def test_pe_mismatched_counts_rejected(tmp_path):
     with pytest.raises(ValueError):
         compress_pe(CodecParams(**SMALL, is_pe=1), str(f1), str(f2),
                     str(tmp_path / "pe.fqz"))
+
+
+def test_threads_roundtrip_and_determinism(tmp_path):
+    """-t N must produce the identical archive to -t 1 (block outputs are
+    order-independent) and round-trip exactly."""
+    from fastqueeze_tpu.pipeline.driver import compress_se, decompress
+    rng = np.random.default_rng(21)
+    raw = _mk_fastq(rng, 1000) * 12
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    p1 = CodecParams(**SMALL)
+    p1.block_size_mb = 1
+    compress_se(p1, str(src), str(tmp_path / "t1.fqz"))
+    p3 = CodecParams(threads=3, **SMALL)
+    p3.block_size_mb = 1
+    compress_se(p3, str(src), str(tmp_path / "t3.fqz"))
+    a = (tmp_path / "t1.fqz").read_bytes()
+    b = (tmp_path / "t3.fqz").read_bytes()
+    # PARAM section differs only in the threads field; block payloads and
+    # tables must be identical
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    with ArcReader(str(tmp_path / "t1.fqz")) as r1, \
+            ArcReader(str(tmp_path / "t3.fqz")) as r3:
+        assert len(r1.blocks) == len(r3.blocks) >= 2
+        for i in range(len(r1.blocks)):
+            assert r1.read_block(i) == r3.read_block(i)
+    outs = decompress(str(tmp_path / "t3.fqz"), str(tmp_path / "back"),
+                      force=True, threads=3)
+    assert open(outs[0], "rb").read() == raw
