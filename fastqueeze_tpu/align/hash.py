@@ -48,6 +48,8 @@ class AlignConfig:
     both_strands: int
     lp: int              # padded read length (multiple of 16)
     n_seeds: int = 1     # how many least-frequent seeds contribute candidates
+    l1_shift: int = -1   # >= 0: first-level bucket table is present
+    search_steps: int = 16   # binary-search steps within a bucket
 
     @property
     def n_words(self) -> int:
@@ -109,8 +111,8 @@ def _ref_base_at(packed, idx):
     return ((w >> sh) & 3).astype(jnp.uint8)
 
 
-def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, ref_len,
-                codes, dege, lengths):
+def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, l1,
+                ref_len, codes, dege, lengths):
     """codes (B, Lp) effective-strand 2-bit codes; returns per-read
     (best_mis, best_pos) over the candidate set."""
     B, Lp = codes.shape
@@ -135,8 +137,27 @@ def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, ref_len,
     ps = np.arange(0, P, stride, dtype=np.int32)
     kv_s = kv[:, ps]
     ok_s = win_valid[:, ps]
-    ii = jnp.clip(jnp.searchsorted(keys, kv_s), 0, keys.shape[0] - 1)
-    found = (keys[ii] == kv_s) & ok_s
+    nk = keys.shape[0]
+    if cfg.l1_shift >= 0:
+        # bucket-bounded lower_bound: the first-level table narrows the
+        # range to one key prefix bucket, then a fixed-step binary search
+        # runs inside it (fewer scattered gathers than full searchsorted)
+        q = (kv_s >> cfg.l1_shift).astype(jnp.int32)
+        lo = l1[q].astype(jnp.int32)
+        hi = l1[q + 1].astype(jnp.int32)
+        hi0 = hi
+        for _ in range(cfg.search_steps):
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            km = keys[jnp.minimum(mid, nk - 1)]
+            less = km < kv_s
+            lo = jnp.where(active & less, mid + 1, lo)
+            hi = jnp.where(active & ~less, mid, hi)
+        ii = jnp.minimum(lo, nk - 1)
+        found = (keys[ii] == kv_s) & (lo < hi0) & ok_s
+    else:
+        ii = jnp.clip(jnp.searchsorted(keys, kv_s), 0, nk - 1)
+        found = (keys[ii] == kv_s) & ok_s
     occ = jnp.where(found,
                     (offsets[ii + 1] - offsets[ii]).astype(jnp.int32), _BIG)
 
@@ -173,14 +194,14 @@ def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, ref_len,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, ref_len,
-                 codes, dege, lengths):
+def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, l1,
+                 ref_len, codes, dege, lengths):
     B, Lp = codes.shape
     pos_i = jnp.arange(Lp, dtype=jnp.int32)[None, :]
     valid = pos_i < lengths[:, None]
     has_dege = (dege & valid).any(axis=1)
 
-    mis_f, pos_f = _one_strand(cfg, keys, offsets, positions, packed,
+    mis_f, pos_f = _one_strand(cfg, keys, offsets, positions, packed, l1,
                                ref_len, codes, dege, lengths)
 
     # reverse complement grid (per read: base i <- 3 - codes[len-1-i])
@@ -190,7 +211,7 @@ def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, ref_len,
     rc = rc.astype(jnp.uint8)
     rdege = jnp.where(valid, jnp.take_along_axis(
         dege.astype(jnp.int32), ridx, axis=1), 0).astype(bool)
-    mis_r, pos_r = _one_strand(cfg, keys, offsets, positions, packed,
+    mis_r, pos_r = _one_strand(cfg, keys, offsets, positions, packed, l1,
                                ref_len, rc, rdege, lengths)
 
     if cfg.both_strands:
@@ -240,6 +261,16 @@ class Aligner:
             pos = np.zeros(1, np.int32)
         self._positions = jnp.asarray(pos)
         self._packed = jnp.asarray(idx.packed.astype(np.uint32))
+        # first-level prefix table: bounds the per-seed binary search to one
+        # bucket (cuts scattered key gathers roughly in half)
+        l1_bits = min(2 * self.k, 18)
+        self._l1_shift = max(0, 2 * self.k - l1_bits)
+        l1 = np.searchsorted(
+            keys >> np.uint32(self._l1_shift),
+            np.arange((1 << l1_bits) + 1, dtype=np.int64)).astype(np.int32)
+        self._l1 = jnp.asarray(l1)
+        max_bucket = int(np.diff(l1).max()) if len(l1) > 1 else 1
+        self._search_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
 
     def _lp_bucket(self, max_len: int) -> int:
         """Bucketed padded length ({1, 1.5} x powers of two, >= 32, x16
@@ -263,7 +294,9 @@ class Aligner:
         p = self.params
         cfg = AlignConfig(k=self.k, stride=p.seed_stride,
                           n_cand=p.seed_max_occ, max_mis=p.max_mis,
-                          both_strands=p.both_strands, lp=lp)
+                          both_strands=p.both_strands, lp=lp,
+                          l1_shift=self._l1_shift,
+                          search_steps=self._search_steps)
 
         # grid-ify
         offs = np.cumsum(lengths) - lengths
@@ -294,16 +327,19 @@ class Aligner:
                 cfg2 = AlignConfig(k=self.k, stride=p.seed_stride,
                                    n_cand=big, max_mis=p.max_mis,
                                    both_strands=p.both_strands, lp=lp,
-                                   n_seeds=2)
+                                   n_seeds=2, l1_shift=self._l1_shift,
+                                   search_steps=self._search_steps)
                 self._run_tier(cfg2, codes, dege, lengths, todo,
-                               mapped, pos, is_rev, mis_mask,
-                               max(256, self.BATCH * cfg.n_cand // big))
+                               mapped, pos, is_rev, mis_mask, 1024)
         return AlignResult(mapped, pos, is_rev, mis_mask)
 
     def _run_tier(self, cfg: AlignConfig, codes, dege, lengths, rows,
                   mapped, pos, is_rev, mis_mask, batch: int) -> None:
+        """Dispatch every batch asynchronously, then collect — one tunnel
+        round-trip for the whole tier instead of one per batch."""
         lp = codes.shape[1]
         B = batch
+        jobs = []
         for s in range(0, len(rows), B):
             sel = rows[s:s + B]
             n = len(sel)
@@ -311,10 +347,12 @@ class Aligner:
             db = np.zeros((B, lp), bool)
             lb = np.zeros(B, np.int32)
             cb[:n], db[:n], lb[:n] = codes[sel], dege[sel], lengths[sel]
-            m, p_, r, mm = _align_batch(
+            out = _align_batch(
                 cfg, self._keys, self._offsets, self._positions,
-                self._packed, jnp.int32(self.ref_len),
+                self._packed, self._l1, jnp.int32(self.ref_len),
                 jnp.asarray(cb), jnp.asarray(db), jnp.asarray(lb))
+            jobs.append((sel, n, out))
+        for sel, n, (m, p_, r, mm) in jobs:
             mapped[sel] = np.asarray(m)[:n]
             pos[sel] = np.asarray(p_)[:n]
             is_rev[sel] = np.asarray(r)[:n]
