@@ -53,6 +53,19 @@ def init_counts(model: CtxModel) -> jnp.ndarray:
     return jnp.full((model.n_ctx, model.alphabet), model.init, jnp.int32)
 
 
+@jax.jit
+def _widen_i32(x):
+    return x.astype(jnp.int32)
+
+
+def counts0_dev(counts0):
+    """Frozen tables travel in u8/u16 (tunnel bandwidth); widen on device."""
+    if counts0 is None:
+        return None
+    c = jnp.asarray(counts0)
+    return c if c.dtype == jnp.int32 else _widen_i32(c)
+
+
 def _n_halve(model: CtxModel, L: int) -> int:
     """Static unroll count: halvings needed to bring any post-wave row total
     (<= cap + inc*L + alphabet rounding) back under cap."""
@@ -533,6 +546,7 @@ def encode_stream_job(model: CtxModel, params: CodecParams,
                       n_lanes: Optional[int] = None,
                       adapt: bool = True) -> EncodeJob:
     """Dispatch one stream's encode to the device; returns an EncodeJob."""
+    counts0 = counts0_dev(counts0)
     counts_per_read = np.asarray(counts_per_read, np.int64)
     nsym = int(counts_per_read.sum())
     L = n_lanes or params.n_lanes(nsym)
@@ -621,6 +635,7 @@ def decode_stream_job(model: CtxModel, params: CodecParams,
                       counts0: Optional[jnp.ndarray] = None,
                       adapt: bool = True) -> DecodeJob:
     """Dispatch one stream's decode to the device; returns a DecodeJob."""
+    counts0 = counts0_dev(counts0)
     T, L, n_words, nsym = _HDR.unpack_from(payload, 0)
     off = _HDR.size
     states = np.frombuffer(payload, "<u4", L, off).copy()

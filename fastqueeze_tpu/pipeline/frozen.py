@@ -52,9 +52,30 @@ def decide_use_model(p: CodecParams, input_bytes: int) -> bool:
     return input_bytes > 2 * p.block_size_mb * (1 << 20)
 
 
-def train_frozen(p: CodecParams, block: FastqBlock) -> Dict:
+def _subsample(block: FastqBlock, target_syms: int) -> FastqBlock:
+    """Every-Nth-read subsample: a histogram trainer needs representative
+    statistics, not every symbol — caps training cost on huge prefixes."""
+    total = int(block.lengths.sum())
+    if total <= target_syms or block.n_reads < 4:
+        return block
+    stride = int(np.ceil(total / target_syms))
+    keep = np.zeros(block.n_reads, bool)
+    keep[::stride] = True
+    sym_keep = np.repeat(keep, block.lengths)
+    return FastqBlock(
+        n_reads=int(keep.sum()),
+        ids=[], plus=[],
+        seq_flat=block.seq_flat[sym_keep],
+        qual_flat=block.qual_flat[sym_keep],
+        lengths=block.lengths[keep],
+        raw_len=0, final_newline=True)
+
+
+def train_frozen(p: CodecParams, block: FastqBlock,
+                 target_syms: int = 16 << 20) -> Dict:
     """Train seq + qual frozen tables from a prefix block."""
     from fastqueeze_tpu.pipeline.blockcodec import _BASE_MAP
+    block = _subsample(block, target_syms)
     codes = _BASE_MAP[block.seq_flat]
     dege = codes == 255
     lengths = block.lengths
@@ -72,9 +93,19 @@ def train_frozen(p: CodecParams, block: FastqBlock) -> Dict:
                        inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
                        drop_init=p.q_drop_init)
     qual_counts = train_counts(qmodel, p, qflat.astype(np.uint8), lengths)
+    # tables travel (device->host->archive->device) in the narrowest dtype
+    # the model cap allows; the engine widens to int32 on device
     return {"qmax": qmax,
-            "seq_counts": seq_counts,
-            "qual_counts": qual_counts}
+            "seq_counts": np.asarray(_narrow(seq_counts, seq_model.cap)),
+            "qual_counts": np.asarray(_narrow(qual_counts, qmodel.cap))}
+
+
+def _narrow(counts, cap: int):
+    if cap < (1 << 8):
+        return counts.astype(jnp.uint8)
+    if cap < (1 << 16):
+        return counts.astype(jnp.uint16)
+    return counts
 
 
 def _pack_counts(a: np.ndarray) -> Dict:
@@ -83,12 +114,12 @@ def _pack_counts(a: np.ndarray) -> Dict:
     hi = int(a.max()) if a.size else 0
     dt = np.uint8 if hi < 0x100 else (np.uint16 if hi < 0x10000 else np.int32)
     return {"shape": list(a.shape), "dtype": np.dtype(dt).str,
-            "blob": zlib.compress(np.ascontiguousarray(a, dt).tobytes(), 6)}
+            "blob": zlib.compress(np.ascontiguousarray(a, dt).tobytes(), 1)}
 
 
 def serialize_frozen(frozen: Dict) -> bytes:
-    seq = _pack_counts(np.asarray(frozen["seq_counts"], np.int32))
-    qual = _pack_counts(np.asarray(frozen["qual_counts"], np.int32))
+    seq = _pack_counts(np.asarray(frozen["seq_counts"]))
+    qual = _pack_counts(np.asarray(frozen["qual_counts"]))
     meta = {"qmax": frozen["qmax"],
             "seq_shape": seq["shape"], "seq_dtype": seq["dtype"],
             "qual_shape": qual["shape"], "qual_dtype": qual["dtype"]}
@@ -103,12 +134,12 @@ def deserialize_frozen(blob: bytes) -> Dict:
     sections = dict(iter_tlv(blob))
     meta = json.loads(sections[_TAG_META].decode())
     seq = np.frombuffer(zlib.decompress(sections[_TAG_SEQ]),
-                        meta["seq_dtype"]).astype(np.int32)
+                        meta["seq_dtype"])
     qual = np.frombuffer(zlib.decompress(sections[_TAG_QUAL]),
-                         meta["qual_dtype"]).astype(np.int32)
+                         meta["qual_dtype"])
     return {"qmax": meta["qmax"],
-            "seq_counts": jnp.asarray(seq.reshape(meta["seq_shape"])),
-            "qual_counts": jnp.asarray(qual.reshape(meta["qual_shape"]))}
+            "seq_counts": seq.reshape(meta["seq_shape"]),
+            "qual_counts": qual.reshape(meta["qual_shape"])}
 
 
 def fit_qual_alphabet(counts, alphabet: int, init: int):
@@ -119,5 +150,6 @@ def fit_qual_alphabet(counts, alphabet: int, init: int):
         return counts
     if have > alphabet:
         raise ValueError("frozen qual table wider than block alphabet")
-    pad = jnp.full((counts.shape[0], alphabet - have), init, jnp.int32)
-    return jnp.concatenate([jnp.asarray(counts), pad], axis=1)
+    counts = jnp.asarray(counts)
+    pad = jnp.full((counts.shape[0], alphabet - have), init, counts.dtype)
+    return jnp.concatenate([counts, pad], axis=1)
