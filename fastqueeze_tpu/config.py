@@ -91,7 +91,9 @@ class CodecParams:
     #     tunnel round-trip); big streams use the device wave-rANS ---
     host_stream_max: int = 1 << 20
 
-    # --- lane policy (TPU engine; no reference equivalent) ---
+    # --- lane policy (TPU engine; no reference equivalent).  More lanes =
+    #     fewer sequential waves, but 4 B/lane of stored coder state; the
+    #     scans are scattered-gather bound, so returns flatten ~L=4096 ---
     lanes_min: int = 64
     lanes_max: int = 4096
     lane_target_symbols: int = 4096  # aim ~this many symbols per lane

@@ -333,19 +333,34 @@ def _pass1_frozen(alphabet: int, counts0, ctx_grid, syms):
 def _decode_frozen(model: CtxModel, counts0, lane_state0,
                    states, words, valid, aux):
     """Frozen-model decode: the scan walks only the lane context state and
-    the rANS arithmetic; the model table is static (prequantized)."""
-    Fq = _quant_full(counts0)
+    the rANS arithmetic; the model table is static (prequantized).
+
+    Symbol resolution is a fixed-step binary search over the row's
+    cumulative frequencies (flat gathers of ~log2(A) values per lane
+    instead of the whole (A+1) row — the scan is gather-bound)."""
+    A = model.alphabet
+    Fq_flat = _quant_full(counts0).astype(jnp.int32).reshape(-1)
+    steps = max(1, math.ceil(math.log2(A)))
     nwords = words.shape[0]
 
     def body(carry, xs):
         st, x, off = carry
         vld, aux_t = xs
         ctx = model.context(st, aux_t)
-        F = Fq[ctx]
+        base = ctx.astype(jnp.int32) * (A + 1)
         low = (x & _MASK_M).astype(jnp.int32)
-        sym = jnp.sum(F[:, 1:] <= low[:, None], axis=1).astype(jnp.int32)
-        start = jnp.take_along_axis(F, sym[:, None], axis=1)[:, 0].astype(_U32)
-        end = jnp.take_along_axis(F, sym[:, None] + 1, axis=1)[:, 0].astype(_U32)
+        # sym = largest s in [0, A-1] with F[s] <= low (F[0] = 0 <= low,
+        # so lo is always a valid candidate; invariant lo <= hi)
+        lo = jnp.zeros_like(low)
+        hi = jnp.full_like(low, A - 1)
+        for _ in range(steps):
+            mid = (lo + hi + 1) >> 1
+            le = Fq_flat[base + mid] <= low
+            lo = jnp.where(le, mid, lo)
+            hi = jnp.where(le, hi, mid - 1)
+        sym = lo
+        start = Fq_flat[base + sym].astype(_U32)
+        end = Fq_flat[base + sym + 1].astype(_U32)
         f = end - start
         xn = f * (x >> PROB_BITS) + (x & _MASK_M) - start
         need = (xn < RANS_L) & vld
