@@ -88,26 +88,33 @@ def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
     idx = 0
     total_raw = 0
     total_mapped = total_reads = 0
-    for raw, final_nl in read_blocks(in_path, block_size):
+
+    def work(i, item):
+        raw, final_nl = item
         block = parse_block(raw, final_nl)
         if p.lossy_factor > 1.0:
             from fastqueeze_tpu.pipeline.driver import apply_lossy
             raw, block = apply_lossy(p, block)
-        whole_md5.update(raw)
         align, n_mapped = _maybe_align(p, aligner, block, dbg)
         t0 = time.time()
         payload = encode_block(p, block, frozen=frozen, align=align,
                                ref_codes=ref.codes, dbg=dbg)
         dbg.add("encode_s", time.time() - t0)
-        info = BlockInfo(payload_len=len(payload), n_reads=block.n_reads,
-                         raw_len1=len(raw),
-                         flags=FLAG_ALIGNED if align is not None else 0,
-                         md5=hashlib.md5(raw).digest())
-        writer.add_block(idx, payload, info)
+        return raw, payload, block.n_reads, n_mapped, align is not None
+
+    from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
+    for i, (raw, payload, n_reads, n_mapped, was_aligned) in \
+            ordered_parallel(read_blocks(in_path, block_size), work,
+                             max(1, p.threads)):
+        whole_md5.update(raw)
+        writer.add_block(i, payload, BlockInfo(
+            payload_len=len(payload), n_reads=n_reads, raw_len1=len(raw),
+            flags=FLAG_ALIGNED if was_aligned else 0,
+            md5=hashlib.md5(raw).digest()))
         total_mapped += n_mapped
-        total_reads += block.n_reads
+        total_reads += n_reads
         total_raw += len(raw)
-        idx += 1
+        idx = i + 1
     writer.input_md5s = [whole_md5.digest()]
     writer.finalize()
     out_size = os.path.getsize(out_path)

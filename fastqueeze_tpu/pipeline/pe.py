@@ -252,18 +252,23 @@ def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
                 raise ValueError(f"{n} exists (use -f to overwrite)")
         o1 = open(names[0], "wb")
         o2 = open(names[1], "wb")
+    def decode_one(i, payload):
+        sections = dict(iter_tlv(payload))
+        meta = json.loads(sections[TAG_PE_META].decode())
+        merged = decode_block(p, sections[TAG_PE_BODY],
+                              frozen=_frozen_of(reader, p),
+                              ref_codes=ref_codes)
+        b1, b2 = deinterleave_block(merged, meta["fnl1"], meta["fnl2"])
+        raw1, raw2 = assemble_block(b1), assemble_block(b2)
+        if hashlib.md5(raw1 + raw2).digest() != reader.blocks[i].md5:
+            raise ValueError(f"block {i}: MD5 mismatch (corrupt archive)")
+        return b1, b2, raw1, raw2
+
     try:
-        for i, binfo in enumerate(reader.blocks):
-            payload = reader.read_block(i)
-            sections = dict(iter_tlv(payload))
-            meta = json.loads(sections[TAG_PE_META].decode())
-            merged = decode_block(p, sections[TAG_PE_BODY],
-                                  frozen=_frozen_of(reader, p),
-                                  ref_codes=ref_codes)
-            b1, b2 = deinterleave_block(merged, meta["fnl1"], meta["fnl2"])
-            raw1, raw2 = assemble_block(b1), assemble_block(b2)
-            if hashlib.md5(raw1 + raw2).digest() != binfo.md5:
-                raise ValueError(f"block {i}: MD5 mismatch (corrupt archive)")
+        from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
+        payloads = (reader.read_block(i) for i in range(len(reader.blocks)))
+        for i, (b1, b2, raw1, raw2) in ordered_parallel(
+                payloads, decode_one, max(1, p.threads)):
             md5_1.update(raw1)
             md5_2.update(raw2)
             if pipeout == 3:
