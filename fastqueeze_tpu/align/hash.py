@@ -50,6 +50,7 @@ class AlignConfig:
     n_seeds: int = 1     # how many least-frequent seeds contribute candidates
     l1_shift: int = -1   # >= 0: first-level bucket table is present
     search_steps: int = 16   # binary-search steps within a bucket
+    wide: bool = False   # k > 15: 2k-bit keys as (hi, lo30) u32 pairs
 
     @property
     def n_words(self) -> int:
@@ -122,10 +123,22 @@ def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, l1,
     pos_i = jnp.arange(Lp, dtype=jnp.int32)[None, :]
     base_valid = pos_i < lengths[:, None]
 
-    # rolling k-mers at every start position
-    kv = jnp.zeros((B, P), jnp.uint32)
-    for j in range(k):
-        kv = (kv << 2) | codes[:, j:j + P].astype(jnp.uint32)
+    keys_hi, keys_lo = keys
+    # rolling k-mers at every start position.  Narrow mode (k <= 15): one
+    # u32 per position.  Wide mode ("-q" long seeds, k <= 31, the BWA-SMEM
+    # specificity analogue, SURVEY.md C14): 2k-bit keys as (hi, lo30) pairs.
+    if cfg.wide:
+        hi_mask = jnp.uint32((1 << (2 * k - 30)) - 1)
+        kv_lo = jnp.zeros((B, P), jnp.uint32)
+        kv_hi = jnp.zeros((B, P), jnp.uint32)
+        for j in range(k):
+            b = codes[:, j:j + P].astype(jnp.uint32)
+            kv_hi = ((kv_hi << 2) | (kv_lo >> 28)) & hi_mask
+            kv_lo = ((kv_lo << 2) | b) & jnp.uint32(0x3FFFFFFF)
+    else:
+        kv = jnp.zeros((B, P), jnp.uint32)
+        for j in range(k):
+            kv = (kv << 2) | codes[:, j:j + P].astype(jnp.uint32)
     # window validity: inside read and degenerate-free
     cs = jnp.cumsum(dege.astype(jnp.int32), axis=1)
     csz = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cs], axis=1)
@@ -135,29 +148,54 @@ def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, l1,
 
     # sample every `stride` positions; least-frequent seed(s) win
     ps = np.arange(0, P, stride, dtype=np.int32)
-    kv_s = kv[:, ps]
     ok_s = win_valid[:, ps]
-    nk = keys.shape[0]
-    if cfg.l1_shift >= 0:
-        # bucket-bounded lower_bound: the first-level table narrows the
-        # range to one key prefix bucket, then a fixed-step binary search
-        # runs inside it (fewer scattered gathers than full searchsorted)
-        q = (kv_s >> cfg.l1_shift).astype(jnp.int32)
+    nk = keys_hi.shape[0]
+    if cfg.wide:
+        q_hi = kv_hi[:, ps]
+        q_lo = kv_lo[:, ps]
+        # bucket id = full key >> l1_shift, assembled from the pair
+        if cfg.l1_shift >= 30:
+            q = (q_hi >> (cfg.l1_shift - 30)).astype(jnp.int32)
+        else:
+            q = ((q_hi << (30 - cfg.l1_shift))
+                 | (q_lo >> cfg.l1_shift)).astype(jnp.int32)
         lo = l1[q].astype(jnp.int32)
         hi = l1[q + 1].astype(jnp.int32)
         hi0 = hi
         for _ in range(cfg.search_steps):
             active = lo < hi
             mid = (lo + hi) >> 1
-            km = keys[jnp.minimum(mid, nk - 1)]
-            less = km < kv_s
+            m = jnp.minimum(mid, nk - 1)
+            km_hi = keys_hi[m]
+            km_lo = keys_lo[m]
+            less = (km_hi < q_hi) | ((km_hi == q_hi) & (km_lo < q_lo))
             lo = jnp.where(active & less, mid + 1, lo)
             hi = jnp.where(active & ~less, mid, hi)
         ii = jnp.minimum(lo, nk - 1)
-        found = (keys[ii] == kv_s) & (lo < hi0) & ok_s
+        found = ((keys_hi[ii] == q_hi) & (keys_lo[ii] == q_lo)
+                 & (lo < hi0) & ok_s)
     else:
-        ii = jnp.clip(jnp.searchsorted(keys, kv_s), 0, nk - 1)
-        found = (keys[ii] == kv_s) & ok_s
+        kv_s = kv[:, ps]
+        if cfg.l1_shift >= 0:
+            # bucket-bounded lower_bound: the first-level table narrows the
+            # range to one key-prefix bucket, then a fixed-step binary
+            # search runs inside it (fewer scattered gathers)
+            q = (kv_s >> cfg.l1_shift).astype(jnp.int32)
+            lo = l1[q].astype(jnp.int32)
+            hi = l1[q + 1].astype(jnp.int32)
+            hi0 = hi
+            for _ in range(cfg.search_steps):
+                active = lo < hi
+                mid = (lo + hi) >> 1
+                km = keys_hi[jnp.minimum(mid, nk - 1)]
+                less = km < kv_s
+                lo = jnp.where(active & less, mid + 1, lo)
+                hi = jnp.where(active & ~less, mid, hi)
+            ii = jnp.minimum(lo, nk - 1)
+            found = (keys_hi[ii] == kv_s) & (lo < hi0) & ok_s
+        else:
+            ii = jnp.clip(jnp.searchsorted(keys_hi, kv_s), 0, nk - 1)
+            found = (keys_hi[ii] == kv_s) & ok_s
     occ = jnp.where(found,
                     (offsets[ii + 1] - offsets[ii]).astype(jnp.int32), _BIG)
 
@@ -242,16 +280,23 @@ class Aligner:
         if idx.n_positions >= (1 << 31) or idx.ref_len >= (1 << 31):
             raise ValueError("reference too large for single-chip index; "
                              "use the sharded index path")
-        if idx.k > 15:
-            raise ValueError("device aligner supports seed_len <= 15 "
-                             "(k-mer keys must fit 30 bits)")
+        if idx.k > 31:
+            raise ValueError("device aligner supports seed_len <= 31")
         self.params = params
         self.ref_len = idx.ref_len
         self.k = idx.k
-        keys = idx.keys.astype(np.uint32)
+        self.wide = idx.k > 15
+        keys = idx.keys.astype(np.uint64)
         if not len(keys):
-            keys = np.zeros(1, np.uint32)
-        self._keys = jnp.asarray(keys)
+            keys = np.zeros(1, np.uint64)
+        if self.wide:
+            self._keys = (jnp.asarray((keys >> np.uint64(30))
+                                      .astype(np.uint32)),
+                          jnp.asarray((keys & np.uint64(0x3FFFFFFF))
+                                      .astype(np.uint32)))
+        else:
+            self._keys = (jnp.asarray(keys.astype(np.uint32)),
+                          jnp.asarray(np.zeros(1, np.uint32)))
         offs = idx.offsets.astype(np.int32)
         if len(offs) < 2:
             offs = np.zeros(2, np.int32)
@@ -266,8 +311,8 @@ class Aligner:
         l1_bits = min(2 * self.k, 18)
         self._l1_shift = max(0, 2 * self.k - l1_bits)
         l1 = np.searchsorted(
-            keys >> np.uint32(self._l1_shift),
-            np.arange((1 << l1_bits) + 1, dtype=np.int64)).astype(np.int32)
+            keys >> np.uint64(self._l1_shift),
+            np.arange((1 << l1_bits) + 1, dtype=np.uint64)).astype(np.int32)
         self._l1 = jnp.asarray(l1)
         max_bucket = int(np.diff(l1).max()) if len(l1) > 1 else 1
         self._search_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
@@ -296,7 +341,7 @@ class Aligner:
                           n_cand=p.seed_max_occ, max_mis=p.max_mis,
                           both_strands=p.both_strands, lp=lp,
                           l1_shift=self._l1_shift,
-                          search_steps=self._search_steps)
+                          search_steps=self._search_steps, wide=self.wide)
 
         # grid-ify
         offs = np.cumsum(lengths) - lengths
@@ -328,7 +373,8 @@ class Aligner:
                                    n_cand=big, max_mis=p.max_mis,
                                    both_strands=p.both_strands, lp=lp,
                                    n_seeds=2, l1_shift=self._l1_shift,
-                                   search_steps=self._search_steps)
+                                   search_steps=self._search_steps,
+                                   wide=self.wide)
                 self._run_tier(cfg2, codes, dege, lengths, todo,
                                mapped, pos, is_rev, mis_mask, 1024)
         return AlignResult(mapped, pos, is_rev, mis_mask)

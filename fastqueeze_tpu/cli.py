@@ -46,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-I", dest="max_insr", type=int, default=0,
                     help="max insert size for PE alignment")
     ap.add_argument("-q", dest="bwa", action="store_true",
-                    help="accepted for CLI parity (single index type here)")
+                    help="long-seed aligner backend (wide 44-bit seeds, "
+                    "higher specificity — the BWA-SMEM mode analogue)")
     ap.add_argument("-P", dest="pipeout", type=int, default=0,
                     choices=[0, 1, 2, 3], help="pipe decompressed reads to "
                     "stdout: 1=SE/PE1 2=PE2 3=interleaved")
@@ -99,6 +100,8 @@ def main(argv=None) -> int:
             from fastqueeze_tpu.align.index import build_index
             p = CodecParams()
             p.apply_config_file()
+            if args.bwa and p.seed_len <= 15:
+                p.seed_len = 22
             out = build_index(args.index, p)
             info(f"index written: {out}")
         elif args.list_arc:
@@ -131,6 +134,8 @@ def main(argv=None) -> int:
                     ("threads", args.threads, defaults.threads)):
                 if val != dflt:        # explicit CLI flag beats config file
                     setattr(p, attr, val)
+            if args.bwa and p.seed_len <= 15:
+                p.seed_len = 22        # -q: long-seed backend
             if args.multi:
                 if args.in2 or ref:
                     error("-m supports plain SE inputs (no -2 / reference)")

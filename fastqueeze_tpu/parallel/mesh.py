@@ -88,6 +88,31 @@ def train_counts_sharded(mesh: Mesh, model: CtxModel,
     return jax.jit(fn)(syms, valid, aux["pos"])
 
 
+def align_blocks_sharded(mesh: Mesh, cfg, keys, offsets, positions, packed,
+                         l1, ref_len, codes, dege, lengths):
+    """Data-parallel alignment over the mesh: the index arrays are
+    replicated across devices (the reference's POSIX-shm index sharing,
+    SURVEY.md §2.3, mapped to a pod slice); read batches shard over the
+    'block' axis.  codes/dege: (B, R, Lp) grids, lengths: (B, R)."""
+    from fastqueeze_tpu.align import hash as H
+
+    def local(ks, off, pos, pk, l1_, c, d, ln):
+        def one(cb, db, lb):
+            return H._align_batch(cfg, ks, off, pos, pk, l1_,
+                                  jnp.int32(ref_len), cb, db, lb)
+        return jax.vmap(one)(c, d, ln)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(),
+                  P("block"), P("block"), P("block")),
+        out_specs=(P("block"), P("block"), P("block"), P("block")),
+        check_vma=False,
+    )
+    return jax.jit(fn)(keys, offsets, positions, packed, l1,
+                       codes, dege, lengths)
+
+
 def encode_blocks_sharded(mesh: Mesh, model: CtxModel, n_halve: int,
                           counts0: jnp.ndarray,
                           syms: jnp.ndarray, valid: jnp.ndarray,

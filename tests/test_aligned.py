@@ -220,3 +220,44 @@ def test_aligned_pe_insert_delta_roundtrip(ref_env, tmp_path):
     compress_pe(p2, str(f1), str(f2), arc2, ref=fa)
     import os
     assert os.path.getsize(arc) <= os.path.getsize(arc2) + 64
+
+
+def test_wide_key_longseed_backend(ref_env, tmp_path):
+    """-q long-seed mode (k > 15, wide 2k-bit keys as u32 pairs): the
+    BWA-SMEM specificity analogue (SURVEY.md C14/C15)."""
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    from fastqueeze_tpu.pipeline.driver import decompress
+    fa, ref_codes, rng = ref_env
+    p = CodecParams(**{**SMALL, "seed_len": 22})
+    ref = load_fasta(fa)
+    idx = build_from_ref(ref, p)
+    assert idx.keys.dtype == np.uint64
+    al = Aligner(idx, p)
+    assert al.wide
+    R, L = 48, 60
+    starts = rng.integers(0, len(ref_codes) - L, R)
+    reads = ref_codes[starts[:, None] + np.arange(L)[None, :]].copy()
+    for i in range(R):
+        mp = rng.choice(L, rng.integers(0, 3), replace=False)
+        reads[i, mp] = (reads[i, mp] + rng.integers(1, 4, len(mp))) % 4
+        if i % 3 == 0:
+            reads[i] = 3 - reads[i][::-1]
+    res = al.align(reads.reshape(-1), np.zeros(R * L, bool),
+                   np.full(R, L, np.int64))
+    assert res.mapped.sum() >= R - 10
+    for i in np.flatnonzero(res.mapped):
+        win = ref_codes[res.pos[i]:res.pos[i] + L].copy()
+        eff = (3 - reads[i][::-1]) if res.is_rev[i] else reads[i]
+        win[res.mis_mask[i, :L]] = eff[res.mis_mask[i, :L]]
+        out = (3 - win[::-1]) if res.is_rev[i] else win
+        assert np.array_equal(out, reads[i])
+
+    # end-to-end with the long-seed index
+    raw = _mk_fastq_from_ref(rng, ref_codes, 100)
+    src = tmp_path / "q.fq"
+    src.write_bytes(raw)
+    arc = str(tmp_path / "q.fqz")
+    stats = compress_se_aligned(p, fa, str(src), arc)
+    assert stats["mapped"] > 50
+    outs = decompress(arc, str(tmp_path / "qback"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw
