@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--slevel", type=int, default=3)
     ap.add_argument("--qlevel", type=int, default=2)
     ap.add_argument("--stats", action="store_true", help="print debug tables")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR "
+                    "(view with TensorBoard / xprof)")
     return ap
 
 
@@ -92,6 +95,13 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     t_start = time.time()
     dbg = DebugInfo()
+    prof = None
+    if args.profile:
+        # tracing parity (reference DebugInfo timers, SURVEY.md C18; here
+        # a full device trace on top of the --stats tables)
+        import jax
+        prof = jax.profiler.trace(args.profile)
+        prof.__enter__()
     try:
         if args.dump_config:
             path = CodecParams().dump_config_file()
@@ -176,6 +186,10 @@ def main(argv=None) -> int:
     except (ValueError, FileNotFoundError, EOFError) as e:
         error(str(e))
         return 1
+    finally:
+        if prof is not None:
+            prof.__exit__(None, None, None)
+            info(f"profiler trace written to {args.profile}")
     if args.stats:
         dbg.print()
     info(f"total time {time.time() - t_start:.2f}s")
