@@ -45,6 +45,16 @@ def main() -> None:
     dt = time.time() - t0
     reads_per_s = n_reads / dt
 
+    from fastqueeze_tpu.pipeline.driver import decompress
+    decompress(os.path.join(tmp, "out.fqz"), os.path.join(tmp, "warmback"),
+               force=True)                      # decode warm-up
+    t0 = time.time()
+    outs = decompress(os.path.join(tmp, "out.fqz"),
+                      os.path.join(tmp, "back"), force=True)
+    dec_dt = time.time() - t0
+    with open(outs[0], "rb") as fh:
+        ok = fh.read(1 << 20) == raw1[:1 << 20]
+
     print(json.dumps({
         "metric": "se_encode_reads_per_s",
         "value": round(reads_per_s, 1),
@@ -56,6 +66,8 @@ def main() -> None:
             "ratio": round(stats["ratio"], 3),
             "blocks": stats["blocks"],
             "wall_s": round(dt, 3),
+            "decode_reads_per_s": round(n_reads / dec_dt, 1),
+            "decode_ok": bool(ok),
         },
     }))
 

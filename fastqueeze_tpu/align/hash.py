@@ -267,6 +267,60 @@ def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, l1,
     return mapped, pos, use_rev & mapped, mis_mask
 
 
+def _gridify(codes_flat, dege_flat, lengths, lp):
+    R = len(lengths)
+    offs = np.cumsum(lengths) - lengths
+    gi = (np.arange(int(lengths.sum()), dtype=np.int64)
+          - np.repeat(offs, lengths))
+    rows = np.repeat(np.arange(R), lengths)
+    codes = np.zeros((R, lp), np.uint8)
+    dege = np.zeros((R, lp), bool)
+    codes[rows, gi] = codes_flat
+    dege[rows, gi] = dege_flat
+    return codes, dege
+
+
+@functools.partial(jax.jit, static_argnames=("lp", "n_cand", "max_mis"))
+def _window_batch(lp: int, n_cand: int, max_mis: int, packed, ref_len,
+                  codes, dege, lengths, centers):
+    """Anchored verification: try every reference offset in
+    [center - n_cand/2, center + n_cand/2) for each read, both strands —
+    the PE mate-rescue step (reference doPEAlign's consistent-pairing
+    preference, SURVEY.md §2.2, recast as a windowed batch)."""
+    B = codes.shape[0]
+    W = lp // 16
+    pos_i = jnp.arange(lp, dtype=jnp.int32)[None, :]
+    valid = pos_i < lengths[:, None]
+    has_dege = (dege & valid).any(axis=1)
+    cand = (centers[:, None] - n_cand // 2
+            + jnp.arange(n_cand, dtype=jnp.int32)[None, :])
+    cand_ok = (cand >= 0) & (cand + lengths[:, None] <= ref_len)
+
+    def strand(c):
+        rw, mw = _pack_words(c, valid, lp)
+        refw = _fetch_ref_words(packed, cand, W)
+        mis = _mis2bit((rw[:, None, :] ^ refw) & mw[:, None, :]).sum(axis=2)
+        mis = jnp.where(cand_ok, mis, _BIG)
+        cb = jnp.argmin(mis, axis=1)
+        return (jnp.take_along_axis(mis, cb[:, None], axis=1)[:, 0],
+                jnp.take_along_axis(cand, cb[:, None], axis=1)[:, 0])
+
+    mis_f, pos_f = strand(codes)
+    ridx = jnp.clip(lengths[:, None] - 1 - pos_i, 0, lp - 1)
+    rc = jnp.where(valid, 3 - jnp.take_along_axis(
+        codes.astype(jnp.int32), ridx, axis=1), 0).astype(jnp.uint8)
+    mis_r, pos_r = strand(rc)
+
+    use_rev = mis_r < mis_f
+    mis = jnp.where(use_rev, mis_r, mis_f)
+    pos = jnp.where(use_rev, pos_r, pos_f)
+    mapped = (mis <= max_mis) & ~has_dege
+    eff = jnp.where(use_rev[:, None], rc, codes)
+    refc = _ref_base_at(packed, jnp.clip(pos[:, None], 0, None) + pos_i)
+    mis_mask = (eff != refc) & valid & mapped[:, None]
+    return mapped, pos, use_rev & mapped, mis_mask
+
+
 class Aligner:
     """Host wrapper: holds device copies of the index, buckets read batches.
 
@@ -343,15 +397,7 @@ class Aligner:
                           l1_shift=self._l1_shift,
                           search_steps=self._search_steps, wide=self.wide)
 
-        # grid-ify
-        offs = np.cumsum(lengths) - lengths
-        gi = (np.arange(int(lengths.sum()), dtype=np.int64)
-              - np.repeat(offs, lengths))
-        rows = np.repeat(np.arange(R), lengths)
-        codes = np.zeros((R, lp), np.uint8)
-        dege = np.zeros((R, lp), bool)
-        codes[rows, gi] = codes_flat
-        dege[rows, gi] = dege_flat
+        codes, dege = _gridify(codes_flat, dege_flat, lengths, lp)
 
         mapped = np.zeros(R, bool)
         pos = np.zeros(R, np.int64)
@@ -377,6 +423,49 @@ class Aligner:
                                    wide=self.wide)
                 self._run_tier(cfg2, codes, dege, lengths, todo,
                                mapped, pos, is_rev, mis_mask, 1024)
+        return AlignResult(mapped, pos, is_rev, mis_mask)
+
+    def rescue_mates(self, codes_flat: np.ndarray, dege_flat: np.ndarray,
+                     lengths: np.ndarray, res: AlignResult,
+                     max_insr: int) -> AlignResult:
+        """PE consistent-pairing rescue (reference doPEAlign preference):
+        an unmapped read whose interleaved mate is mapped is re-verified at
+        every offset within +-max_insr of the mate's position."""
+        R = len(lengths)
+        if R < 2 or max_insr <= 0:
+            return res
+        mate = np.arange(R) ^ 1
+        todo = np.flatnonzero(~res.mapped & res.mapped[mate] & (lengths > 0))
+        if not len(todo):
+            return res
+        lp = res.mis_mask.shape[1]
+        codes, dege = _gridify(codes_flat, dege_flat, lengths, lp)
+        C = min(4096, 2 * max_insr + 128)
+        B = max(64, (1 << 22) // (C * (lp // 16)))     # bound device memory
+        mapped, pos = res.mapped.copy(), res.pos.copy()
+        is_rev, mis_mask = res.is_rev.copy(), res.mis_mask.copy()
+        jobs = []
+        for s in range(0, len(todo), B):
+            sel = todo[s:s + B]
+            n = len(sel)
+            cb = np.zeros((B, lp), np.uint8)
+            db = np.zeros((B, lp), bool)
+            lb = np.zeros(B, np.int32)
+            ctr = np.zeros(B, np.int32)
+            cb[:n], db[:n], lb[:n] = codes[sel], dege[sel], lengths[sel]
+            ctr[:n] = res.pos[mate[sel]]
+            out = _window_batch(lp, C, self.params.max_mis, self._packed,
+                                jnp.int32(self.ref_len), jnp.asarray(cb),
+                                jnp.asarray(db), jnp.asarray(lb),
+                                jnp.asarray(ctr))
+            jobs.append((sel, n, out))
+        for sel, n, (m, p_, r, mm) in jobs:
+            m = np.asarray(m)[:n]
+            upd = sel[m]
+            mapped[upd] = True
+            pos[upd] = np.asarray(p_)[:n][m]
+            is_rev[upd] = np.asarray(r)[:n][m]
+            mis_mask[upd] = np.asarray(mm)[:n][m]
         return AlignResult(mapped, pos, is_rev, mis_mask)
 
     def _run_tier(self, cfg: AlignConfig, codes, dege, lengths, rows,

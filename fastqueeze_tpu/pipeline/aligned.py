@@ -163,6 +163,14 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
         md5_2.update(raw2)
         merged = interleave_blocks(b1, b2)
         align, n_mapped = _maybe_align(p, aligner, merged, dbg)
+        if align is not None and p.max_insr > 0:
+            # consistent-pairing rescue within the insert window
+            codes, dege = _read_codes(merged)
+            before = int(align.mapped.sum())
+            align = aligner.rescue_mates(codes, dege, merged.lengths,
+                                         align, p.max_insr)
+            n_mapped = int(align.mapped.sum())
+            dbg.add("pe_rescued", n_mapped - before)
         if align is not None:
             _tally_pe_relations(align, dbg)
         t0 = time.time()

@@ -261,3 +261,36 @@ def test_wide_key_longseed_backend(ref_env, tmp_path):
     assert stats["mapped"] > 50
     outs = decompress(arc, str(tmp_path / "qback"), ref=fa, force=True)
     assert open(outs[0], "rb").read() == raw
+
+
+def test_pe_mate_window_rescue(ref_env, tmp_path):
+    """An unmapped mate near its mapped mate is rescued by the windowed
+    re-verification (consistent-pairing preference, -I mode)."""
+    from fastqueeze_tpu.align.hash import AlignResult
+    fa, ref_codes, rng = ref_env
+    p = CodecParams(max_insr=500, **SMALL)
+    idx = build_from_ref(load_fasta(fa), p)
+    al = Aligner(idx, p)
+    L = 60
+    # pair: mate1 clean, mate2 heavily mutated in every seed window (so
+    # seeding fails) but still within max_mis overall at a known offset
+    s1 = 4000
+    s2 = s1 + 150
+    m1 = ref_codes[s1:s1 + L].copy()
+    m2 = ref_codes[s2:s2 + L].copy()
+    mut = np.arange(5, L, 15)[:4]            # 4 spread mutations
+    m2[mut] = (m2[mut] + 1) % 4
+    reads = np.concatenate([m1, m2])
+    lengths = np.full(2, L, np.int64)
+    res = al.align(reads, np.zeros(2 * L, bool), lengths)
+    assert res.mapped[0]
+    res2 = al.rescue_mates(reads, np.zeros(2 * L, bool), lengths, res,
+                           p.max_insr)
+    assert res2.mapped[1]
+    assert abs(int(res2.pos[1]) - s2) == 0
+    # reconstruction exactness for the rescued mate
+    win = ref_codes[res2.pos[1]:res2.pos[1] + L].copy()
+    eff = (3 - m2[::-1]) if res2.is_rev[1] else m2
+    win[res2.mis_mask[1, :L]] = eff[res2.mis_mask[1, :L]]
+    out = (3 - win[::-1]) if res2.is_rev[1] else win
+    assert np.array_equal(out, m2)

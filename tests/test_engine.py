@@ -112,3 +112,25 @@ def test_frozen_counts_roundtrip():
     payload = encode_stream(model, P, flat_b, counts_b, counts0=trained)
     back = decode_stream(model, P, payload, counts_b, counts0=trained)
     np.testing.assert_array_equal(back, flat_b)
+
+
+def test_property_roundtrip_random_models():
+    """Property test: random alphabets/contexts/params round-trip through
+    the wave engine (hypothesis-style, seeded loop to keep CPU time low)."""
+    import numpy as np
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.models.base import CtxModel, Order1ByteModel
+    from fastqueeze_tpu.ops.engine import decode_stream, encode_stream
+    rng = np.random.default_rng(123)
+    for trial in range(4):
+        A = int(rng.choice([2, 5, 17, 64]))
+        R = int(rng.integers(1, 40))
+        counts = rng.integers(0, 50, R).astype(np.int64)
+        syms = rng.integers(0, A, int(counts.sum())).astype(np.uint8)
+        p = CodecParams(lanes_min=8, lanes_max=16, lane_target_symbols=64)
+        cls = Order1ByteModel if trial % 2 else CtxModel
+        model = cls(alphabet=A, init=1, inc=8, cap=4096,
+                    n_ctx=A if trial % 2 else 1)
+        payload = encode_stream(model, p, syms, counts)
+        back = decode_stream(model, p, payload, counts)
+        assert np.array_equal(back, syms), f"trial {trial}"
