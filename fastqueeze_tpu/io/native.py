@@ -50,6 +50,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "fq_cap_rescale"):
+        # stale .so from before a symbol was added: rebuild and reload
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            return None
+        if not hasattr(lib, "fq_cap_rescale"):
+            return None
     lib.fq_record_boundary.restype = ctypes.c_int64
     lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]
     lib.fq_parse_block.restype = ctypes.c_int64
@@ -69,6 +79,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.rc_decode_ctx.argtypes = [_U8P, ctypes.c_int64, _u32p,
                                   ctypes.c_int64, _i32, _i32, _i32, _i32,
                                   _i32, _U8P]
+    _i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.fq_seq_hist.restype = None
+    lib.fq_seq_hist.argtypes = [_U8P, _I64P, ctypes.c_int64, _i32,
+                                ctypes.c_uint32, _i32p]
+    lib.fq_qual_hist.restype = None
+    lib.fq_qual_hist.argtypes = [_U8P, _I64P, ctypes.c_int64, _i32, _i32,
+                                 _i32, _i32p]
+    lib.fq_cap_rescale.restype = None
+    lib.fq_cap_rescale.argtypes = [_i32p, ctypes.c_int64, _i32, _i32, _i32,
+                                   _i32]
     lib.rc_encode_o1.restype = ctypes.c_int64
     lib.rc_encode_o1.argtypes = [_U8P, ctypes.c_int64, _i32, _i32, _i32,
                                  _i32, _U8P, ctypes.c_int64]
@@ -206,3 +226,50 @@ def rc_decode_o1(data, n, alphabet, init, inc, cap):
     if r < 0:
         return None
     return out
+
+
+def seq_hist(codes: np.ndarray, lengths: np.ndarray, order: int,
+             magic: int) -> Optional[np.ndarray]:
+    """One-pass (context, base) histogram for the frozen-model trainer.
+    Returns (n_ctx, 4) int32 raw occurrence counts, or None (fallback)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    n_ctx = 1 << (2 * order)
+    hist = np.zeros(n_ctx * 4, np.int32)
+    lib.fq_seq_hist(_u8p(codes), _i64p(lengths), len(lengths), order,
+                    ctypes.c_uint32(magic),
+                    hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return hist.reshape(n_ctx, 4)
+
+
+def qual_hist(q: np.ndarray, lengths: np.ndarray, qlevel: int,
+              drop_init: int, alphabet: int) -> Optional[np.ndarray]:
+    """One-pass (context, qual) histogram; (n_ctx, alphabet) int32 or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, np.uint8)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    n_ctx = (1 << 20) if qlevel >= 3 else (1 << 16)
+    hist = np.zeros(n_ctx * alphabet, np.int32)
+    lib.fq_qual_hist(_u8p(q), _i64p(lengths), len(lengths), qlevel,
+                     drop_init, alphabet,
+                     hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return hist.reshape(n_ctx, alphabet)
+
+
+def cap_rescale(hist: np.ndarray, inc: int, init: int,
+                cap: int) -> Optional[np.ndarray]:
+    """In-place inc/init weighting + cap rescale of a (n_ctx, A) int32
+    histogram; returns the same array, or None (fallback)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert hist.dtype == np.int32 and hist.flags.c_contiguous
+    lib.fq_cap_rescale(
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        hist.shape[0], hist.shape[1], inc, init, cap)
+    return hist

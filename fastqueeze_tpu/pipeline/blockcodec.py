@@ -281,18 +281,16 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     mapped_sym = np.repeat(mapped, lengths)
     seq_counts = (lengths - dege_cnt)[~mapped]
     seq_model = seq_model_from_params(p)
-    seq_job = encode_stream_job(
-        seq_model, p, codes[~dege_mask & ~mapped_sym], seq_counts,
-        counts0=frozen["seq_counts"] if frozen else None, adapt=adapt)
-
     qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
                        inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
                        drop_init=p.q_drop_init)
-    qc0 = None
+    sc0 = qc0 = None
     if frozen is not None:
-        from fastqueeze_tpu.pipeline.frozen import fit_qual_alphabet
-        qc0 = fit_qual_alphabet(frozen["qual_counts"], qmodel.alphabet,
-                                p.qual_init)
+        from fastqueeze_tpu.pipeline.frozen import frozen_dev_tables
+        sc0, qc0 = frozen_dev_tables(frozen, qmodel.alphabet, p.qual_init)
+    seq_job = encode_stream_job(
+        seq_model, p, codes[~dege_mask & ~mapped_sym], seq_counts,
+        counts0=sc0, adapt=adapt)
     qual_job = encode_stream_job(
         qmodel, p, qflat.astype(np.uint8), lengths, counts0=qc0,
         adapt=adapt)
@@ -499,18 +497,16 @@ def decode_block(p: CodecParams, payload: bytes,
     mapped_sym = np.repeat(mapped, lengths)
     seq_counts = (lengths - dege_cnt)[~mapped]
     seq_model = seq_model_from_params(p)
-    seq_job = decode_stream_job(
-        seq_model, p, sections[TAG_SEQ], seq_counts,
-        counts0=frozen["seq_counts"] if frozen else None, adapt=adapt)
-
     qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
                        inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
                        drop_init=p.q_drop_init)
-    qc0 = None
+    sc0 = qc0 = None
     if frozen is not None:
-        from fastqueeze_tpu.pipeline.frozen import fit_qual_alphabet
-        qc0 = fit_qual_alphabet(frozen["qual_counts"], qmodel.alphabet,
-                                p.qual_init)
+        from fastqueeze_tpu.pipeline.frozen import frozen_dev_tables
+        sc0, qc0 = frozen_dev_tables(frozen, qmodel.alphabet, p.qual_init)
+    seq_job = decode_stream_job(
+        seq_model, p, sections[TAG_SEQ], seq_counts,
+        counts0=sc0, adapt=adapt)
     qual_job = decode_stream_job(qmodel, p, sections[TAG_QUAL], lengths,
                                  counts0=qc0, adapt=adapt)
 

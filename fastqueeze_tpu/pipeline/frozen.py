@@ -8,12 +8,13 @@ snapshot — blocks become independently decodable in parallel with
 deterministic model state).
 
 TPU-first redesign: training is not a serial coding pass but a single
-batched histogram (`engine.train_counts` — one bincount over every
-(context, symbol) pair of the prefix at once); the snapshot is the counts
-tables themselves, zlib-packed into the container's MODEL section.  Each
-block then starts from the frozen tables and keeps adapting *within* the
-block (still block-independent, strictly better-adapted than the
-reference's fully-frozen coding).
+histogram over every (context, symbol) pair of the prefix at once (host
+np.bincount — contexts are pure vectorized functions of previous symbols,
+and a bincount beats the device scatter-add severalfold on this hardware
+while skipping both table transfers); the snapshot is the counts tables
+themselves, zlib-packed into the container's MODEL section.  Blocks then
+code against the frozen snapshot (frozen_adapt=1 instead re-adapts from it
+within each block — still block-independent).
 """
 
 from __future__ import annotations
@@ -30,8 +31,6 @@ from fastqueeze_tpu.config import CodecParams
 from fastqueeze_tpu.container.encap import iter_tlv, write_tlv
 from fastqueeze_tpu.io.fastq import FastqBlock
 from fastqueeze_tpu.models.base import QualModel, seq_model_from_params
-from fastqueeze_tpu.ops.engine import train_counts
-
 _TAG_META = 1
 _TAG_SEQ = 2
 _TAG_QUAL = 3
@@ -71,9 +70,93 @@ def _subsample(block: FastqBlock, target_syms: int) -> FastqBlock:
         raw_len=0, final_newline=True)
 
 
+def _pos_in_read(lengths: np.ndarray) -> np.ndarray:
+    """Flat (read-major) position-within-read for every symbol."""
+    n = int(lengths.sum())
+    starts = np.cumsum(lengths) - lengths
+    return (np.arange(n, dtype=np.int64)
+            - np.repeat(starts, lengths)).astype(np.int32)
+
+
+def seq_ctx_flat(model, codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Host mirror of SeqModel.context_grids over flat read-major symbols:
+    ctx at position p = ((MAGIC << 2p) | pack(last min(p, order) bases))
+    & mask.  Bit-identical to the device walk (cross-checked in tests)."""
+    from fastqueeze_tpu.config import SEQ_CTX_START
+    pos = _pos_in_read(lengths)
+    n = len(codes)
+    acc = np.zeros(n, np.uint32)
+    c = codes.astype(np.uint32)
+    for j in range(1, model.order + 1):
+        sl = acc[j:]
+        sl |= np.where(pos[j:] >= j, c[:-j], np.uint32(0)) << (2 * (j - 1))
+    mask = np.uint32(model.mask)
+    magic = np.uint64(SEQ_CTX_START & model.mask)
+    shift = (2 * np.minimum(pos, model.order)).astype(np.uint64)
+    magic_part = np.where(pos < model.order, magic << shift,
+                          np.uint64(0)).astype(np.uint32)
+    return ((acc | magic_part) & mask).astype(np.int64)
+
+
+def qual_ctx_flat(model, q: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Host mirror of QualModel.context_grids over flat symbols."""
+    pos = _pos_in_read(lengths)
+    q = q.astype(np.int32)
+    q1 = np.zeros_like(q)
+    q2 = np.zeros_like(q)
+    q1[1:] = np.where(pos[1:] >= 1, q[:-1], 0)
+    q2[2:] = np.where(pos[2:] >= 2, q[:-2], 0)
+    d = np.where(pos >= 1, np.maximum(0, q1 - q), 0)
+    cs = np.cumsum(d)
+    starts = (np.cumsum(lengths) - lengths).astype(np.int64)
+    base = np.repeat(cs[starts] if len(q) else cs[:0], lengths)
+    csp = np.empty_like(cs)
+    if len(cs):
+        csp[0] = 0
+        csp[1:] = cs[:-1]
+    drops = np.where(pos >= 1, model.drop_init + csp - base,
+                     model.drop_init)
+    ctx = ((np.maximum(q1, q2) << 6) + q1) & 0xFFF
+    if model.qlevel >= 2:
+        ctx = ctx + np.where(q1 == q2, 0x1000, 0)
+        ctx = ctx + ((np.minimum(drops, 56) & ~7) << 10)
+    if model.qlevel >= 3:
+        ctx = ctx + (np.minimum(pos >> 3, 15) << 16)
+    return ctx.astype(np.int64)
+
+
+def _cap_rescale(model, hist: np.ndarray) -> np.ndarray:
+    """inc/init weighting + the deterministic cap rescale — bit-identical to
+    engine._train_counts (native one-pass when available)."""
+    from fastqueeze_tpu.io import native
+    h32 = np.ascontiguousarray(hist, np.int32)
+    out = native.cap_rescale(h32, model.inc, model.init, model.cap)
+    if out is not None:
+        return out
+    counts = hist.astype(np.int64) * model.inc + model.init
+    for _ in range(24):
+        tot = counts.sum(axis=1, keepdims=True)
+        over = tot > model.cap
+        if not over.any():
+            break
+        counts = np.where(over, (counts + 1) >> 1, counts)
+    return counts.astype(np.int32)
+
+
+def _hist_counts(model, ctx: np.ndarray, syms: np.ndarray) -> np.ndarray:
+    """np.bincount histogram + cap rescale (numpy mirror of the native
+    one-pass trainer in native/trainhist.cpp; the device scatter-add in
+    engine.train_counts computes the same tables)."""
+    n = model.n_ctx * model.alphabet
+    flat = ctx * model.alphabet + syms.astype(np.int64)
+    hist = np.bincount(flat, minlength=n)[:n].reshape(
+        model.n_ctx, model.alphabet)
+    return _cap_rescale(model, hist)
+
+
 def train_frozen(p: CodecParams, block: FastqBlock,
                  target_syms: int = 16 << 20) -> Dict:
-    """Train seq + qual frozen tables from a prefix block."""
+    """Train seq + qual frozen tables from a prefix block (host bincount)."""
     from fastqueeze_tpu.pipeline.blockcodec import _BASE_MAP
     block = _subsample(block, target_syms)
     codes = _BASE_MAP[block.seq_flat]
@@ -81,23 +164,50 @@ def train_frozen(p: CodecParams, block: FastqBlock,
     lengths = block.lengths
     R = block.n_reads
     dege_cnt = np.zeros(R, np.int64)
-    if dege.any():
-        np.add.at(dege_cnt, np.repeat(np.arange(R), lengths), dege)
+    n_dege = int(dege.sum())
+    if n_dege:
+        read_of = np.repeat(np.arange(R), lengths)
+        dege_cnt = np.bincount(read_of[dege], minlength=R).astype(np.int64)
+    from fastqueeze_tpu.config import SEQ_CTX_START
+    from fastqueeze_tpu.io import native
     seq_model = seq_model_from_params(p)
-    seq_counts = train_counts(seq_model, p, codes[~dege],
-                              lengths - dege_cnt)
+    seq_codes = codes[~dege]
+    seq_lens = lengths - dege_cnt
+    hist = native.seq_hist(seq_codes, seq_lens, seq_model.order,
+                           SEQ_CTX_START)
+    if hist is not None:
+        seq_counts = _cap_rescale(seq_model, hist)
+    else:
+        seq_counts = _hist_counts(
+            seq_model, seq_ctx_flat(seq_model, seq_codes, seq_lens),
+            seq_codes)
 
     qflat = block.qual_flat.astype(np.int32) - 33
     qmax = int(qflat.max()) if len(qflat) else 0
     qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
                        inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
                        drop_init=p.q_drop_init)
-    qual_counts = train_counts(qmodel, p, qflat.astype(np.uint8), lengths)
-    # tables travel (device->host->archive->device) in the narrowest dtype
-    # the model cap allows; the engine widens to int32 on device
+    qhist = native.qual_hist(qflat.astype(np.uint8), lengths, p.qlevel,
+                             p.q_drop_init, qmodel.alphabet)
+    if qhist is not None:
+        qual_counts = _cap_rescale(qmodel, qhist)
+    else:
+        qual_counts = _hist_counts(
+            qmodel, qual_ctx_flat(qmodel, qflat, lengths),
+            qflat.astype(np.uint8))
+    # tables travel (host->archive->device) in the narrowest dtype the
+    # model cap allows; the engine widens to int32 on device
     return {"qmax": qmax,
-            "seq_counts": np.asarray(_narrow(seq_counts, seq_model.cap)),
-            "qual_counts": np.asarray(_narrow(qual_counts, qmodel.cap))}
+            "seq_counts": _narrow_np(seq_counts, seq_model.cap),
+            "qual_counts": _narrow_np(qual_counts, qmodel.cap)}
+
+
+def _narrow_np(counts: np.ndarray, cap: int) -> np.ndarray:
+    if cap < (1 << 8):
+        return counts.astype(np.uint8)
+    if cap < (1 << 16):
+        return counts.astype(np.uint16)
+    return counts
 
 
 def _narrow(counts, cap: int):
@@ -140,6 +250,21 @@ def deserialize_frozen(blob: bytes) -> Dict:
     return {"qmax": meta["qmax"],
             "seq_counts": seq.reshape(meta["seq_shape"]),
             "qual_counts": qual.reshape(meta["qual_shape"])}
+
+
+def frozen_dev_tables(frozen: Dict, qual_alphabet: int, init: int):
+    """Device-resident frozen tables, uploaded once per archive (the tables
+    are ~10 MB and identical for every block — re-uploading them per block
+    costs ~0.7 s/block over the tunnel).  Cached inside the frozen dict."""
+    from fastqueeze_tpu.ops.engine import counts0_dev
+    cache = frozen.setdefault("_dev", {})
+    if "seq" not in cache:
+        cache["seq"] = counts0_dev(frozen["seq_counts"])
+    qkey = ("qual", qual_alphabet)
+    if qkey not in cache:
+        cache[qkey] = counts0_dev(
+            fit_qual_alphabet(frozen["qual_counts"], qual_alphabet, init))
+    return cache["seq"], cache[qkey]
 
 
 def fit_qual_alphabet(counts, alphabet: int, init: int):

@@ -1,0 +1,87 @@
+// Frozen-model training histograms (host hot path).
+//
+// The usemodel trainer (fastqueeze_tpu/pipeline/frozen.py, reference
+// analogue: SeqArcPreProcess encode_*_formodel, SURVEY.md §3.4) histograms
+// every (context, symbol) pair of a ~16M-symbol prefix.  The contexts are
+// the same rolling-register formulas the device models use
+// (models/base.py SeqModel / QualModel); a single serial pass here beats
+// both the TPU scatter-add (slow on TPU hardware) and the vectorized-numpy
+// fallback on this host by an order of magnitude.
+
+#include <cstdint>
+
+extern "C" {
+
+// hist must be zeroed, size (1 << 2*order) * 4 int32 entries.
+// codes: 2-bit bases, read-major, degenerate bases already stripped.
+void fq_seq_hist(const uint8_t* codes, const int64_t* lengths, int64_t n_reads,
+                 int32_t order, uint32_t magic, int32_t* hist) {
+    const uint32_t mask = (order >= 16) ? 0xFFFFFFFFu
+                                        : ((1u << (2 * order)) - 1u);
+    int64_t off = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        uint32_t ctx = magic & mask;
+        const int64_t len = lengths[r];
+        for (int64_t i = 0; i < len; ++i) {
+            const uint32_t sym = codes[off + i];
+            ++hist[(static_cast<int64_t>(ctx) << 2) | sym];
+            ctx = ((ctx << 2) | sym) & mask;
+        }
+        off += len;
+    }
+}
+
+// hist must be zeroed, size n_ctx * alphabet int32 entries
+// (n_ctx = 1<<20 for qlevel >= 3, else 1<<16).
+// q: Phred values (char - 33), read-major.
+void fq_qual_hist(const uint8_t* q, const int64_t* lengths, int64_t n_reads,
+                  int32_t qlevel, int32_t drop_init, int32_t alphabet,
+                  int32_t* hist) {
+    int64_t off = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        int32_t q1 = 0, q2 = 0, drops = drop_init;
+        const int64_t len = lengths[r];
+        for (int64_t i = 0; i < len; ++i) {
+            const int32_t sym = q[off + i];
+            int32_t ctx = (((q1 > q2 ? q1 : q2) << 6) + q1) & 0xFFF;
+            if (qlevel >= 2) {
+                if (q1 == q2) ctx += 0x1000;
+                ctx += ((drops < 56 ? drops : 56) & ~7) << 10;
+            }
+            if (qlevel >= 3) {
+                const int32_t p3 = static_cast<int32_t>(i) >> 3;
+                ctx += (p3 < 15 ? p3 : 15) << 16;
+            }
+            ++hist[static_cast<int64_t>(ctx) * alphabet + sym];
+            drops += (q1 > sym) ? (q1 - sym) : 0;
+            q2 = q1;
+            q1 = sym;
+        }
+        off += len;
+    }
+}
+
+// In-place inc/init weighting + deterministic cap rescale: counts =
+// hist*inc + init, then halve rows (rounding up) until total <= cap.
+// Bit-identical to frozen._cap_rescale / engine._train_counts.
+void fq_cap_rescale(int32_t* hist, int64_t n_rows, int32_t alphabet,
+                    int32_t inc, int32_t init, int32_t cap) {
+    for (int64_t r = 0; r < n_rows; ++r) {
+        int32_t* row = hist + r * alphabet;
+        int64_t tot = 0;
+        for (int32_t a = 0; a < alphabet; ++a) {
+            const int64_t v = static_cast<int64_t>(row[a]) * inc + init;
+            row[a] = static_cast<int32_t>(v);
+            tot += v;
+        }
+        for (int it = 0; it < 24 && tot > cap; ++it) {
+            tot = 0;
+            for (int32_t a = 0; a < alphabet; ++a) {
+                row[a] = (row[a] + 1) >> 1;
+                tot += row[a];
+            }
+        }
+    }
+}
+
+}  // extern "C"

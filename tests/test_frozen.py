@@ -105,3 +105,64 @@ def test_frozen_shrinks_block_payloads_on_real_data(tmp_path):
         pay_b = sum(b.payload_len for b in rb.blocks)
         assert len(ra.blocks) >= 2 and len(rb.blocks) == len(ra.blocks)
     assert pay_b < pay_a
+
+
+def test_host_trainer_matches_device():
+    """train_frozen's host bincount path must produce bit-identical tables
+    to the device histogram trainer (engine.train_counts) — same contexts,
+    same cap rescale."""
+    from fastqueeze_tpu.models.base import QualModel, seq_model_from_params
+    from fastqueeze_tpu.ops.engine import train_counts
+    from fastqueeze_tpu.pipeline.frozen import (
+        _hist_counts, _qual_alphabet, qual_ctx_flat, seq_ctx_flat)
+
+    rng = np.random.default_rng(11)
+    for qlevel in (2, 3):
+        p = CodecParams(slevel=0, qlevel=qlevel, lanes_min=16, lanes_max=64,
+                        lane_target_symbols=512)
+        lengths = rng.integers(5, 90, 40)
+        codes = rng.integers(0, 4, int(lengths.sum())).astype(np.uint8)
+        quals = rng.integers(0, 45, int(lengths.sum())).astype(np.uint8)
+
+        sm = seq_model_from_params(p)
+        host = _hist_counts(sm, seq_ctx_flat(sm, codes, lengths), codes)
+        dev = np.asarray(train_counts(sm, p, codes, lengths))
+        assert np.array_equal(host, dev)
+
+        qm = QualModel(alphabet=_qual_alphabet(44), init=p.qual_init,
+                       inc=p.qual_inc, cap=p.qual_cap, qlevel=qlevel,
+                       drop_init=p.q_drop_init)
+        host = _hist_counts(qm, qual_ctx_flat(qm, quals, lengths), quals)
+        dev = np.asarray(train_counts(qm, p, quals, lengths))
+        assert np.array_equal(host, dev)
+
+
+def test_native_hist_matches_numpy():
+    from fastqueeze_tpu.config import SEQ_CTX_START
+    from fastqueeze_tpu.io import native
+    from fastqueeze_tpu.models.base import QualModel, seq_model_from_params
+    from fastqueeze_tpu.pipeline.frozen import (
+        _qual_alphabet, qual_ctx_flat, seq_ctx_flat)
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    lengths = rng.integers(1, 70, 60)
+    codes = rng.integers(0, 4, int(lengths.sum())).astype(np.uint8)
+    quals = rng.integers(0, 50, int(lengths.sum())).astype(np.uint8)
+    for slevel in (0, 3):
+        p = CodecParams(slevel=slevel)
+        sm = seq_model_from_params(p)
+        nat = native.seq_hist(codes, lengths, sm.order, SEQ_CTX_START)
+        ctx = seq_ctx_flat(sm, codes, lengths)
+        ref = np.bincount(ctx * 4 + codes,
+                          minlength=sm.n_ctx * 4).reshape(sm.n_ctx, 4)
+        assert np.array_equal(nat, ref)
+    for qlevel in (1, 2, 3):
+        qm = QualModel(alphabet=_qual_alphabet(49), qlevel=qlevel,
+                       drop_init=5)
+        nat = native.qual_hist(quals, lengths, qlevel, 5, qm.alphabet)
+        ctx = qual_ctx_flat(qm, quals, lengths)
+        ref = np.bincount(
+            ctx * qm.alphabet + quals,
+            minlength=qm.n_ctx * qm.alphabet).reshape(qm.n_ctx, qm.alphabet)
+        assert np.array_equal(nat, ref)
