@@ -50,7 +50,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_cap_rescale"):
+    if not hasattr(lib, "fq_id_tokenize"):
         # stale .so from before a symbol was added: rebuild and reload
         if not _build():
             return None
@@ -58,7 +58,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_cap_rescale"):
+        if not hasattr(lib, "fq_id_tokenize"):
             return None
     lib.fq_record_boundary.restype = ctypes.c_int64
     lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]
@@ -89,6 +89,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fq_cap_rescale.restype = None
     lib.fq_cap_rescale.argtypes = [_i32p, ctypes.c_int64, _i32, _i32, _i32,
                                    _i32]
+    lib.fq_grid_scatter.restype = None
+    lib.fq_grid_scatter.argtypes = [_U8P, _i32, _I64P, _I64P, _I64P,
+                                    ctypes.c_int64, ctypes.c_int64, _U8P]
+    lib.fq_grid_gather.restype = None
+    lib.fq_grid_gather.argtypes = [_U8P, _i32, _I64P, _I64P, _I64P,
+                                   ctypes.c_int64, ctypes.c_int64, _U8P]
+    lib.fq_id_tokenize.restype = ctypes.c_int64
+    lib.fq_id_tokenize.argtypes = [_U8P, _I64P, ctypes.c_int64,
+                                   ctypes.c_int64, _I64P, _I64P, _I64P]
     lib.rc_encode_o1.restype = ctypes.c_int64
     lib.rc_encode_o1.argtypes = [_U8P, ctypes.c_int64, _i32, _i32, _i32,
                                  _i32, _U8P, ctypes.c_int64]
@@ -273,3 +282,57 @@ def cap_rescale(hist: np.ndarray, inc: int, init: int,
         hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         hist.shape[0], hist.shape[1], inc, init, cap)
     return hist
+
+
+def grid_scatter(flat: np.ndarray, counts: np.ndarray, start_t: np.ndarray,
+                 lane: np.ndarray, grid: np.ndarray) -> bool:
+    """Scatter ragged read-major flat symbols into a (T, L) grid (in place).
+    flat/grid itemsize must be 1 or 2.  Returns False (fallback) if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None or flat.dtype.itemsize not in (1, 2):
+        return False
+    assert grid.flags.c_contiguous and grid.dtype.itemsize == flat.dtype.itemsize
+    f = np.ascontiguousarray(flat)
+    c = np.ascontiguousarray(counts, np.int64)
+    s = np.ascontiguousarray(start_t, np.int64)
+    ln = np.ascontiguousarray(lane, np.int64)
+    lib.fq_grid_scatter(f.ctypes.data_as(_U8P), flat.dtype.itemsize,
+                        _i64p(c), _i64p(s), _i64p(ln), len(c),
+                        grid.shape[1], grid.ctypes.data_as(_U8P))
+    return True
+
+
+def grid_gather(grid: np.ndarray, counts: np.ndarray, start_t: np.ndarray,
+                lane: np.ndarray, flat: np.ndarray) -> bool:
+    """Gather a (T, L) grid back into ragged read-major flat (in place)."""
+    lib = get_lib()
+    if lib is None or grid.dtype.itemsize not in (1, 2):
+        return False
+    assert grid.flags.c_contiguous and flat.dtype.itemsize == grid.dtype.itemsize
+    g = np.ascontiguousarray(grid)
+    c = np.ascontiguousarray(counts, np.int64)
+    s = np.ascontiguousarray(start_t, np.int64)
+    ln = np.ascontiguousarray(lane, np.int64)
+    lib.fq_grid_gather(g.ctypes.data_as(_U8P), grid.dtype.itemsize,
+                       _i64p(c), _i64p(s), _i64p(ln), len(c),
+                       g.shape[1], flat.ctypes.data_as(_U8P))
+    return True
+
+
+def id_tokenize(buf: np.ndarray, offs: np.ndarray, cap: int):
+    """Tokenize concatenated ID lines into digit/non-digit runs.  Returns
+    (ntok (R,), tstart (M,), tend (M,)) or None (unavailable / cap hit)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    R = len(offs) - 1
+    ntok = np.empty(R, np.int64)
+    tstart = np.empty(cap, np.int64)
+    tend = np.empty(cap, np.int64)
+    offs = np.ascontiguousarray(offs, np.int64)
+    m = lib.fq_id_tokenize(_u8p(buf), _i64p(offs), R, cap, _i64p(ntok),
+                           _i64p(tstart), _i64p(tend))
+    if m < 0:
+        return None
+    return ntok, tstart[:m], tend[:m]

@@ -9,11 +9,16 @@ reconstructs the identical grid coordinates.
 
 This replaces the reference's serial per-read loops (compressSeq @0x4249c7
 iterating encode_seq read-by-read, SURVEY.md §2.1) with a batched layout.
+
+Per-symbol (N,)-sized coordinate arrays are built lazily: the hot grid
+scatter/gather runs per read in native C++ (native/trainhist.cpp
+fq_grid_scatter/gather) from the tiny (R,)-sized arrays, so the common path
+never materializes N-sized indices.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -24,16 +29,30 @@ class LaneLayout:
     L: int                      # number of lanes
     T: int                      # waves (max lane length), padded
     counts: np.ndarray          # (R,) per-read symbol counts
-    sym_t: np.ndarray           # (N,) wave index per symbol (read-major order)
-    sym_lane: np.ndarray        # (N,) lane index per symbol
     lane_len: np.ndarray        # (L,) symbols per lane
     read_start_t: np.ndarray    # (R,) wave index of each read's first symbol
     read_lane: np.ndarray       # (R,) lane of each read
     const_len: int = 0          # > 0: every read has this length (fast path)
+    _sym_t: Optional[np.ndarray] = None      # (N,) wave per symbol (lazy)
+    _sym_lane: Optional[np.ndarray] = None   # (N,) lane per symbol (lazy)
 
     @property
     def n_symbols(self) -> int:
         return int(self.counts.sum())
+
+    def sym_coords(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(N,) per-symbol (wave, lane) coordinates in read-major order,
+        built on first use."""
+        if self._sym_t is None:
+            counts = self.counts
+            R = len(counts)
+            N = int(counts.sum())
+            rep_read = np.repeat(np.arange(R), counts)
+            intra = np.arange(N, dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts)
+            self._sym_t = self.read_start_t[rep_read] + intra
+            self._sym_lane = self.read_lane[rep_read]
+        return self._sym_t, self._sym_lane
 
 
 def _bucket_T(n: int, t_pad: int) -> int:
@@ -55,8 +74,9 @@ def make_layout(counts: np.ndarray, L: int, t_pad: int = 128) -> LaneLayout:
     """Build the grid coordinate map for per-read symbol counts.
 
     Constant-length reads (the dominant case) take a coordinate-free fast
-    path: the grid is a pure reshape/transpose of the flat symbol array, so
-    no (N,)-sized index arrays are ever materialized."""
+    path: the grid is a pure reshape/transpose of the flat symbol array.
+    Ragged reads build only (R,)-sized arrays here; (N,)-sized coordinates
+    are lazy (sym_coords)."""
     counts = np.asarray(counts, dtype=np.int64)
     R = len(counts)
     if R and counts.min() == counts.max() and counts[0] > 0:
@@ -65,44 +85,24 @@ def make_layout(counts: np.ndarray, L: int, t_pad: int = 128) -> LaneLayout:
         T = _bucket_T(J * C, t_pad)
         lane_cnt = np.full(L, R // L, np.int64)
         lane_cnt[:R - (R // L) * L] += 1
-        return LaneLayout(L=L, T=T, counts=counts, sym_t=None,
-                          sym_lane=None, lane_len=lane_cnt * C,
+        return LaneLayout(L=L, T=T, counts=counts, lane_len=lane_cnt * C,
                           read_start_t=None, read_lane=None, const_len=C)
     read_lane = (np.arange(R, dtype=np.int64) % L) if R else np.zeros(0, np.int64)
 
-    # Start offset of each read within its lane: segmented exclusive cumsum
-    # over reads grouped by lane.  Round-robin assignment means reads of lane
-    # l are r = l, l+L, l+2L, ... — already in within-lane order when sorted
-    # stably by lane.
-    order = np.argsort(read_lane, kind="stable")          # (R,)
-    counts_ord = counts[order]
-    lane_ord = read_lane[order]
-    cc = np.cumsum(counts_ord) - counts_ord               # global excl cumsum
-    if R:
-        first_of_lane = np.r_[True, lane_ord[1:] != lane_ord[:-1]]
-        lane_base = np.where(first_of_lane, cc, 0)
-        np.maximum.accumulate(lane_base, out=lane_base)
-        start_in_lane_ord = cc - lane_base
-    else:
-        start_in_lane_ord = cc
-    read_start_t = np.empty(R, dtype=np.int64)
-    read_start_t[order] = start_in_lane_ord
+    # Start offset of each read within its lane.  Round-robin assignment
+    # means the reads of lane l are r = l, l+L, l+2L, ...: pad counts to a
+    # (J, L) grid and exclusive-cumsum down each column.
+    J = (R + L - 1) // L if R else 0
+    cpad = np.zeros(J * L, np.int64)
+    cpad[:R] = counts
+    cgrid = cpad.reshape(J, L)
+    starts = np.cumsum(cgrid, axis=0) - cgrid              # (J, L)
+    read_start_t = starts.reshape(-1)[:R]
+    lane_len = cgrid.sum(axis=0)
 
-    lane_len = np.zeros(L, dtype=np.int64)
-    np.add.at(lane_len, read_lane, counts)
     T_real = int(lane_len.max()) if R else 0
     T = _bucket_T(T_real, t_pad)
-
-    # Per-symbol coordinates in read-major order.
-    N = int(counts.sum())
-    rep_read = np.repeat(np.arange(R), counts)            # (N,) owning read
-    intra = np.arange(N, dtype=np.int64) - np.repeat(
-        np.cumsum(counts) - counts, counts)               # position in read
-    sym_t = read_start_t[rep_read] + intra
-    sym_lane = read_lane[rep_read]
-
-    return LaneLayout(L=L, T=T, counts=counts, sym_t=sym_t,
-                      sym_lane=sym_lane, lane_len=lane_len,
+    return LaneLayout(L=L, T=T, counts=counts, lane_len=lane_len,
                       read_start_t=read_start_t, read_lane=read_lane)
 
 
@@ -120,7 +120,14 @@ def to_grid(layout: LaneLayout, flat: np.ndarray,
         grid[:J * C] = pad.reshape(J, L, C).transpose(0, 2, 1).reshape(
             J * C, L)
         return grid
-    grid[layout.sym_t, layout.sym_lane] = flat
+    from fastqueeze_tpu.io import native
+    if (grid.dtype.itemsize in (1, 2)
+            and flat.dtype.itemsize == grid.dtype.itemsize
+            and native.grid_scatter(flat, layout.counts, layout.read_start_t,
+                                    layout.read_lane, grid)):
+        return grid
+    sym_t, sym_lane = layout.sym_coords()
+    grid[sym_t, sym_lane] = flat
     return grid
 
 
@@ -132,7 +139,14 @@ def from_grid(layout: LaneLayout, grid: np.ndarray) -> np.ndarray:
         J = (R + L - 1) // L
         flat = grid[:J * C].reshape(J, C, L).transpose(0, 2, 1).reshape(-1)
         return flat[:R * C]
-    return grid[layout.sym_t, layout.sym_lane]
+    from fastqueeze_tpu.io import native
+    if grid.dtype.itemsize in (1, 2) and grid.flags.c_contiguous:
+        flat = np.empty(layout.n_symbols, grid.dtype)
+        if native.grid_gather(grid, layout.counts, layout.read_start_t,
+                              layout.read_lane, flat):
+            return flat
+    sym_t, sym_lane = layout.sym_coords()
+    return grid[sym_t, sym_lane]
 
 
 def aux_grids(layout: LaneLayout, with_pos: bool = False) -> Dict[str, np.ndarray]:
@@ -159,6 +173,7 @@ def aux_grids(layout: LaneLayout, with_pos: bool = False) -> Dict[str, np.ndarra
                  np.repeat(np.cumsum(layout.counts) - layout.counts,
                            layout.counts))
         pos = np.zeros((layout.T, layout.L), dtype=np.uint16)
-        pos[layout.sym_t, layout.sym_lane] = np.minimum(intra, 0xFFFF)
+        sym_t, sym_lane = layout.sym_coords()
+        pos[sym_t, sym_lane] = np.minimum(intra, 0xFFFF)
         aux["pos"] = pos
     return valid, aux

@@ -246,12 +246,16 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     codes = _BASE_MAP[block.seq_flat]
     dege_mask = codes == 255
     n_dege = int(dege_mask.sum())
-    read_of_sym = np.repeat(np.arange(R), lengths)
-    pos_in_read = (np.arange(len(codes), dtype=np.int64)
-                   - np.repeat(np.cumsum(lengths) - lengths, lengths))
     dege_cnt = np.zeros(R, np.int64)
+    dege_pos = np.zeros(0, np.int64)       # in-read positions of dege bases
     if n_dege:
-        np.add.at(dege_cnt, read_of_sym[dege_mask], 1)
+        # per-degenerate-symbol coordinates via searchsorted over the few
+        # dege positions (full (N,)-sized repeat arrays cost ~0.1 s/block)
+        read_starts = np.cumsum(lengths) - lengths
+        dege_idx = np.flatnonzero(dege_mask)
+        dege_read = np.searchsorted(read_starts, dege_idx, side="right") - 1
+        dege_pos = dege_idx - read_starts[dege_read]
+        dege_cnt = np.bincount(dege_read, minlength=R).astype(np.int64)
         if dege_cnt.max() > 254:
             raise ValueError(">254 degenerate bases in one read (unsupported)")
 
@@ -330,8 +334,7 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     if n_dege:
         cnt_payload = _code_bytes(
             p, dege_cnt.astype(np.uint8).tobytes(), order1=False)
-        dpos = pos_in_read[dege_mask]
-        pos_payload = _code_le(p, dpos, 2)
+        pos_payload = _code_le(p, dege_pos, 2)
         chr_payload = _code_bytes(
             p, block.seq_flat[dege_mask].tobytes(), order1=False)
         dege_sections = [(TAG_DEGCNT, cnt_payload), (TAG_DEGPOS, pos_payload),

@@ -58,7 +58,142 @@ def analyze_ids(ids: List[bytes]) -> Tuple[Optional[IdBinSchema], bytes]:
 
     var_payload is the concatenated variable-field byte stream (newline
     separated per read per var field) to be entropy-coded by the caller.
+
+    Fast path for big blocks: analyze a small sample; if the sample schema
+    is fully generative (const/delta fields only), render the whole block
+    from it and accept on a single bytes compare — skipping the per-ID
+    tokenization that dominates host time on large blocks.
     """
+    R = len(ids)
+    if R > 2048:
+        out = _analyze_ids_vec(ids)
+        if out is not NotImplemented:
+            return out
+        # no native library: probe a sample, verify by rendering
+        schema, var = _analyze_ids_full(ids[:512])
+        if schema is not None and not var and all(
+                f["m"] in (MODE_TEXT_CONST, MODE_NUM_CONST, MODE_NUM_DELTA,
+                           MODE_NUM_DELTA2) for f in schema.fields):
+            if b"".join(reconstruct_ids(schema, R, b"")) == b"".join(ids):
+                return schema, b""
+    return _analyze_ids_full(ids)
+
+
+def _parse_fixed_width(buf: np.ndarray, starts: np.ndarray,
+                       W: int) -> np.ndarray:
+    """(R,) int64 values of W-digit tokens at byte offsets `starts`."""
+    vals = np.zeros(len(starts), np.int64)
+    for k in range(W):
+        vals = vals * 10 + (buf[starts + k].astype(np.int64) - 48)
+    return vals
+
+
+def _analyze_ids_vec(ids: List[bytes]):
+    """Vectorized analyze_ids over the native tokenizer: one C pass builds
+    token boundaries, then every column test (const / arithmetic / stride-2
+    / leading-zero rendering) is a numpy reduction.  Returns NotImplemented
+    when the native library is unavailable (caller uses the Python path);
+    otherwise bit-identical (schema, var_payload) to _analyze_ids_full."""
+    from fastqueeze_tpu.io import native
+    R = len(ids)
+    lens = np.fromiter((len(s) for s in ids), np.int64, R)
+    offs = np.zeros(R + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    concat = b"".join(ids)
+    buf = np.frombuffer(concat, np.uint8)
+    tok = native.id_tokenize(buf, offs, cap=max(64 * R, 1024))
+    if tok is None:
+        return NotImplemented
+    ntok, tstart, tend = tok
+    if R == 0 or not (ntok == ntok[0]).all():
+        return (None, b"") if R else (IdBinSchema([]), b"")
+    nf = int(ntok[0])
+    if nf == 0:
+        return None, b""
+    starts = tstart.reshape(R, nf)
+    ends = tend.reshape(R, nf)
+    widths = ends - starts
+    first = buf[starts]
+    isd = (first >= 48) & (first <= 57)
+    if (isd != isd[0]).any():
+        return None, b""
+
+    fields = []
+    var_chunks: List[bytes] = []
+    for i in range(nf):
+        s_i, w_i = starts[:, i], widths[:, i]
+        W0 = int(w_i[0])
+        fixed_w = bool((w_i == W0).all())
+        is_num = bool(isd[0, i])
+        if fixed_w:
+            col2d = native.gather(buf, s_i, ends[:, i], R * W0)
+            col2d = col2d.reshape(R, W0)
+            if (col2d == col2d[0]).all():
+                v = col2d[0].tobytes().decode("latin1")
+                fields.append({"m": MODE_NUM_CONST if is_num
+                               else MODE_TEXT_CONST, "v": v})
+                continue
+        if not is_num:
+            fields.append({"m": MODE_TEXT_VAR})
+            var_chunks.append(_join_column(buf, s_i, ends[:, i]))
+            continue
+        # numeric column: values must re-render to the identical string
+        # (no leading zeros unless width 1); tokens beyond int64 range are
+        # deferred to the arbitrary-precision Python path
+        if w_i.max() > 18:
+            return NotImplemented
+        renders = bool(((buf[s_i] != 48) | (w_i == 1)).all())
+        if renders:
+            if fixed_w:
+                values = _parse_fixed_width(buf, s_i, W0)
+            else:
+                values = np.zeros(R, np.int64)
+                for W in np.unique(w_i):
+                    m = w_i == W
+                    values[m] = _parse_fixed_width(buf, s_i[m], int(W))
+            step = int(values[1] - values[0]) if R > 1 else 0
+            if (np.diff(values) == step).all():
+                fields.append({"m": MODE_NUM_DELTA, "s": int(values[0]),
+                               "d": step})
+                continue
+            if R > 3:
+                d2 = int(values[2] - values[0])
+                ev, od = values[0::2], values[1::2]
+                if ((ev == values[0] + d2 * np.arange(len(ev))).all()
+                        and (od == values[1] + d2 * np.arange(len(od))).all()):
+                    fields.append({"m": MODE_NUM_DELTA2, "s": int(values[0]),
+                                   "s2": int(values[1]), "d": d2})
+                    continue
+            fields.append({"m": MODE_NUM_VAR})
+            deltas = np.empty(R, np.int64)
+            deltas[0] = values[0]
+            np.subtract(values[1:], values[:-1], out=deltas[1:])
+            var_chunks.append(b"\n".join(b"%d" % d for d in deltas) + b"\n")
+            continue
+        fields.append({"m": MODE_TEXT_VAR})
+        var_chunks.append(_join_column(buf, s_i, ends[:, i]))
+
+    return IdBinSchema(fields), b"".join(var_chunks)
+
+
+def _join_column(buf: np.ndarray, starts: np.ndarray,
+                 ends: np.ndarray) -> bytes:
+    """b"\\n".join of the column's token bytes + trailing newline, built by
+    one gather into a buffer with per-token newline slots."""
+    from fastqueeze_tpu.io import native
+    w = ends - starts
+    R = len(starts)
+    out_lens = w + 1
+    out_ends = np.cumsum(out_lens)
+    out = np.full(int(out_ends[-1]), 10, np.uint8)   # prefill newlines
+    g = native.gather(buf, starts, ends, int(w.sum()))
+    if g is None or not native.scatter(g, out_ends - out_lens, w, out):
+        parts = [buf[s:e].tobytes() for s, e in zip(starts, ends)]
+        return b"\n".join(parts) + b"\n"
+    return out.tobytes()
+
+
+def _analyze_ids_full(ids: List[bytes]) -> Tuple[Optional[IdBinSchema], bytes]:
     if not ids:
         return IdBinSchema([]), b""
     tok0 = _tokenize(ids[0])

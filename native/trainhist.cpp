@@ -84,4 +84,81 @@ void fq_cap_rescale(int32_t* hist, int64_t n_rows, int32_t alphabet,
     }
 }
 
+// Ragged read-major flat symbols <-> (T, L) wave grid (ops/lanes.py).
+// Read r (start wave start_t[r], lane lane[r]) occupies grid rows
+// start_t[r]..start_t[r]+counts[r]-1 of column lane[r].  esz = 1 or 2.
+void fq_grid_scatter(const uint8_t* flat, int32_t esz, const int64_t* counts,
+                     const int64_t* start_t, const int64_t* lane,
+                     int64_t n_reads, int64_t L, uint8_t* grid) {
+    int64_t off = 0;
+    if (esz == 1) {
+        for (int64_t r = 0; r < n_reads; ++r) {
+            uint8_t* col = grid + start_t[r] * L + lane[r];
+            const int64_t c = counts[r];
+            for (int64_t i = 0; i < c; ++i) col[i * L] = flat[off + i];
+            off += c;
+        }
+    } else {
+        const uint16_t* f16 = reinterpret_cast<const uint16_t*>(flat);
+        uint16_t* g16 = reinterpret_cast<uint16_t*>(grid);
+        for (int64_t r = 0; r < n_reads; ++r) {
+            uint16_t* col = g16 + start_t[r] * L + lane[r];
+            const int64_t c = counts[r];
+            for (int64_t i = 0; i < c; ++i) col[i * L] = f16[off + i];
+            off += c;
+        }
+    }
+}
+
+void fq_grid_gather(const uint8_t* grid, int32_t esz, const int64_t* counts,
+                    const int64_t* start_t, const int64_t* lane,
+                    int64_t n_reads, int64_t L, uint8_t* flat) {
+    int64_t off = 0;
+    if (esz == 1) {
+        for (int64_t r = 0; r < n_reads; ++r) {
+            const uint8_t* col = grid + start_t[r] * L + lane[r];
+            const int64_t c = counts[r];
+            for (int64_t i = 0; i < c; ++i) flat[off + i] = col[i * L];
+            off += c;
+        }
+    } else {
+        const uint16_t* g16 = reinterpret_cast<const uint16_t*>(grid);
+        uint16_t* f16 = reinterpret_cast<uint16_t*>(flat);
+        for (int64_t r = 0; r < n_reads; ++r) {
+            const uint16_t* col = g16 + start_t[r] * L + lane[r];
+            const int64_t c = counts[r];
+            for (int64_t i = 0; i < c; ++i) f16[off + i] = col[i * L];
+            off += c;
+        }
+    }
+}
+
+// ID-binning tokenizer (pipeline/idproc.py): split each ID line into
+// maximal digit / non-digit runs.  buf = concatenated IDs, offs = (R+1)
+// line offsets.  Writes per-read token counts and flat token (start, end)
+// pairs; returns total tokens, or -1 if cap would overflow.
+int64_t fq_id_tokenize(const uint8_t* buf, const int64_t* offs, int64_t R,
+                       int64_t cap, int64_t* ntok, int64_t* tstart,
+                       int64_t* tend) {
+    int64_t m = 0;
+    for (int64_t r = 0; r < R; ++r) {
+        int64_t p = offs[r];
+        const int64_t e = offs[r + 1];
+        int64_t n = 0;
+        while (p < e) {
+            const bool dig = buf[p] >= '0' && buf[p] <= '9';
+            int64_t q = p + 1;
+            while (q < e && ((buf[q] >= '0' && buf[q] <= '9') == dig)) ++q;
+            if (m >= cap) return -1;
+            tstart[m] = p;
+            tend[m] = q;
+            ++m;
+            ++n;
+            p = q;
+        }
+        ntok[r] = n;
+    }
+    return m;
+}
+
 }  // extern "C"

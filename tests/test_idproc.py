@@ -1,3 +1,6 @@
+import numpy as np
+import pytest
+
 from fastqueeze_tpu.pipeline.idproc import analyze_ids, reconstruct_ids
 
 
@@ -54,3 +57,38 @@ def test_empty():
     schema, var = analyze_ids([])
     assert schema is not None
     assert reconstruct_ids(schema, 0, b"") == []
+
+
+def test_vectorized_analyzer_matches_python():
+    """_analyze_ids_vec (native tokenizer + numpy column tests) must return
+    the identical schema and var payload as the Python reference path."""
+    from fastqueeze_tpu.io import native
+    from fastqueeze_tpu.pipeline.idproc import (
+        _analyze_ids_full, _analyze_ids_vec)
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    n = 3000
+    grammars = [
+        [b"@SRR123.%d 1 length=100" % (i + 1) for i in range(n)],
+        [b"@SRR123.%d %d length=%d" % (i + 1, rng.integers(1, 9), 100 + i % 3)
+         for i in range(n)],
+        [b"@inst:%d:%d:end" % (i // 2 + 7, 5 + 3 * (i // 2))
+         for i in range(n)],                                  # stride-2 ids
+        [b"@x%dy" % rng.integers(0, 10**9) for i in range(n)],  # random num
+        [bytes(rng.integers(33, 120, 12).astype(np.uint8)) for _ in range(n)],
+        [b"@const.line"] * n,
+        [b"@z01%d" % i for i in range(n)],       # leading zero -> text var
+        [b"@a %d" % (10**i) for i in range(1, 25)] * (n // 24),  # widths vary
+    ]
+    for ids in grammars:
+        vec = _analyze_ids_vec(ids)
+        ref = _analyze_ids_full(ids)
+        if vec is NotImplemented:      # >18-digit tokens defer to Python
+            assert max(len(s) for s in ids) > 18
+            continue
+        if ref[0] is None:
+            assert vec[0] is None
+            continue
+        assert vec[0] is not None and vec[0].fields == ref[0].fields
+        assert vec[1] == ref[1]
