@@ -159,6 +159,9 @@ def _scatter_concat(out: np.ndarray, dest_starts: np.ndarray,
     total = int(lens.sum())
     if total == 0:
         return
+    from fastqueeze_tpu.io import native
+    if native.scatter(flat, dest_starts, lens, out):
+        return
     idx = np.arange(total, dtype=np.int64) - np.repeat(
         np.cumsum(lens) - lens, lens) + np.repeat(dest_starts, lens)
     out[idx] = flat

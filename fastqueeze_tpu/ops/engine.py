@@ -339,7 +339,11 @@ def _decode_frozen(model: CtxModel, counts0, lane_state0,
     cumulative frequencies (flat gathers of ~log2(A) values per lane
     instead of the whole (A+1) row — the scan is gather-bound)."""
     A = model.alphabet
-    Fq_flat = _quant_full(counts0).astype(jnp.int32).reshape(-1)
+    Fq = _quant_full(counts0)
+    Fq_flat = Fq.astype(jnp.int32).reshape(-1)
+    # (start | freq << 16) in one word: the post-search fetch is 1 gather
+    SF_flat = (Fq[:, :-1] + ((Fq[:, 1:] - Fq[:, :-1]) << 16)).astype(
+        _U32).reshape(-1)
     steps = max(1, math.ceil(math.log2(A)))
     nwords = words.shape[0]
 
@@ -359,9 +363,9 @@ def _decode_frozen(model: CtxModel, counts0, lane_state0,
             lo = jnp.where(le, mid, lo)
             hi = jnp.where(le, hi, mid - 1)
         sym = lo
-        start = Fq_flat[base + sym].astype(_U32)
-        end = Fq_flat[base + sym + 1].astype(_U32)
-        f = end - start
+        sf = SF_flat[ctx.astype(jnp.int32) * A + sym]
+        start = sf & 0xFFFF
+        f = sf >> 16
         xn = f * (x >> PROB_BITS) + (x & _MASK_M) - start
         need = (xn < RANS_L) & vld
         rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)

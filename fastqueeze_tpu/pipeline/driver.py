@@ -49,6 +49,12 @@ def train_frozen_prefix(params: CodecParams, in_path: str,
         _, block = apply_lossy(params, block)
     frozen = train_frozen(params, block)
     blob = serialize_frozen(frozen)
+    # start the (~10 MB) table upload now, overlapping the first block's
+    # host work (transfers are async; blocks would otherwise stall on it)
+    from fastqueeze_tpu.pipeline.frozen import (_qual_alphabet,
+                                                frozen_dev_tables)
+    frozen_dev_tables(frozen, _qual_alphabet(frozen["qmax"]),
+                      params.qual_init)
     if dbg:
         dbg.add("train_s", time.time() - t0)
     return frozen, blob

@@ -254,11 +254,131 @@ def _analyze_ids_full(ids: List[bytes]) -> Tuple[Optional[IdBinSchema], bytes]:
     return IdBinSchema(fields), b"".join(var_chunks)
 
 
+_POW10 = np.array([10 ** k for k in range(19)], np.int64)
+
+
+def _render_ints(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Decimal-render non-negative int64 values -> (flat u8 bytes, widths).
+    Groupwise by digit count: each group renders as a (n, W) digit matrix."""
+    R = len(values)
+    widths = np.searchsorted(_POW10[1:], values, side="right") + 1
+    offs = np.cumsum(widths) - widths
+    out = np.empty(int(widths.sum()), np.uint8)
+    for W in np.unique(widths):
+        m = widths == W
+        v = values[m]
+        cols = np.empty((len(v), W), np.uint8)
+        for k in range(W - 1, -1, -1):
+            v, d = np.divmod(v, 10)
+            cols[:, k] = d
+        flat_idx = (offs[m][:, None] + np.arange(W)[None, :]).reshape(-1)
+        out[flat_idx] = (cols + 48).reshape(-1)
+    return out, widths
+
+
+def _var_line_spans(var_payload: bytes):
+    buf = np.frombuffer(var_payload, np.uint8)
+    nl = np.flatnonzero(buf == 10)
+    starts = np.empty_like(nl)
+    if len(nl):
+        starts[0] = 0
+        starts[1:] = nl[:-1] + 1
+    return buf, starts, nl
+
+
+def _parse_signed_lines(buf, starts, ends) -> Optional[np.ndarray]:
+    """Vectorized int64 parse of decimal lines (optional leading '-')."""
+    if len(starts) == 0:
+        return np.zeros(0, np.int64)
+    neg = buf[starts] == 45
+    s = starts + neg
+    w = ends - s
+    if len(w) and int(w.max()) > 18:
+        return None
+    vals = np.zeros(len(s), np.int64)
+    for W in np.unique(w):
+        m = w == W
+        vals[m] = _parse_fixed_width(buf, s[m], int(W))
+    return np.where(neg, -vals, vals)
+
+
+def _reconstruct_ids_vec(schema: IdBinSchema, n_reads: int,
+                         var_payload: bytes):
+    """Vectorized reconstruct_ids: render every field as (flat bytes,
+    widths), then compose all IDs with native byte scatters.  Returns
+    NotImplemented when a field needs the Python path."""
+    from fastqueeze_tpu.io import native
+    if native.get_lib() is None:
+        return NotImplemented
+    R = n_reads
+    vbuf, vstarts, vends = _var_line_spans(var_payload)
+    vi = 0
+    rendered = []            # (flat u8, widths) per field
+    for f in schema.fields:
+        m = f["m"]
+        if m in (MODE_TEXT_CONST, MODE_NUM_CONST):
+            v = np.frombuffer(f["v"].encode("latin1"), np.uint8)
+            rendered.append((np.tile(v, R), np.full(R, len(v), np.int64)))
+        elif m == MODE_NUM_DELTA:
+            values = f["s"] + f["d"] * np.arange(R, dtype=np.int64)
+            if len(values) and (values.min() < 0
+                                or values.max() >= _POW10[18]):
+                return NotImplemented
+            rendered.append(_render_ints(values))
+        elif m == MODE_NUM_DELTA2:
+            values = np.empty(R, np.int64)
+            values[0::2] = f["s"] + f["d"] * np.arange((R + 1) // 2)
+            values[1::2] = f["s2"] + f["d"] * np.arange(R // 2)
+            if len(values) and (values.min() < 0
+                                or values.max() >= _POW10[18]):
+                return NotImplemented
+            rendered.append(_render_ints(values))
+        elif m == MODE_NUM_VAR:
+            s, e = vstarts[vi * R:(vi + 1) * R], vends[vi * R:(vi + 1) * R]
+            vi += 1
+            deltas = _parse_signed_lines(vbuf, s, e)
+            if deltas is None:
+                return NotImplemented
+            values = np.cumsum(deltas)
+            if len(values) and (values.min() < 0
+                                or values.max() >= _POW10[18]):
+                return NotImplemented
+            rendered.append(_render_ints(values))
+        else:  # MODE_TEXT_VAR
+            s, e = vstarts[vi * R:(vi + 1) * R], vends[vi * R:(vi + 1) * R]
+            vi += 1
+            w = (e - s).astype(np.int64)
+            flat = native.gather(vbuf, s, e, int(w.sum()))
+            rendered.append((flat, w))
+
+    id_lens = sum((w for _, w in rendered),
+                  np.zeros(R, np.int64))
+    rec_off = np.cumsum(id_lens) - id_lens
+    out = np.empty(int(id_lens.sum()), np.uint8)
+    prefix = rec_off
+    for flat, w in rendered:
+        if not native.scatter(flat, prefix, w, out):
+            return NotImplemented
+        prefix = prefix + w
+    raw = out.tobytes()
+    bounds = np.cumsum(id_lens).tolist()
+    lo = 0
+    ids = []
+    for hi in bounds:
+        ids.append(raw[lo:hi])
+        lo = hi
+    return ids
+
+
 def reconstruct_ids(schema: IdBinSchema, n_reads: int,
                     var_payload: bytes) -> List[bytes]:
     """Inverse of analyze_ids."""
     if n_reads == 0:
         return []
+    if n_reads > 2048:
+        out = _reconstruct_ids_vec(schema, n_reads, var_payload)
+        if out is not NotImplemented:
+            return out
     # split var payload back into per-field columns
     var_cols: List[List[bytes]] = []
     lines = var_payload.split(b"\n")[:-1] if var_payload else []

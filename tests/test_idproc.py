@@ -92,3 +92,29 @@ def test_vectorized_analyzer_matches_python():
             continue
         assert vec[0] is not None and vec[0].fields == ref[0].fields
         assert vec[1] == ref[1]
+
+
+def test_vectorized_reconstruct_matches_python():
+    from fastqueeze_tpu.io import native
+    from fastqueeze_tpu.pipeline.idproc import (
+        _analyze_ids_full, _reconstruct_ids_vec)
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    n = 3000
+    grammars = [
+        [b"@SRR123.%d 1 length=100" % (i + 1) for i in range(n)],
+        [b"@inst:%d:%d:end" % (i // 2 + 7, 5 + 3 * (i // 2))
+         for i in range(n)],
+        [b"@x%dy" % rng.integers(0, 10**9) for i in range(n)],  # num var
+        [b"@r%d %s" % (i, bytes(rng.integers(65, 90, rng.integers(1, 9))
+                                .astype(np.uint8))) for i in range(n)],
+        [b"@const"] * n,
+        [b"@%d" % (10 ** 17 + i) for i in range(n)],   # 18-digit numbers
+    ]
+    for ids in grammars:
+        schema, var = _analyze_ids_full(ids)
+        assert schema is not None
+        vec = _reconstruct_ids_vec(schema, n, var)
+        assert vec is not NotImplemented
+        assert vec == ids
