@@ -68,6 +68,8 @@ class CodecParams:
     max_insr: int = 0
     seed_max_occ: int = 64          # tier-1: candidates verified per read
     seed_big_occ: int = 1024        # tier-2 (unmapped rescue) candidate cap
+    rescue_seeds: int = 6           # tier-2: spatially diverse seeds tried
+    seed_excl_bp: int = 7           # tier-2: +-bp masked around each pick
     seed_drop_occ: int = 65536      # build-time drop: hyper-repetitive seeds
     seed_stride: int = 2            # sample read seeds every N bp
     min_map_ratio: float = 0.25     # block falls back to entropy-only below
@@ -142,6 +144,8 @@ class CodecParams:
         "Threads": "threads",
         "SeedMaxOcc": "seed_max_occ",
         "SeedBigOcc": "seed_big_occ",
+        "RescueSeeds": "rescue_seeds",
+        "SeedExclBp": "seed_excl_bp",
         "SeedStride": "seed_stride",
         "Usemodel": "use_model",
         "ModelTrain(M)": "model_train_mb",
