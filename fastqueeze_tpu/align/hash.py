@@ -55,6 +55,11 @@ class AlignConfig:
     l1_shift: int = -1   # >= 0: first-level bucket table is present
     search_steps: int = 16   # binary-search steps within a bucket
     wide: bool = False   # k > 15: 2k-bit keys as (hi, lo30) u32 pairs
+    shard_axis: str = ""     # non-empty: keys/offsets/positions are key-
+                             # range shards over this mesh axis; lookups
+                             # combine with pmin/pmax collectives and each
+                             # shard verifies its slice of the candidates
+                             # (SURVEY.md §2.3: index sharded over the pod)
 
     @property
     def n_words(self) -> int:
@@ -95,8 +100,8 @@ def _mis2bit(x):
 def _fetch_ref_words(packed, start, n_words):
     """packed (Wr,) u32; start (..,) int32 base offsets -> (.., n_words) u32
     windows re-aligned to bit 31 (funnel shift over word pairs)."""
-    w0 = lax.shift_right_logical(start, 4)
-    ph = (start & 15).astype(jnp.uint32)
+    w0 = lax.shift_right_logical(start, jnp.asarray(4, start.dtype))
+    ph = (start & jnp.asarray(15, start.dtype)).astype(jnp.uint32)
     sh = 2 * ph
     nw = packed.shape[0]
     out = []
@@ -110,9 +115,9 @@ def _fetch_ref_words(packed, start, n_words):
 
 def _ref_base_at(packed, idx):
     """Gather single 2-bit codes at absolute positions idx."""
-    w = packed[jnp.clip(lax.shift_right_logical(idx, 4), 0,
-                        packed.shape[0] - 1)]
-    sh = 2 * (15 - (idx & 15)).astype(jnp.uint32)
+    w = packed[jnp.clip(lax.shift_right_logical(idx, jnp.asarray(4, idx.dtype)),
+                        0, packed.shape[0] - 1)]
+    sh = 2 * (15 - (idx & jnp.asarray(15, idx.dtype))).astype(jnp.uint32)
     return ((w >> sh) & 3).astype(jnp.uint8)
 
 
@@ -154,6 +159,100 @@ def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, l1,
     ps = np.arange(0, P, stride, dtype=np.int32)
     ok_s = win_valid[:, ps]
     nk = keys_hi.shape[0]
+    if cfg.shard_axis:
+        # index-sharded lookup: this device holds one key-range shard of
+        # the CSR.  Every key lives on exactly one shard, so a local
+        # binary search + pmin over the shard axis yields the global
+        # occurrence counts (non-owners contribute _BIG).
+        q_hi = kv_hi[:, ps] if cfg.wide else kv[:, ps]
+        q_lo = kv_lo[:, ps] if cfg.wide else None
+        lo = jnp.zeros(q_hi.shape, jnp.int32)
+        hi = jnp.full(q_hi.shape, nk, jnp.int32)
+        for _ in range(cfg.search_steps):
+            active = lo < hi
+            mid = (lo + hi) >> 1
+            m = jnp.minimum(mid, nk - 1)
+            if cfg.wide:
+                km_hi = keys_hi[m]
+                km_lo = keys_lo[m]
+                less = (km_hi < q_hi) | ((km_hi == q_hi) & (km_lo < q_lo))
+            else:
+                less = keys_hi[m] < q_hi
+            lo = jnp.where(active & less, mid + 1, lo)
+            hi = jnp.where(active & ~less, mid, hi)
+        ii = jnp.minimum(lo, nk - 1)
+        eq = keys_hi[ii] == q_hi
+        if cfg.wide:
+            eq = eq & (keys_lo[ii] == q_lo)
+        found_loc = eq & (lo < nk) & ok_s
+        occ_loc = jnp.where(
+            found_loc, (offsets[ii + 1] - offsets[ii]).astype(jnp.int32),
+            _BIG)
+        occ = lax.pmin(occ_loc, cfg.shard_axis)
+
+        # all coordinates are uint32 (refs up to 4 G positions without
+        # jax x64): a window start that would underflow 0 wraps huge and
+        # fails the `cand <= ref_len - length` bound check instead
+        cand_list, ok_list = [], []
+        C = cfg.n_cand
+        cj = jnp.arange(C, dtype=jnp.int32)[None, :]
+        ps_j = jnp.asarray(ps, jnp.int32)[None, :]
+        s_idx = jnp.arange(occ.shape[1], dtype=jnp.int32)[None, :]
+        ref_len_u = ref_len.astype(jnp.uint32)
+        max_start = ref_len_u - lengths.astype(jnp.uint32)   # (B,)
+        len_fits = lengths.astype(jnp.uint32) <= ref_len_u
+        for _ in range(cfg.n_seeds):
+            j_best = jnp.argmin(occ, axis=1)
+            occ_best = jnp.take_along_axis(occ, j_best[:, None], axis=1)[:, 0]
+            if cfg.excl_bp > 0:
+                pb = jnp.take_along_axis(ps_j.repeat(occ.shape[0], 0),
+                                         j_best[:, None], axis=1)
+                occ = jnp.where(jnp.abs(ps_j - pb) <= cfg.excl_bp, _BIG, occ)
+            else:
+                occ = jnp.where(s_idx == j_best[:, None], _BIG, occ)
+            seed_off = jnp.asarray(ps, jnp.int32)[j_best]
+            owner = jnp.take_along_axis(found_loc, j_best[:, None],
+                                        axis=1)[:, 0]
+            key_idx = jnp.take_along_axis(ii, j_best[:, None], axis=1)[:, 0]
+            base = offsets[key_idx].astype(jnp.int32)
+            in_range = cj < jnp.minimum(occ_best, C)[:, None]
+            ptr = jnp.clip(base[:, None] + cj, 0, positions.shape[0] - 1)
+            cand_loc = (positions[ptr].astype(jnp.uint32)
+                        - seed_off[:, None].astype(jnp.uint32))
+            cand_loc = jnp.where(owner[:, None], cand_loc, jnp.uint32(0))
+            cand = lax.pmax(cand_loc, cfg.shard_axis)
+            has_owner = lax.pmax(owner.astype(jnp.int32),
+                                 cfg.shard_axis) > 0
+            cand_list.append(cand)
+            ok_list.append(in_range & has_owner[:, None] & len_fits[:, None]
+                           & (cand <= max_start[:, None]))
+        cand = jnp.concatenate(cand_list, axis=1)
+        cand_ok = jnp.concatenate(ok_list, axis=1)
+
+        # sharded verification: shard s checks its slice of the candidate
+        # list against the (replicated) packed reference; the global best
+        # is a pmin on mis, then a pmin on pos among the mis-minimizers
+        D = lax.axis_size(cfg.shard_axis)
+        S = cand.shape[1]
+        Cs = -(-S // D)
+        pad = Cs * D - S
+        if pad:
+            cand = jnp.pad(cand, ((0, 0), (0, pad)))
+            cand_ok = jnp.pad(cand_ok, ((0, 0), (0, pad)))
+        d = lax.axis_index(cfg.shard_axis)
+        cand_s = lax.dynamic_slice_in_dim(cand, d * Cs, Cs, 1)
+        ok_sl = lax.dynamic_slice_in_dim(cand_ok, d * Cs, Cs, 1)
+        rw, mw = _pack_words(codes, base_valid, Lp)
+        refw = _fetch_ref_words(packed, cand_s, cfg.n_words)
+        mis = _mis2bit((rw[:, None, :] ^ refw) & mw[:, None, :]).sum(axis=2)
+        mis = jnp.where(ok_sl, mis, _BIG)
+        c_best = jnp.argmin(mis, axis=1)
+        mis_b = jnp.take_along_axis(mis, c_best[:, None], axis=1)[:, 0]
+        pos_b = jnp.take_along_axis(cand_s, c_best[:, None], axis=1)[:, 0]
+        mis_g = lax.pmin(mis_b, cfg.shard_axis)
+        pos_b = jnp.where(mis_b == mis_g, pos_b, jnp.uint32(0xFFFFFFFF))
+        pos_g = lax.pmin(pos_b, cfg.shard_axis)
+        return mis_g, pos_g
     if cfg.wide:
         q_hi = kv_hi[:, ps]
         q_lo = kv_lo[:, ps]
@@ -272,7 +371,11 @@ def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, l1,
 
     # per-base mismatch mask (window coords) for the accepted alignment
     eff = jnp.where(use_rev[:, None], rc, codes)
-    refc = _ref_base_at(packed, jnp.clip(pos[:, None], 0, None) + pos_i)
+    # uint32 window arithmetic: pos is int32 (local index) or uint32
+    # (sharded index, refs up to 4 G positions)
+    refc = _ref_base_at(packed,
+                        jnp.clip(pos[:, None], 0, None).astype(jnp.uint32)
+                        + pos_i.astype(jnp.uint32))
     mis_mask = (eff != refc) & valid & mapped[:, None]
     return mapped, pos, use_rev & mapped, mis_mask
 

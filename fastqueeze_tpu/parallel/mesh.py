@@ -113,6 +113,95 @@ def align_blocks_sharded(mesh: Mesh, cfg, keys, offsets, positions, packed,
                        codes, dege, lengths)
 
 
+def shard_ref_index(idx, n_shards: int) -> Dict[str, np.ndarray]:
+    """Partition a RefIndex CSR into equal-key-count range shards.
+
+    For references whose index exceeds one chip's HBM (>2 Gbp: the
+    positions array alone is 8+ GB) the CSR is split by key range; shard
+    arrays are padded to a common length with an impossible sentinel key
+    (u32 max exceeds any valid k-mer / hi-lo pair component) so the
+    in-kernel binary search needs no per-shard length.  The 2-bit packed
+    reference stays replicated (2 Gbp = 0.5 GB packed).  Positions are
+    stored u32 (refs up to 4 G positions)."""
+    keys = idx.keys.astype(np.uint64)
+    nk = len(keys)
+    bounds = [(i * nk) // n_shards for i in range(n_shards + 1)]
+    kp = max((bounds[i + 1] - bounds[i] for i in range(n_shards)),
+             default=1) or 1
+    pp = max((int(idx.offsets[bounds[i + 1]] - idx.offsets[bounds[i]])
+              for i in range(n_shards)), default=1) or 1
+    keys_hi = np.full((n_shards, kp), 0xFFFFFFFF, np.uint32)
+    keys_lo = np.full((n_shards, kp), 0xFFFFFFFF, np.uint32)
+    offsets = np.zeros((n_shards, kp + 1), np.int32)
+    positions = np.zeros((n_shards, pp), np.uint32)
+    wide = idx.k > 15
+    for s in range(n_shards):
+        a, b = bounds[s], bounds[s + 1]
+        n = b - a
+        ks = keys[a:b]
+        if wide:
+            keys_hi[s, :n] = (ks >> np.uint64(30)).astype(np.uint32)
+            keys_lo[s, :n] = (ks & np.uint64(0x3FFFFFFF)).astype(np.uint32)
+        else:
+            keys_hi[s, :n] = ks.astype(np.uint32)
+        po, pb = int(idx.offsets[a]), int(idx.offsets[b])
+        offsets[s, :n + 1] = idx.offsets[a:b + 1] - po
+        offsets[s, n + 1:] = offsets[s, n]
+        positions[s, :pb - po] = idx.positions[po:pb]
+    return {"keys_hi": keys_hi, "keys_lo": keys_lo, "offsets": offsets,
+            "positions": positions, "packed": idx.packed.astype(np.uint32),
+            "ref_len": idx.ref_len, "k": idx.k, "kp": kp}
+
+
+def align_blocks_index_sharded(mesh: Mesh, params: CodecParams, sh: Dict,
+                               codes: np.ndarray, dege: np.ndarray,
+                               lengths: np.ndarray,
+                               n_seeds: int = 1, excl_bp: int = 0,
+                               n_cand: Optional[int] = None):
+    """Alignment with the k-mer index sharded over the 'ctx' mesh axis and
+    reads data-parallel over 'block' (SURVEY.md §2.3 north star: reference
+    index sharded across the pod slice).
+
+    codes/dege: (R, Lp) grids; R must divide by the block axis.  Lookups
+    run as local binary searches combined with pmin/pmax over 'ctx';
+    every ctx shard then verifies its slice of the candidate list against
+    the replicated packed reference (work scales down with shards)."""
+    from fastqueeze_tpu.align import hash as H
+    import math
+    R, lp = codes.shape
+    nb = mesh.shape["block"]
+    if R % nb:
+        raise ValueError(f"R={R} not divisible by block axis {nb}")
+    kp = sh["kp"]
+    cfg = H.AlignConfig(
+        k=sh["k"], stride=params.seed_stride,
+        n_cand=n_cand or params.seed_max_occ, max_mis=params.max_mis,
+        both_strands=params.both_strands, lp=lp, n_seeds=n_seeds,
+        excl_bp=excl_bp, wide=sh["k"] > 15,
+        search_steps=max(1, math.ceil(math.log2(kp + 1))),
+        shard_axis="ctx")
+    ref_len = jnp.uint32(sh["ref_len"])
+    dummy_l1 = jnp.zeros(1, jnp.int32)
+
+    def local(kh, kl, off, pos, pk, c, d, ln):
+        return H._align_batch.__wrapped__(
+            cfg, (kh[0], kl[0]), off[0], pos[0], pk, dummy_l1, ref_len,
+            c, d, ln)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("ctx"), P("ctx"), P("ctx"), P("ctx"), P(),
+                  P("block"), P("block"), P("block")),
+        out_specs=(P("block"), P("block"), P("block"), P("block")),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        jnp.asarray(sh["keys_hi"]), jnp.asarray(sh["keys_lo"]),
+        jnp.asarray(sh["offsets"]), jnp.asarray(sh["positions"]),
+        jnp.asarray(sh["packed"]), jnp.asarray(codes),
+        jnp.asarray(dege), jnp.asarray(lengths.astype(np.int32)))
+
+
 def encode_blocks_sharded(mesh: Mesh, model: CtxModel, n_halve: int,
                           counts0: jnp.ndarray,
                           syms: jnp.ndarray, valid: jnp.ndarray,

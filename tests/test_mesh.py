@@ -45,3 +45,72 @@ def test_sharded_training_matches_single_device():
         {"pos": jnp.asarray(pos.reshape(B * T, L)),
          "start": jnp.asarray(pos.reshape(B * T, L) == 0)})
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+
+
+def test_index_sharded_alignment_matches_local():
+    """Sharded-index lookup (pmin/pmax over 'ctx') + sharded verification
+    must map the same reads with the same mismatch counts as the local
+    single-device aligner."""
+    import numpy as np
+    from fastqueeze_tpu.align import hash as H
+    from fastqueeze_tpu.align.index import build_from_ref
+    from fastqueeze_tpu.align.ref import RefSeq, pack_2bit
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.parallel.mesh import (
+        align_blocks_index_sharded, make_mesh, shard_ref_index)
+
+    rng = np.random.default_rng(21)
+    ref_codes = rng.integers(0, 4, 20000).astype(np.uint8)
+    ref = RefSeq(codes=ref_codes, amb_mask=np.zeros(20000, bool),
+                 names=["t"], bounds=np.array([0, 20000]), md5="x")
+    p = CodecParams(seed_len=11, seed_max_occ=32, max_mis=5)
+    idx = build_from_ref(ref, p)
+
+    R, L = 64, 80
+    starts = rng.integers(0, 20000 - L, R)
+    codes = np.zeros((R, L), np.uint8)
+    for i, s in enumerate(starts):
+        c = ref_codes[s:s + L].copy()
+        nmut = rng.integers(0, 4)
+        mp = rng.integers(0, L, nmut)
+        c[mp] = (c[mp] + 1) % 4
+        if i % 3 == 0:
+            c = 3 - c[::-1]
+        codes[i] = c
+    lengths = np.full(R, L, np.int64)
+    dege = np.zeros((R, L), bool)
+
+    al = H.Aligner(idx, p)
+    import jax.numpy as jnp
+    lp = al._lp_bucket(L)
+    cfg1 = H.AlignConfig(k=idx.k, stride=p.seed_stride,
+                         n_cand=p.seed_max_occ, max_mis=p.max_mis,
+                         both_strands=p.both_strands, lp=lp,
+                         l1_shift=al._l1_shift,
+                         search_steps=al._search_steps, wide=al.wide)
+    cg = np.zeros((R, lp), np.uint8)
+    cg[:, :L] = codes
+    dg = np.zeros((R, lp), bool)
+    lm, lpos, lrev, lmm = H._align_batch(
+        cfg1, al._keys, al._offsets, al._positions, al._packed, al._l1,
+        jnp.int32(idx.ref_len), jnp.asarray(cg), jnp.asarray(dg),
+        jnp.asarray(lengths.astype(np.int32)))
+    lm = np.asarray(lm)
+    assert lm.sum() > R * 0.8
+
+    mesh = make_mesh(8, ctx_shards=4)
+    sh = shard_ref_index(idx, 4)
+    m, pos, rev, mm = align_blocks_index_sharded(
+        mesh, p, sh, cg, dg, lengths)
+    m = np.asarray(m)
+    assert np.array_equal(m, lm)
+    # positions may differ on equal-mismatch ties; mismatch counts and
+    # validity must agree
+    assert np.array_equal(np.asarray(mm).sum(axis=1),
+                          np.asarray(lmm).sum(axis=1))
+    pos = np.asarray(pos)
+    codes_i = codes
+    for i in np.flatnonzero(m):
+        w = ref_codes[int(pos[i]):int(pos[i]) + L]
+        eff = (3 - codes[i][::-1]) if np.asarray(rev)[i] else codes[i]
+        assert (w != eff).sum() <= p.max_mis
