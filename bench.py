@@ -34,10 +34,10 @@ def main() -> None:
             fh.write(raw1)
     n_reads = 10_000 * reps
 
-    # threads=2 = one reader/host stage + the device stream, matching the
-    # reference's architecture at -t 1 (dedicated reader thread + 1 worker,
-    # SURVEY.md C5)
-    p = CodecParams(block_size_mb=8, threads=2)
+    # threads=3: reader/parse, device dispatch, and finalize stages overlap
+    # (the reference runs a dedicated reader thread + workers, SURVEY.md C5;
+    # measured best on this host: 3 > 2 ~ 4)
+    p = CodecParams(block_size_mb=8, threads=3)
 
     # warm-up: one full untimed pass compiles every (model, shape) pair
     # (compilations persist in the on-disk XLA cache for later runs)
