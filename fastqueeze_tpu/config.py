@@ -93,6 +93,15 @@ class CodecParams:
     #     tunnel round-trip); big streams use the device wave-rANS ---
     host_stream_max: int = 1 << 20
 
+    # --- semi-adaptive chunking (TPU engine; no reference equivalent):
+    #     adaptive streams requantize their tables every adapt_chunk waves,
+    #     making the per-symbol walk one packed gather (frozen-path cost)
+    #     instead of a full model-row gather.  0 = per-wave adaptation
+    #     (default: measured faster for the big-context seq/qual models,
+    #     where the full-table requant at chunk boundaries dominates; >0
+    #     pays off only for small tables with very long wave counts). ---
+    adapt_chunk: int = 0
+
     # --- lane policy (TPU engine; no reference equivalent).  More lanes =
     #     fewer sequential waves, but 4 B/lane of stored coder state; the
     #     scans are scattered-gather bound, so returns flatten ~L=4096 ---
@@ -150,6 +159,7 @@ class CodecParams:
         "Usemodel": "use_model",
         "ModelTrain(M)": "model_train_mb",
         "HostStreamMax": "host_stream_max",
+        "AdaptChunk": "adapt_chunk",
     }
 
     def apply_config_file(self, path: str = "./fastqueeze.config") -> bool:

@@ -83,6 +83,9 @@ class FlatModel(CtxModel):
 class Order1ByteModel(CtxModel):
     """Context = previous symbol; resets to 0 at each read start."""
 
+    def __post_init__(self):
+        object.__setattr__(self, "n_ctx", self.alphabet)
+
     def lane_init(self, L: int):
         return {"prev": jnp.zeros((L,), jnp.int32)}
 

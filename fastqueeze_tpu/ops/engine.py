@@ -316,6 +316,123 @@ def _quant_full(counts0):
     return _quant(counts0)
 
 
+# ---------------------------------------------------------------------------
+# Chunked semi-adaptive walk: the table is requantized every `chunk` waves;
+# inside a chunk (start, freq) is a single packed gather from the snapshot
+# (frozen-path cost) while raw counts keep accumulating.  The rescale runs
+# vectorized over the whole table at each boundary.  Encode and decode
+# replay the identical schedule, so the walk stays bit-exact symmetric.
+# ---------------------------------------------------------------------------
+
+
+def _n_halve_chunk(model: CtxModel, L: int, chunk: int) -> int:
+    worst = model.cap + model.inc * L * chunk + model.alphabet
+    return max(1, math.ceil(math.log2(worst / model.cap)) + 1)
+
+
+def _snapshot_sf(counts):
+    """(n_ctx, A) counts -> flat packed (start | freq << 16) u32 table."""
+    F = _quant(counts)
+    return (F[:, :-1] + ((F[:, 1:] - F[:, :-1]) << 16)).astype(
+        _U32).reshape(-1)
+
+
+def _rescale_full(counts, cap: int, n_halve: int):
+    for _ in range(n_halve):
+        tot = counts.sum(axis=1, keepdims=True)
+        counts = jnp.where(tot > cap, (counts + 1) >> 1, counts)
+    return counts
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_halve", "chunk"))
+def _pass1_semi(model: CtxModel, n_halve: int, chunk: int,
+                counts0, ctx_grid, syms, valid):
+    T, L = syms.shape
+    A = model.alphabet
+    n_out = T // chunk
+
+    def outer(counts, xs):
+        SF = _snapshot_sf(counts)
+
+        def inner(counts, xs2):
+            ctx, sym, vld = xs2
+            ctx = ctx.astype(jnp.int32)
+            sym = sym.astype(jnp.int32)
+            sf = SF[ctx * A + sym]
+            inc = jnp.where(vld, model.inc, 0).astype(jnp.int32)
+            counts = counts.at[ctx, sym].add(inc)
+            return counts, ((sf & 0xFFFF).astype(jnp.uint16),
+                            (sf >> 16).astype(jnp.uint16))
+
+        counts, (s_c, f_c) = lax.scan(inner, counts, xs)
+        return _rescale_full(counts, model.cap, n_halve), (s_c, f_c)
+
+    shape = (n_out, chunk, L)
+    counts, (start, freq) = lax.scan(
+        outer, counts0,
+        (ctx_grid.reshape(shape), syms.reshape(shape), valid.reshape(shape)))
+    return (start.reshape(T, L), freq.reshape(T, L), counts)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_halve", "chunk"))
+def _decode_semi(model: CtxModel, n_halve: int, chunk: int, counts0,
+                 lane_state0, states, words, valid, aux):
+    """Mirror of _pass1_semi: binary-search symbol resolution against the
+    chunk snapshot (same gather budget as the frozen decoder) + the same
+    accumulate/rescale schedule."""
+    A = model.alphabet
+    steps = max(1, math.ceil(math.log2(A)))
+    nwords = words.shape[0]
+    T = valid.shape[0]
+    n_out = T // chunk
+
+    def outer(carry, xs):
+        counts, st, x, off = carry
+        # the packed snapshot's low halves ARE the cumulative starts
+        # (F[s] = start of s, F[0] = 0), so the binary search runs on SF
+        SF = _snapshot_sf(counts)
+
+        def inner(carry2, xs2):
+            counts, st, x, off = carry2
+            vld, aux_t = xs2
+            ctx = model.context(st, aux_t)
+            base = ctx.astype(jnp.int32) * A
+            low = (x & _MASK_M).astype(jnp.int32)
+            lo = jnp.zeros_like(low)
+            hi = jnp.full_like(low, A - 1)
+            for _ in range(steps):
+                mid = (lo + hi + 1) >> 1
+                le = (SF[base + mid] & 0xFFFF).astype(jnp.int32) <= low
+                lo = jnp.where(le, mid, lo)
+                hi = jnp.where(le, hi, mid - 1)
+            sym = lo
+            sf = SF[base + sym]
+            start = sf & 0xFFFF
+            f = sf >> 16
+            xn = f * (x >> PROB_BITS) + (x & _MASK_M) - start
+            need = (xn < RANS_L) & vld
+            rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
+            idx = jnp.minimum(off + rank, nwords - 1)
+            w = words[idx].astype(_U32)
+            xn = jnp.where(need, (xn << 16) | w, xn)
+            x = jnp.where(vld, xn, x)
+            off = off + jnp.sum(need.astype(jnp.int32))
+            inc = jnp.where(vld, model.inc, 0).astype(jnp.int32)
+            counts = counts.at[ctx, sym].add(inc)
+            st = _freeze_invalid(model.update(st, sym, aux_t), st, vld)
+            return (counts, st, x, off), sym.astype(jnp.uint8)
+
+        (counts, st, x, off), syms = lax.scan(inner, carry, xs)
+        return (_rescale_full(counts, model.cap, n_halve), st, x, off), syms
+
+    aux_r = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_out, chunk) + a.shape[1:]), aux)
+    (counts, _, x, _), syms = lax.scan(
+        outer, (counts0, lane_state0, states, jnp.int32(0)),
+        (valid.reshape(n_out, chunk, -1), aux_r))
+    return syms.reshape(T, -1), counts, x
+
+
 @functools.partial(jax.jit, static_argnames=("alphabet",))
 def _pass1_frozen(alphabet: int, counts0, ctx_grid, syms):
     """Frozen-model encode walk: no adaptation, so (start, freq) is a pure
@@ -488,15 +605,23 @@ def _make_grids(model, params, flat_syms, counts_per_read, extra_aux,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("model", "n_halve", "T", "pmode"))
+                   static_argnames=("model", "n_halve", "T", "pmode",
+                                    "chunk"))
 def _encode_fused_adapt(model: CtxModel, n_halve: int, T: int,
-                        pmode: int, c0, syms_in, counts_grid):
+                        pmode: int, c0, syms_in, counts_grid,
+                        chunk: int = 0):
     """Single-dispatch encode: aux grids + context build + adaptive model
-    walk + rANS + compaction, all fused under one jit."""
+    walk + rANS + compaction, all fused under one jit.  chunk > 0 uses the
+    semi-adaptive walk (snapshot requantized every `chunk` waves)."""
     valid, aux = _device_aux(T, counts_grid)
     syms = _unpack_dev(syms_in, pmode)
     ctx = model.context_grids(syms, aux)
-    start, freq, counts_out = _pass1(model, n_halve, c0, ctx, syms, valid)
+    if chunk:
+        start, freq, counts_out = _pass1_semi(model, n_halve, chunk, c0,
+                                              ctx, syms, valid)
+    else:
+        start, freq, counts_out = _pass1(model, n_halve, c0, ctx, syms,
+                                         valid)
     words, emits, x_final = _pass2(start, freq, valid)
     wp, nw = _compact_words(words, emits)
     return wp, nw, x_final, counts_out
@@ -517,13 +642,18 @@ def _encode_fused_frozen(model: CtxModel, T: int, pmode: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("model", "n_halve", "T", "pmode"))
+                   static_argnames=("model", "n_halve", "T", "pmode",
+                                    "chunk"))
 def _decode_fused_adapt(model: CtxModel, n_halve: int, T: int,
                         pmode: int, c0, lane0, states, words,
-                        counts_grid):
+                        counts_grid, chunk: int = 0):
     valid, aux = _device_aux(T, counts_grid)
-    syms, counts_out, x = _decode(model, n_halve, c0, lane0, states, words,
-                                  valid, aux)
+    if chunk:
+        syms, counts_out, x = _decode_semi(model, n_halve, chunk, c0, lane0,
+                                           states, words, valid, aux)
+    else:
+        syms, counts_out, x = _decode(model, n_halve, c0, lane0, states,
+                                      words, valid, aux)
     return _pack_dev(syms, pmode), counts_out
 
 
@@ -534,6 +664,15 @@ def _decode_fused_frozen(model: CtxModel, T: int, pmode: int,
     syms, x = _decode_frozen(model, counts0, lane0, states, words, valid,
                              aux)
     return _pack_dev(syms, pmode)
+
+
+def _chunk_of(params: CodecParams, model: CtxModel, T: int) -> int:
+    """Semi-adaptive chunk for the fused path: params.adapt_chunk when it
+    divides the wave count, else 0 (legacy per-wave adaptation).  This is
+    a pure function of serialized params + layout, so encode and decode
+    always agree."""
+    c = getattr(params, "adapt_chunk", 0)
+    return c if (c and T % c == 0) else 0
 
 
 class EncodeJob:
@@ -580,9 +719,11 @@ def encode_stream_job(model: CtxModel, params: CodecParams,
         syms_dev = jnp.asarray(syms)
         if adapt:
             c0 = counts0 if counts0 is not None else init_counts(model)
+            chunk = _chunk_of(params, model, layout.T)
+            nh = (_n_halve_chunk(model, L, chunk) if chunk
+                  else _n_halve(model, L))
             wp, nw, xf, counts_out = _encode_fused_adapt(
-                model, _n_halve(model, L), layout.T, pmode, c0, syms_dev,
-                cg)
+                model, nh, layout.T, pmode, c0, syms_dev, cg, chunk)
         else:
             assert counts0 is not None, "frozen encode needs counts0"
             wp, nw, xf = _encode_fused_frozen(
@@ -680,9 +821,12 @@ def decode_stream_job(model: CtxModel, params: CodecParams,
         cg = jnp.asarray(_counts_grid(counts_per_read, L))
         if adapt:
             c0 = counts0 if counts0 is not None else init_counts(model)
+            chunk = _chunk_of(params, model, T)
+            nh = (_n_halve_chunk(model, L, chunk) if chunk
+                  else _n_halve(model, L))
             syms, counts_out = _decode_fused_adapt(
-                model, _n_halve(model, L), T, pmode, c0,
-                model.lane_init(L), states_dev, words_dev, cg)
+                model, nh, T, pmode, c0,
+                model.lane_init(L), states_dev, words_dev, cg, chunk)
         else:
             assert counts0 is not None, "frozen decode needs counts0"
             syms = _decode_fused_frozen(

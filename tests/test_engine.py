@@ -134,3 +134,24 @@ def test_property_roundtrip_random_models():
         payload = encode_stream(model, p, syms, counts)
         back = decode_stream(model, p, payload, counts)
         assert np.array_equal(back, syms), f"trial {trial}"
+
+
+def test_semi_adaptive_roundtrip():
+    """adapt_chunk > 0: chunked semi-adaptive walk (snapshot requantized
+    every chunk waves) must round-trip across models and ragged lengths."""
+    from fastqueeze_tpu.models.base import QualModel, SeqModel
+    rng = np.random.default_rng(7)
+    p = CodecParams(lanes_min=8, lanes_max=32, lane_target_symbols=256,
+                    adapt_chunk=16)
+    counts = rng.integers(0, 40, 30)
+    n = int(counts.sum())
+    for model, hi in ((Order1ByteModel(alphabet=256, init=1, inc=16,
+                                       cap=8192), 256),
+                      (SeqModel(alphabet=4, init=3, inc=1, cap=253,
+                                order=6), 4),
+                      (QualModel(alphabet=48, init=1, inc=8, cap=8192,
+                                 qlevel=2), 42)):
+        flat = rng.integers(0, hi, n).astype(np.uint8)
+        payload = encode_stream(model, p, flat, counts)
+        out = decode_stream(model, p, payload, counts)
+        assert np.array_equal(out, flat)
