@@ -114,3 +114,30 @@ def test_index_sharded_alignment_matches_local():
         w = ref_codes[int(pos[i]):int(pos[i]) + L]
         eff = (3 - codes[i][::-1]) if np.asarray(rev)[i] else codes[i]
         assert (w != eff).sum() <= p.max_mis
+
+
+def test_sharded_block_coding_matches_single_device():
+    """Block-DP coding over the mesh must produce the identical rANS words
+    per block as single-device coding (SURVEY.md §4: sharded runs must
+    yield the same archives)."""
+    import jax.numpy as jnp
+    model = QualModel(alphabet=40, init=1, inc=8, cap=8192, qlevel=2)
+    B, T, L = 4, 64, 32
+    syms, valid, pos = graft._example_grids(B=B, T=T, L=L,
+                                            qmax=model.alphabet - 1)
+    counts0 = np.asarray(engine.init_counts(model))
+    mesh = make_mesh(4, ctx_shards=1)
+    n_halve = engine._n_halve(model, L)
+    words, emits, x = encode_blocks_sharded(
+        mesh, model, n_halve, jnp.asarray(counts0), jnp.asarray(syms),
+        jnp.asarray(valid), jnp.asarray(pos))
+    for b in range(B):
+        aux = {"pos": jnp.asarray(pos[b]), "start": jnp.asarray(pos[b] == 0)}
+        ctx = model.context_grids(jnp.asarray(syms[b]), aux)
+        s1, f1, _ = engine._pass1(model, n_halve, jnp.asarray(counts0),
+                                  ctx, jnp.asarray(syms[b]),
+                                  jnp.asarray(valid[b]))
+        w1, e1, x1 = engine._pass2(s1, f1, jnp.asarray(valid[b]))
+        np.testing.assert_array_equal(np.asarray(words[b]), np.asarray(w1))
+        np.testing.assert_array_equal(np.asarray(emits[b]), np.asarray(e1))
+        np.testing.assert_array_equal(np.asarray(x[b]), np.asarray(x1))
