@@ -133,17 +133,35 @@ def save_index(idx: RefIndex, path: str) -> None:
         fh.write(write_tlv(_TAG_PACK, idx.packed.astype("<u4").tobytes()))
 
 
-def load_index_file(path: str) -> RefIndex:
-    with open(path, "rb") as fh:
-        if fh.read(len(IDX_MAGIC)) != IDX_MAGIC:
+def load_index_file(path: str, shared: bool = False) -> RefIndex:
+    """shared=True maps the file instead of copying (reference parity:
+    `-s` stages the index in POSIX shm so concurrent processes share one
+    copy, SURVEY.md §2.2 — here the page cache plays that role: every
+    process holding the mmap shares the same physical pages)."""
+    if shared:
+        import mmap
+        with open(path, "rb") as fh:
+            mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        if mm[:len(IDX_MAGIC)] != IDX_MAGIC:
             raise ValueError(f"{path}: not a fastqueeze index")
-        raw = fh.read()
-    sections = dict(iter_tlv(raw))
-    meta = json.loads(sections[_TAG_META].decode())
-    keys = np.frombuffer(sections[_TAG_KEYS], meta["key_dtype"]).copy()
-    offsets = np.frombuffer(sections[_TAG_OFFS], "<u8").copy()
-    positions = np.frombuffer(sections[_TAG_POS], meta["pos_dtype"]).copy()
-    packed = np.frombuffer(sections[_TAG_PACK], "<u4").copy()
+        from fastqueeze_tpu.container.encap import iter_tlv_view
+        raw = memoryview(mm)[len(IDX_MAGIC):]
+        sections = dict(iter_tlv_view(raw))
+        copy = None                 # keep views into the mapping
+    else:
+        with open(path, "rb") as fh:
+            if fh.read(len(IDX_MAGIC)) != IDX_MAGIC:
+                raise ValueError(f"{path}: not a fastqueeze index")
+            raw = fh.read()
+        sections = dict(iter_tlv(raw))
+        copy = lambda a: a.copy()
+    if copy is None:
+        copy = lambda a: a
+    meta = json.loads(bytes(sections[_TAG_META]).decode())
+    keys = copy(np.frombuffer(sections[_TAG_KEYS], meta["key_dtype"]))
+    offsets = copy(np.frombuffer(sections[_TAG_OFFS], "<u8"))
+    positions = copy(np.frombuffer(sections[_TAG_POS], meta["pos_dtype"]))
+    packed = copy(np.frombuffer(sections[_TAG_PACK], "<u4"))
     return RefIndex(k=meta["k"], ref_len=meta["ref_len"],
                     ref_md5=meta["ref_md5"], keys=keys, offsets=offsets,
                     positions=positions, packed=packed, names=meta["names"],
@@ -173,7 +191,7 @@ def load_index(fasta_path: str, params: CodecParams,
             f"{expect_md5}")
     ipath = index_path(fasta_path)
     if os.path.exists(ipath):
-        idx = load_index_file(ipath)
+        idx = load_index_file(ipath, shared=bool(params.shm_index))
         if idx.ref_md5 == ref.md5 and idx.k == params.seed_len:
             return idx, ref
     return build_from_ref(ref, params), ref

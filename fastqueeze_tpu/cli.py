@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="lossy quality factor (e.g. 1.15)")
     ap.add_argument("-I", dest="max_insr", type=int, default=0,
                     help="max insert size for PE alignment")
+    ap.add_argument("-s", dest="shm", action="store_true",
+                    help="share the index across processes (mmap; "
+                         "reference parity: POSIX shm staging)")
+    ap.add_argument("-n", dest="no_orderbin", action="store_true",
+                    help="reference parity (disable order binning); reads "
+                         "are never reordered here, so this is a no-op")
     ap.add_argument("-q", dest="bwa", action="store_true",
                     help="long-seed aligner backend (wide 44-bit seeds, "
                     "higher specificity — the BWA-SMEM mode analogue)")
@@ -146,6 +152,8 @@ def main(argv=None) -> int:
                     setattr(p, attr, val)
             if args.bwa and p.seed_len <= 15:
                 p.seed_len = 22        # -q: long-seed backend
+            if args.shm:
+                p.shm_index = 1
             if args.multi:
                 if args.in2 or ref:
                     error("-m supports plain SE inputs (no -2 / reference)")

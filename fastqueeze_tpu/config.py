@@ -72,6 +72,8 @@ class CodecParams:
     seed_excl_bp: int = 7           # tier-2: +-bp masked around each pick
     seed_drop_occ: int = 65536      # build-time drop: hyper-repetitive seeds
     seed_stride: int = 2            # sample read seeds every N bp
+    shm_index: int = 0              # -s: mmap the index (page cache shared
+                                    # across processes; reference: POSIX shm)
     min_map_ratio: float = 0.25     # block falls back to entropy-only below
 
     # --- reference-aligned mode (set when compressing with a reference;

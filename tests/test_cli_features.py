@@ -73,3 +73,22 @@ def test_cli_list_and_config(tmp_path, monkeypatch):
     assert main(["-L", arc]) == 0
     assert main(["-d", arc, "-o", str(tmp_path / "back"), "-f"]) == 0
     assert (tmp_path / "back.fastq").read_bytes() == src.read_bytes()
+
+
+def test_cli_shm_and_orderbin_flags(tmp_path):
+    """-s (mmap-shared index) and -n (reference parity no-op) round-trip."""
+    from fastqueeze_tpu.cli import main
+    raw = open("/root/reference/test/ERR2755197_test_1.fq", "rb").read()
+    lines = raw.split(b"\n")
+    src = tmp_path / "in.fq"
+    src.write_bytes(b"\n".join(lines[:4 * 400]) + b"\n")
+    ref = tmp_path / "ref.fa"
+    seqs = lines[1:4 * 200:4]
+    ref.write_bytes(b">r\n" + b"\n".join(seqs) + b"\n")
+    assert main(["-i", str(ref)]) == 0
+    out = tmp_path / "o.fqz"
+    assert main(["-c", "-s", "-n", str(ref), "-1", str(src),
+                 "-o", str(out), "-f"]) == 0
+    assert main(["-d", str(ref), str(out), "-o", str(tmp_path / "b"),
+                 "-f"]) == 0
+    assert (tmp_path / "b.fastq").read_bytes() == src.read_bytes()
