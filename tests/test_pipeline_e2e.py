@@ -161,3 +161,29 @@ def test_threads_roundtrip_and_determinism(tmp_path):
     outs = decompress(str(tmp_path / "t3.fqz"), str(tmp_path / "back"),
                       force=True, threads=3)
     assert open(outs[0], "rb").read() == raw
+
+
+def test_e2e_config_matrix(tmp_path):
+    """SURVEY.md §4: coder-shaping parameter combinations (slevel/qlevel/
+    usemodel) must round-trip from the archive's own serialized params —
+    the reference crashes when seqarc.config is absent at decode time."""
+    rng = np.random.default_rng(42)
+    recs = []
+    for i in range(300):
+        L = int(rng.integers(30, 150))
+        seq = "".join(rng.choice(list("ACGTN"), L,
+                                 p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 60, L))
+        recs.append(f"@m.{i} x\n{seq}\n+\n{qual}\n")
+    raw = "".join(recs).encode()
+    src = tmp_path / "m.fq"
+    src.write_bytes(raw)
+    for kw in (dict(slevel=0, qlevel=1), dict(slevel=1, qlevel=3),
+               dict(slevel=0, qlevel=2, use_model=1),
+               dict(slevel=0, qlevel=2, adapt_chunk=16)):
+        p = CodecParams(lanes_min=16, lanes_max=64,
+                        lane_target_symbols=512, **kw)
+        out = tmp_path / "m.fqz"
+        compress_se(p, str(src), str(out))
+        back = decompress(str(out), str(tmp_path / "b"), force=True)
+        assert open(back[0], "rb").read() == raw, kw
