@@ -43,10 +43,10 @@ def main() -> None:
     # (compilations persist in the on-disk XLA cache for later runs)
     compress_se(p, src, os.path.join(tmp, "warm.fqz"))
 
-    # best-of-3: the device link's throughput fluctuates several-fold
+    # best-of-5: the device link's throughput fluctuates several-fold
     # between runs; report steady-state capability
     dt = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         stats = compress_se(p, src, os.path.join(tmp, "out.fqz"))
         d = time.time() - t0
@@ -56,7 +56,7 @@ def main() -> None:
     from fastqueeze_tpu.pipeline.driver import decompress
     dec_dt = None
     outs = None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         outs = decompress(os.path.join(tmp, "out.fqz"),
                           os.path.join(tmp, "back"), force=True)

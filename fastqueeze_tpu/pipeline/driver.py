@@ -60,6 +60,13 @@ def train_frozen_prefix(params: CodecParams, in_path: str,
     return frozen, blob
 
 
+def _gate_bytes(in_path: str) -> int:
+    """usemodel gate input-size estimate; gz inputs scale x5 (the
+    reference's heuristic, doCheckSetEncodeOpt @0x408298)."""
+    sz = os.path.getsize(in_path)
+    return sz * 5 if in_path.endswith(".gz") else sz
+
+
 def compress_se(params: CodecParams, in_path: str, out_path: str,
                 dbg: Optional[DebugInfo] = None) -> Dict:
     from fastqueeze_tpu.pipeline.frozen import decide_use_model
@@ -68,26 +75,58 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
     whole_md5 = hashlib.md5()
     writer = ArcWriter(out_path, params, [os.path.basename(in_path)], [])
     frozen = None
-    if decide_use_model(params, os.path.getsize(in_path)):
-        frozen, blob = train_frozen_prefix(params, in_path, dbg)
-        writer.set_model(blob)
+    gen = read_blocks(in_path, block_size)
+    prefix_items = []   # (raw, final_nl, FastqBlock) — parsed once, reused
+    if decide_use_model(params, _gate_bytes(in_path)):
+        # usemodel preprocess (reference doPreProcess, SURVEY.md §3.4):
+        # pull blocks until the training prefix is covered, parse them
+        # once, train from the parsed arrays, then feed the same parsed
+        # blocks straight into the encode pipeline (no second read pass)
+        from fastqueeze_tpu.pipeline.frozen import (
+            _qual_alphabet, frozen_dev_tables, serialize_frozen,
+            train_frozen_blocks)
+        t0 = time.time()
+        need = params.model_train_mb << 20
+        got = 0
+        for raw, final_nl in gen:
+            block = parse_block(raw, final_nl)
+            if params.lossy_factor > 1.0:
+                raw, block = apply_lossy(params, block)
+            prefix_items.append((raw, final_nl, block))
+            got += len(raw)
+            if got >= need:
+                break
+        frozen = train_frozen_blocks(params, [b for _, _, b in prefix_items])
+        writer.set_model(serialize_frozen(frozen))
+        # start the (~10 MB) table upload now, overlapping the first
+        # block's host work (transfers are async)
+        frozen_dev_tables(frozen, _qual_alphabet(frozen["qmax"]),
+                          params.qual_init)
+        dbg.add("train_s", time.time() - t0)
     idx = 0
     total_raw = 0
+
+    def items():
+        for it in prefix_items:
+            yield it
+        for raw, final_nl in gen:
+            yield (raw, final_nl, None)
 
     if params.threads > 1:
         from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
 
         def work(i, item):
-            raw, final_nl = item
-            block = parse_block(raw, final_nl)
-            if params.lossy_factor > 1.0:
-                raw, block = apply_lossy(params, block)
+            raw, final_nl, block = item
+            if block is None:
+                block = parse_block(raw, final_nl)
+                if params.lossy_factor > 1.0:
+                    raw, block = apply_lossy(params, block)
             payload = encode_block(params, block, frozen=frozen, dbg=dbg)
             return raw, payload, block.n_reads
 
         t_all = time.time()
         for i, (raw, payload, n_reads) in ordered_parallel(
-                read_blocks(in_path, block_size), work, params.threads):
+                items(), work, params.threads):
             whole_md5.update(raw)
             writer.add_block(i, payload, BlockInfo(
                 payload_len=len(payload), n_reads=n_reads,
@@ -106,11 +145,12 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             dbg.add("encode_s", time.time() - t0)
             writer.add_block(pend[0], payload, pend[2])
 
-        for raw, final_nl in read_blocks(in_path, block_size):
+        for raw, final_nl, block in items():
             t0 = time.time()
-            block = parse_block(raw, final_nl)
-            if params.lossy_factor > 1.0:
-                raw, block = apply_lossy(params, block)
+            if block is None:
+                block = parse_block(raw, final_nl)
+                if params.lossy_factor > 1.0:
+                    raw, block = apply_lossy(params, block)
             whole_md5.update(raw)
             dbg.add("parse_s", time.time() - t0)
             t0 = time.time()

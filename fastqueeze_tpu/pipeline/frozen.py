@@ -202,6 +202,21 @@ def train_frozen(p: CodecParams, block: FastqBlock,
             "qual_counts": _narrow_np(qual_counts, qmodel.cap)}
 
 
+def train_frozen_blocks(p: CodecParams, blocks,
+                        target_syms: int = 16 << 20) -> Dict:
+    """Train from already-parsed blocks (the driver reuses the prefix
+    blocks for both training and encoding — no second read/parse pass)."""
+    if len(blocks) == 1:
+        return train_frozen(p, blocks[0], target_syms)
+    combo = FastqBlock(
+        n_reads=sum(b.n_reads for b in blocks), ids=[], plus=[],
+        seq_flat=np.concatenate([b.seq_flat for b in blocks]),
+        qual_flat=np.concatenate([b.qual_flat for b in blocks]),
+        lengths=np.concatenate([b.lengths for b in blocks]),
+        raw_len=0, final_newline=True)
+    return train_frozen(p, combo, target_syms)
+
+
 def _narrow_np(counts: np.ndarray, cap: int) -> np.ndarray:
     if cap < (1 << 8):
         return counts.astype(np.uint8)
