@@ -328,8 +328,25 @@ def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, l1,
     cand = jnp.concatenate(cand_list, axis=1)
     cand_ok = jnp.concatenate(ok_list, axis=1)
 
-    # gapless packed compare, all candidates at once
+    # gapless packed compare.  Deep candidate lists go through a two-stage
+    # verify: a 32 bp prefix compare (2 of W words) ranks candidates, the
+    # full-window compare runs only on the best K.  A candidate that maps
+    # (<= max_mis over the window) has <= max_mis prefix mismatches, so
+    # ranking by prefix mismatches keeps mappable candidates near the top;
+    # any kept candidate within the cap is a valid mapping for coding.
     rw, mw = _pack_words(codes, base_valid, Lp)
+    K = 768
+    if cand.shape[1] > 2 * K and cfg.n_words > 3:
+        wm = cfg.n_words // 2
+        pmis = jnp.zeros(cand.shape, jnp.int32)
+        for j in (0, wm):          # two spread 16-mers, not adjacent ones
+            refw1 = _fetch_ref_words(packed, cand + 16 * j, 1)[..., 0]
+            pmis = pmis + _mis2bit((rw[:, None, j] ^ refw1)
+                                   & mw[:, None, j])
+        pmis = jnp.where(cand_ok, pmis, _BIG)
+        _, sel = lax.top_k(-pmis, K)
+        cand = jnp.take_along_axis(cand, sel, axis=1)
+        cand_ok = jnp.take_along_axis(cand_ok, sel, axis=1)
     refw = _fetch_ref_words(packed, cand, cfg.n_words)     # (B, C, W)
     mis = _mis2bit((rw[:, None, :] ^ refw) & mw[:, None, :]).sum(axis=2)
     mis = jnp.where(cand_ok, mis, _BIG)
