@@ -157,7 +157,32 @@ def _hist_counts(model, ctx: np.ndarray, syms: np.ndarray) -> np.ndarray:
 def train_frozen(p: CodecParams, block: FastqBlock,
                  target_syms: int = 16 << 20) -> Dict:
     """Train seq + qual frozen tables from a prefix block (host bincount)."""
+    from fastqueeze_tpu.config import SEQ_CTX_START
+    from fastqueeze_tpu.io import native
     from fastqueeze_tpu.pipeline.blockcodec import _BASE_MAP
+
+    # fused native path: stride subsample + base map + degenerate strip +
+    # both histograms in one C pass over the raw ASCII arrays (the numpy
+    # glue below costs seconds of copies on a 16M-symbol prefix)
+    total = int(block.lengths.sum())
+    stride = 1
+    if total > target_syms and block.n_reads >= 4:
+        stride = int(np.ceil(total / target_syms))
+    seq_model = seq_model_from_params(p)
+    fused = native.train_prefix(block.seq_flat, block.qual_flat,
+                                block.lengths, stride, seq_model.order,
+                                SEQ_CTX_START, p.qlevel, p.q_drop_init)
+    if fused is not None:
+        shist, qhist, qmax = fused
+        qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
+                           inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
+                           drop_init=p.q_drop_init)
+        return {"qmax": qmax,
+                "seq_counts": _narrow_np(_cap_rescale(seq_model, shist),
+                                         seq_model.cap),
+                "qual_counts": _narrow_np(_cap_rescale(qmodel, qhist),
+                                          qmodel.cap)}
+
     block = _subsample(block, target_syms)
     codes = _BASE_MAP[block.seq_flat]
     dege = codes == 255
@@ -168,9 +193,6 @@ def train_frozen(p: CodecParams, block: FastqBlock,
     if n_dege:
         read_of = np.repeat(np.arange(R), lengths)
         dege_cnt = np.bincount(read_of[dege], minlength=R).astype(np.int64)
-    from fastqueeze_tpu.config import SEQ_CTX_START
-    from fastqueeze_tpu.io import native
-    seq_model = seq_model_from_params(p)
     seq_codes = codes[~dege]
     seq_lens = lengths - dege_cnt
     hist = native.seq_hist(seq_codes, seq_lens, seq_model.order,

@@ -84,6 +84,79 @@ void fq_cap_rescale(int32_t* hist, int64_t n_rows, int32_t alphabet,
     }
 }
 
+// Fused one-pass frozen-model trainer over the RAW ASCII streams
+// (fastqueeze_tpu/pipeline/frozen.py train_frozen fast path).  Replaces
+// the python glue — read-stride subsample, base mapping, degenerate strip,
+// phred conversion — that otherwise costs seconds of numpy copies on the
+// training prefix.  Reads with (r % stride != 0) are skipped entirely;
+// non-ACGT bases are skipped in the seq-context walk (the numpy path
+// strips them before building contexts — same compacted stream).
+// seq_hist: (1<<2*order)*4 int32, zeroed (or accumulating) by the caller.
+// qhist: n_qctx*alphabet int32 likewise.  Returns max phred seen (-1 if
+// no symbols), for callers that computed `alphabet` via fq_qual_max.
+int32_t fq_train_prefix(const uint8_t* seq, const uint8_t* qual,
+                        const int64_t* lengths, int64_t n_reads,
+                        int64_t stride, int32_t order, uint32_t magic,
+                        int32_t qlevel, int32_t drop_init, int32_t alphabet,
+                        int32_t* seq_hist, int32_t* qhist) {
+    const uint32_t mask = (order >= 16) ? 0xFFFFFFFFu
+                                        : ((1u << (2 * order)) - 1u);
+    int8_t bmap[256];
+    for (int i = 0; i < 256; ++i) bmap[i] = -1;
+    bmap['A'] = 0; bmap['C'] = 1; bmap['G'] = 2; bmap['T'] = 3;
+    int32_t qmax = -1;
+    int64_t off = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        const int64_t len = lengths[r];
+        if (r % stride != 0) { off += len; continue; }
+        uint32_t ctx = magic & mask;
+        int32_t q1 = 0, q2 = 0, drops = drop_init;
+        for (int64_t i = 0; i < len; ++i) {
+            const int8_t b = bmap[seq[off + i]];
+            if (b >= 0) {
+                ++seq_hist[(static_cast<int64_t>(ctx) << 2) | b];
+                ctx = ((ctx << 2) | static_cast<uint32_t>(b)) & mask;
+            }
+            const int32_t sym = static_cast<int32_t>(qual[off + i]) - 33;
+            if (sym > qmax) qmax = sym;
+            int32_t qc = (((q1 > q2 ? q1 : q2) << 6) + q1) & 0xFFF;
+            if (qlevel >= 2) {
+                if (q1 == q2) qc += 0x1000;
+                qc += ((drops < 56 ? drops : 56) & ~7) << 10;
+            }
+            if (qlevel >= 3) {
+                const int32_t p3 = static_cast<int32_t>(i) >> 3;
+                qc += (p3 < 15 ? p3 : 15) << 16;
+            }
+            ++qhist[static_cast<int64_t>(qc) * alphabet + sym];
+            drops += (q1 > sym) ? (q1 - sym) : 0;
+            q2 = q1;
+            q1 = sym;
+        }
+        off += len;
+    }
+    return qmax;
+}
+
+// Max phred over the stride-subsampled reads (sizes the qual alphabet
+// before the fused histogram pass).  Returns -1 on no symbols.
+int32_t fq_qual_max(const uint8_t* qual, const int64_t* lengths,
+                    int64_t n_reads, int64_t stride) {
+    int32_t m = -1;
+    int64_t off = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        const int64_t len = lengths[r];
+        if (r % stride == 0) {
+            for (int64_t i = 0; i < len; ++i) {
+                const int32_t v = static_cast<int32_t>(qual[off + i]);
+                if (v > m) m = v;
+            }
+        }
+        off += len;
+    }
+    return m < 0 ? -1 : m - 33;
+}
+
 // Ragged read-major flat symbols <-> (T, L) wave grid (ops/lanes.py).
 // Read r (start wave start_t[r], lane lane[r]) occupies grid rows
 // start_t[r]..start_t[r]+counts[r]-1 of column lane[r].  esz = 1 or 2.
