@@ -22,6 +22,50 @@ import numpy as np
 NL = 10  # ord("\n")
 
 
+class LazyLines:
+    """List-of-bytes view over (concatenated bytes, line offsets).
+
+    The SE encode path only ever needs the concatenated form (the ID
+    binner tokenizes over one flat buffer) — materializing R small bytes
+    objects per block costs real time on this 1-vCPU host, so it happens
+    lazily, on first element access.  `cat`/`offs` are the fast path."""
+
+    __slots__ = ("cat", "offs", "_list")
+
+    def __init__(self, cat: bytes, offs: np.ndarray):
+        self.cat = cat                  # concatenated line bytes
+        self.offs = offs                # (R+1,) int64 boundaries
+        self._list = None
+
+    def _mat(self) -> List[bytes]:
+        if self._list is None:
+            cat, o = self.cat, self.offs.tolist()
+            self._list = [cat[o[i]:o[i + 1]] for i in range(len(o) - 1)]
+        return self._list
+
+    def __len__(self):
+        return len(self.offs) - 1
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __getitem__(self, k):
+        return self._mat()[k]
+
+    def __eq__(self, other):
+        return list(self) == list(other)
+
+    def has_content(self) -> bool:
+        return len(self.cat) > 0
+
+
+def any_content(lines) -> bool:
+    """any(lines) without materializing a LazyLines."""
+    if isinstance(lines, LazyLines):
+        return lines.has_content()
+    return any(lines)
+
+
 def open_maybe_gz(path: str):
     with open(path, "rb") as fh:
         magic = fh.read(2)
@@ -71,6 +115,20 @@ def _extract_concat(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     return buf[idx], lens
 
 
+def _lazy_lines(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                R: int) -> LazyLines:
+    from fastqueeze_tpu.io import native
+    lens = (ends - starts).astype(np.int64)
+    offs = np.zeros(R + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    cat = native.gather(buf, starts, ends, total)
+    if cat is None:
+        cat, _ = _extract_concat(buf, starts.astype(np.int64),
+                                 ends.astype(np.int64))
+    return LazyLines(cat.tobytes(), offs)
+
+
 def parse_block(raw: bytes, final_newline: bool = True) -> FastqBlock:
     """Parse whole-record FASTQ bytes into SoA form.
 
@@ -85,10 +143,8 @@ def parse_block(raw: bytes, final_newline: bool = True) -> FastqBlock:
         total = int(seq_lens.sum())
         seq_flat = native.gather(buf, sp["sq_s"], sp["sq_e"], total)
         qual_flat = native.gather(buf, sp["qu_s"], sp["qu_e"], total)
-        ids = [raw[s:e] for s, e in zip(sp["id_s"].tolist(),
-                                        sp["id_e"].tolist())]
-        plus = [raw[s:e] for s, e in zip(sp["pl_s"].tolist(),
-                                         sp["pl_e"].tolist())]
+        ids = _lazy_lines(buf, sp["id_s"], sp["id_e"], R)
+        plus = _lazy_lines(buf, sp["pl_s"], sp["pl_e"], R)
         return FastqBlock(n_reads=R, ids=ids, plus=plus, seq_flat=seq_flat,
                           qual_flat=qual_flat, lengths=seq_lens,
                           raw_len=len(raw), final_newline=final_newline)
@@ -117,11 +173,23 @@ def parse_block(raw: bytes, final_newline: bool = True) -> FastqBlock:
                       raw_len=len(raw), final_newline=final_newline)
 
 
+def _line_lens(lines, R: int) -> np.ndarray:
+    if isinstance(lines, LazyLines):
+        return np.diff(lines.offs)
+    return np.fromiter((len(x) for x in lines), np.int64, R)
+
+
+def _line_cat(lines) -> bytes:
+    if isinstance(lines, LazyLines):
+        return lines.cat
+    return b"".join(lines)
+
+
 def assemble_block(block: FastqBlock) -> bytes:
     """Inverse of parse_block: rebuild the exact plaintext bytes."""
     R = block.n_reads
-    id_lens = np.fromiter((len(x) for x in block.ids), np.int64, R)
-    pl_lens = np.fromiter((len(x) for x in block.plus), np.int64, R)
+    id_lens = _line_lens(block.ids, R)
+    pl_lens = _line_lens(block.plus, R)
     lens = block.lengths
     rec_lens = id_lens + pl_lens + 2 * lens + 6  # '@' + '+' + 4x'\n'
     total = int(rec_lens.sum())
@@ -131,7 +199,7 @@ def assemble_block(block: FastqBlock) -> bytes:
     # id lines
     out[rec_off] = ord("@")
     _scatter_concat(out, rec_off + 1, id_lens,
-                    np.frombuffer(b"".join(block.ids), np.uint8))
+                    np.frombuffer(_line_cat(block.ids), np.uint8))
     p = rec_off + 1 + id_lens
     out[p] = NL
     # seq
@@ -141,7 +209,7 @@ def assemble_block(block: FastqBlock) -> bytes:
     # plus
     out[p + 1] = ord("+")
     _scatter_concat(out, p + 2, pl_lens,
-                    np.frombuffer(b"".join(block.plus), np.uint8))
+                    np.frombuffer(_line_cat(block.plus), np.uint8))
     p = p + 2 + pl_lens
     out[p] = NL
     # qual

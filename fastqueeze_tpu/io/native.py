@@ -86,6 +86,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fq_qual_hist.restype = None
     lib.fq_qual_hist.argtypes = [_U8P, _I64P, ctypes.c_int64, _i32, _i32,
                                  _i32, _i32p]
+    for _nm in ("fq_pack2", "fq_unpack2", "fq_pack6", "fq_unpack6"):
+        fn = getattr(lib, _nm)
+        fn.restype = None
+        fn.argtypes = [_U8P, ctypes.c_int64, _U8P]
     lib.fq_train_prefix.restype = ctypes.c_int32
     lib.fq_train_prefix.argtypes = [_U8P, _U8P, _I64P, ctypes.c_int64,
                                     ctypes.c_int64, _i32, ctypes.c_uint32,
@@ -93,6 +97,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fq_qual_max.restype = ctypes.c_int32
     lib.fq_qual_max.argtypes = [_U8P, _I64P, ctypes.c_int64,
                                 ctypes.c_int64]
+    lib.fq_render_dec.restype = ctypes.c_int64
+    lib.fq_render_dec.argtypes = [_I64P, ctypes.c_int64, _U8P,
+                                  ctypes.c_int64]
     lib.fq_cap_rescale.restype = None
     lib.fq_cap_rescale.argtypes = [_i32p, ctypes.c_int64, _i32, _i32, _i32,
                                    _i32]
@@ -275,6 +282,47 @@ def qual_hist(q: np.ndarray, lengths: np.ndarray, qlevel: int,
                      drop_init, alphabet,
                      hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return hist.reshape(n_ctx, alphabet)
+
+
+def pack_grid(grid: np.ndarray, bits: int) -> Optional[np.ndarray]:
+    """(T, L) u8 grid -> packed bytes, 4 symbols per group: bits=2 packs
+    to 1 byte/group, bits=6 to 3 bytes/group.  None -> numpy fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    T, L = grid.shape
+    n = T * (L // 4)
+    grid = np.ascontiguousarray(grid, np.uint8)
+    out = np.empty(T * (L // 4) * (1 if bits == 2 else 3), np.uint8)
+    (lib.fq_pack2 if bits == 2 else lib.fq_pack6)(_u8p(grid), n, _u8p(out))
+    return out.reshape(T, (L // 4) * (1 if bits == 2 else 3))
+
+
+def unpack_grid(packed: np.ndarray, bits: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    T, W = packed.shape
+    n = T * (W if bits == 2 else W // 3)
+    packed = np.ascontiguousarray(packed, np.uint8)
+    out = np.empty(n * 4, np.uint8)
+    (lib.fq_unpack2 if bits == 2 else lib.fq_unpack6)(
+        _u8p(packed), n, _u8p(out))
+    return out.reshape(T, n * 4 // T)
+
+
+def render_dec(vals: np.ndarray) -> Optional[bytes]:
+    """b"%d\\n"-rendering of an int64 vector in one C pass, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.int64)
+    cap = len(vals) * 22 + 1
+    out = np.empty(cap, np.uint8)
+    w = lib.fq_render_dec(_i64p(vals), len(vals), _u8p(out), cap)
+    if w < 0:
+        return None
+    return out[:w].tobytes()
 
 
 def train_prefix(seq_flat: np.ndarray, qual_flat: np.ndarray,

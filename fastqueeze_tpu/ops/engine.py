@@ -138,6 +138,10 @@ def _ctx_grids(model: CtxModel, syms, aux):
 def _pack2_host(grid: np.ndarray) -> np.ndarray:
     """(T, L) 2-bit symbols -> (T, L//4) packed bytes (transfer shrink: the
     TPU tunnel is the bottleneck, ~14 MB/s h2d)."""
+    from fastqueeze_tpu.io import native
+    out = native.pack_grid(grid, 2)
+    if out is not None:
+        return out
     T, L = grid.shape
     g = grid.reshape(T, L // 4, 4).astype(np.uint8)
     return (g[:, :, 0] | (g[:, :, 1] << 2) | (g[:, :, 2] << 4)
@@ -160,6 +164,10 @@ def _pack2_dev(grid):
 
 
 def _unpack2_host(packed: np.ndarray) -> np.ndarray:
+    from fastqueeze_tpu.io import native
+    out = native.unpack_grid(packed, 2)
+    if out is not None:
+        return out
     T, Lq = packed.shape
     parts = np.stack([(packed >> s) & 3 for s in (0, 2, 4, 6)], axis=2)
     return parts.reshape(T, Lq * 4)
@@ -167,6 +175,10 @@ def _unpack2_host(packed: np.ndarray) -> np.ndarray:
 
 def _pack6_host(grid: np.ndarray) -> np.ndarray:
     """(T, L) 6-bit symbols -> (T, 3L/4) bytes (4 syms per 24 bits)."""
+    from fastqueeze_tpu.io import native
+    out = native.pack_grid(grid, 6)
+    if out is not None:
+        return out
     T, L = grid.shape
     g = grid.reshape(T, L // 4, 4).astype(np.uint32)
     v = g[:, :, 0] | (g[:, :, 1] << 6) | (g[:, :, 2] << 12) | (g[:, :, 3] << 18)
@@ -198,6 +210,10 @@ def _pack6_dev(grid):
 
 
 def _unpack6_host(packed: np.ndarray) -> np.ndarray:
+    from fastqueeze_tpu.io import native
+    out = native.unpack_grid(packed, 6)
+    if out is not None:
+        return out
     T, L3 = packed.shape
     q = L3 // 3
     p3 = packed.reshape(T, q, 3).astype(np.uint32)

@@ -318,8 +318,9 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         id_sections.append((TAG_IDRAW, _code_bytes(p, raw)))
 
     # --- plus lines ---
+    from fastqueeze_tpu.io.fastq import any_content
     plus_sections = []
-    if any(block.plus):
+    if any_content(block.plus):
         pschema, pvar = analyze_ids(block.plus)
         if pschema is not None:
             plus_sections.append((TAG_PLUSSCHEMA, pschema.to_json()))

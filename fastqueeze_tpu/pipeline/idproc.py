@@ -95,12 +95,16 @@ def _analyze_ids_vec(ids: List[bytes]):
     when the native library is unavailable (caller uses the Python path);
     otherwise bit-identical (schema, var_payload) to _analyze_ids_full."""
     from fastqueeze_tpu.io import native
+    from fastqueeze_tpu.io.fastq import LazyLines
     R = len(ids)
-    lens = np.fromiter((len(s) for s in ids), np.int64, R)
-    offs = np.zeros(R + 1, np.int64)
-    np.cumsum(lens, out=offs[1:])
-    concat = b"".join(ids)
-    buf = np.frombuffer(concat, np.uint8)
+    if isinstance(ids, LazyLines):
+        offs = ids.offs
+        buf = np.frombuffer(ids.cat, np.uint8)
+    else:
+        lens = np.fromiter((len(s) for s in ids), np.int64, R)
+        offs = np.zeros(R + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        buf = np.frombuffer(b"".join(ids), np.uint8)
     tok = native.id_tokenize(buf, offs, cap=max(64 * R, 1024))
     if tok is None:
         return NotImplemented
@@ -168,7 +172,10 @@ def _analyze_ids_vec(ids: List[bytes]):
             deltas = np.empty(R, np.int64)
             deltas[0] = values[0]
             np.subtract(values[1:], values[:-1], out=deltas[1:])
-            var_chunks.append(b"\n".join(b"%d" % d for d in deltas) + b"\n")
+            rendered = native.render_dec(deltas)
+            if rendered is None:
+                rendered = b"\n".join(b"%d" % d for d in deltas) + b"\n"
+            var_chunks.append(rendered)
             continue
         fields.append({"m": MODE_TEXT_VAR})
         var_chunks.append(_join_column(buf, s_i, ends[:, i]))

@@ -138,6 +138,51 @@ int32_t fq_train_prefix(const uint8_t* seq, const uint8_t* qual,
     return qmax;
 }
 
+// Transfer-packing twins of ops/engine.py _pack{2,6}/_unpack{2,6}_host:
+// the tunnel link is the transfer bottleneck, so grids cross it packed;
+// the pack/unpack passes themselves must not eat the saving on this
+// 1-vCPU host.  n = number of 4-symbol groups (T*L/4).
+void fq_pack2(const uint8_t* grid, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* g = grid + 4 * i;
+        out[i] = static_cast<uint8_t>(g[0] | (g[1] << 2) | (g[2] << 4)
+                                      | (g[3] << 6));
+    }
+}
+
+void fq_unpack2(const uint8_t* packed, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t v = packed[i];
+        uint8_t* g = out + 4 * i;
+        g[0] = v & 3; g[1] = (v >> 2) & 3; g[2] = (v >> 4) & 3;
+        g[3] = (v >> 6) & 3;
+    }
+}
+
+void fq_pack6(const uint8_t* grid, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* g = grid + 4 * i;
+        const uint32_t v = static_cast<uint32_t>(g[0])
+                           | (static_cast<uint32_t>(g[1]) << 6)
+                           | (static_cast<uint32_t>(g[2]) << 12)
+                           | (static_cast<uint32_t>(g[3]) << 18);
+        uint8_t* o = out + 3 * i;
+        o[0] = v & 0xFF; o[1] = (v >> 8) & 0xFF; o[2] = (v >> 16) & 0xFF;
+    }
+}
+
+void fq_unpack6(const uint8_t* packed, int64_t n, uint8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t* p = packed + 3 * i;
+        const uint32_t v = static_cast<uint32_t>(p[0])
+                           | (static_cast<uint32_t>(p[1]) << 8)
+                           | (static_cast<uint32_t>(p[2]) << 16);
+        uint8_t* g = out + 4 * i;
+        g[0] = v & 63; g[1] = (v >> 6) & 63; g[2] = (v >> 12) & 63;
+        g[3] = (v >> 18) & 63;
+    }
+}
+
 // Max phred over the stride-subsampled reads (sizes the qual alphabet
 // before the fused histogram pass).  Returns -1 on no symbols.
 int32_t fq_qual_max(const uint8_t* qual, const int64_t* lengths,
@@ -204,6 +249,30 @@ void fq_grid_gather(const uint8_t* grid, int32_t esz, const int64_t* counts,
             off += c;
         }
     }
+}
+
+// Decimal rendering of the ID binner's numeric-VAR delta columns
+// (pipeline/idproc.py): "%ld\n" per value.  Returns bytes written, or -1
+// if cap would overflow.
+int64_t fq_render_dec(const int64_t* vals, int64_t n, uint8_t* out,
+                      int64_t cap) {
+    int64_t w = 0;
+    char tmp[24];
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t v = vals[i];
+        int k = 0;
+        if (v < 0) {
+            if (w >= cap) return -1;
+            out[w++] = '-';
+            v = -v;   // int64 min cannot appear: deltas of line numbers
+        }
+        do { tmp[k++] = static_cast<char>('0' + (v % 10)); v /= 10; }
+        while (v);
+        if (w + k + 1 > cap) return -1;
+        while (k) out[w++] = static_cast<uint8_t>(tmp[--k]);
+        out[w++] = '\n';
+    }
+    return w;
 }
 
 // ID-binning tokenizer (pipeline/idproc.py): split each ID line into
