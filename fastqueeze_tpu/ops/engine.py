@@ -474,9 +474,6 @@ def _decode_frozen(model: CtxModel, counts0, lane_state0,
     A = model.alphabet
     Fq = _quant_full(counts0)
     Fq_flat = Fq.astype(jnp.int32).reshape(-1)
-    # (start | freq << 16) in one word: the post-search fetch is 1 gather
-    SF_flat = (Fq[:, :-1] + ((Fq[:, 1:] - Fq[:, :-1]) << 16)).astype(
-        _U32).reshape(-1)
     steps = max(1, math.ceil(math.log2(A)))
     nwords = words.shape[0]
 
@@ -487,18 +484,25 @@ def _decode_frozen(model: CtxModel, counts0, lane_state0,
         base = ctx.astype(jnp.int32) * (A + 1)
         low = (x & _MASK_M).astype(jnp.int32)
         # sym = largest s in [0, A-1] with F[s] <= low (F[0] = 0 <= low,
-        # so lo is always a valid candidate; invariant lo <= hi)
+        # so lo is always a valid candidate; invariant lo <= hi).  The
+        # search carries the cumfreq values at its bounds (flo = F[lo],
+        # fhi = F[hi+1]) so start/freq need no post-search gather — the
+        # scan is gather-bound, one fewer fetch per symbol matters.
         lo = jnp.zeros_like(low)
         hi = jnp.full_like(low, A - 1)
+        flo = jnp.zeros_like(low)
+        fhi = jnp.full_like(low, RANS_M)   # F[A] == RANS_M by _quant
         for _ in range(steps):
             mid = (lo + hi + 1) >> 1
-            le = Fq_flat[base + mid] <= low
+            v = Fq_flat[base + mid]
+            le = v <= low
             lo = jnp.where(le, mid, lo)
             hi = jnp.where(le, hi, mid - 1)
+            flo = jnp.where(le, v, flo)
+            fhi = jnp.where(le, fhi, v)
         sym = lo
-        sf = SF_flat[ctx.astype(jnp.int32) * A + sym]
-        start = sf & 0xFFFF
-        f = sf >> 16
+        start = flo.astype(_U32)
+        f = (fhi - flo).astype(_U32)
         xn = f * (x >> PROB_BITS) + (x & _MASK_M) - start
         need = (xn < RANS_L) & vld
         rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
