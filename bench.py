@@ -59,7 +59,7 @@ def main() -> None:
     for _ in range(5):
         t0 = time.time()
         outs = decompress(os.path.join(tmp, "out.fqz"),
-                          os.path.join(tmp, "back"), force=True)
+                          os.path.join(tmp, "back"), force=True, threads=2)
         d = time.time() - t0
         dec_dt = d if dec_dt is None else min(dec_dt, d)
     with open(outs[0], "rb") as fh:

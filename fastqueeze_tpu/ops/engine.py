@@ -473,36 +473,75 @@ def _decode_frozen(model: CtxModel, counts0, lane_state0,
     instead of the whole (A+1) row — the scan is gather-bound)."""
     A = model.alphabet
     Fq = _quant_full(counts0)
-    Fq_flat = Fq.astype(jnp.int32).reshape(-1)
     steps = max(1, math.ceil(math.log2(A)))
+    H = A // 2
+    pair_steps = math.ceil(math.log2(H + 1)) if H else steps
+    # pair-packed search: each gather fetches (F[2k+1] | F[2k+2] << 16),
+    # so the search runs over H+1 pair slots instead of A symbols — one
+    # fewer gather whenever A is not a power of two (the qual alphabets
+    # are multiples of 8: 40/48/56/88/96 all win a step)
+    use_pairs = (A % 2 == 0) and pair_steps < steps
+    if use_pairs:
+        P_flat = (Fq[:, 1::2].astype(_U32)
+                  | (Fq[:, 2::2].astype(_U32) << 16)).reshape(-1)
+    else:
+        Fq_flat = Fq.astype(jnp.int32).reshape(-1)
     nwords = words.shape[0]
 
     def body(carry, xs):
         st, x, off = carry
         vld, aux_t = xs
         ctx = model.context(st, aux_t)
-        base = ctx.astype(jnp.int32) * (A + 1)
         low = (x & _MASK_M).astype(jnp.int32)
-        # sym = largest s in [0, A-1] with F[s] <= low (F[0] = 0 <= low,
-        # so lo is always a valid candidate; invariant lo <= hi).  The
-        # search carries the cumfreq values at its bounds (flo = F[lo],
-        # fhi = F[hi+1]) so start/freq need no post-search gather — the
-        # scan is gather-bound, one fewer fetch per symbol matters.
-        lo = jnp.zeros_like(low)
-        hi = jnp.full_like(low, A - 1)
-        flo = jnp.zeros_like(low)
-        fhi = jnp.full_like(low, RANS_M)   # F[A] == RANS_M by _quant
-        for _ in range(steps):
-            mid = (lo + hi + 1) >> 1
-            v = Fq_flat[base + mid]
-            le = v <= low
-            lo = jnp.where(le, mid, lo)
-            hi = jnp.where(le, hi, mid - 1)
-            flo = jnp.where(le, v, flo)
-            fhi = jnp.where(le, fhi, v)
-        sym = lo
-        start = flo.astype(_U32)
-        f = (fhi - flo).astype(_U32)
+        # sym = largest s in [0, A-1] with F[s] <= low (F[0] = 0 <= low
+        # always holds).  Both variants carry the cumfreq values at their
+        # bounds so start/freq need no post-search gather — the scan is
+        # gather-bound, every fetch per symbol matters.
+        if use_pairs:
+            # search pair index k in [-1, H-1] for the largest with
+            # F[2k+1] <= low; the winning fetch holds F[2k+1], F[2k+2]
+            # and the failing bound carries fhi = F[2(hi+1)+1]
+            base = ctx.astype(jnp.int32) * H
+            lo = jnp.full_like(low, -1)
+            hi = jnp.full_like(low, H - 1)
+            plo = jnp.zeros_like(low).astype(_U32)
+            fhi = jnp.full_like(low, RANS_M)   # F[A] == RANS_M by _quant
+            for _ in range(pair_steps):
+                # clamp: once lo == hi == -1 the midpoint would go
+                # negative and clobber the carried bounds; mid = 0 there
+                # re-fetches F[1] > low, a no-op update
+                mid = jnp.maximum((lo + hi + 1) >> 1, 0)
+                v = P_flat[base + mid]
+                vlow = (v & 0xFFFF).astype(jnp.int32)
+                le = vlow <= low
+                lo = jnp.where(le, mid, lo)
+                hi = jnp.where(le, hi, mid - 1)
+                plo = jnp.where(le, v, plo)
+                fhi = jnp.where(le, fhi, vlow)
+            f1 = (plo & 0xFFFF).astype(jnp.int32)
+            f2 = (plo >> 16).astype(jnp.int32)
+            take2 = low >= f2          # lo == -1 lands here (f2 == 0)
+            sym = jnp.clip(jnp.where(take2, 2 * lo + 2, 2 * lo + 1),
+                           0, A - 1)
+            start = jnp.where(take2, f2, f1).astype(_U32)
+            f = jnp.where(take2, fhi - f2, f2 - f1).astype(_U32)
+        else:
+            base = ctx.astype(jnp.int32) * (A + 1)
+            lo = jnp.zeros_like(low)
+            hi = jnp.full_like(low, A - 1)
+            flo = jnp.zeros_like(low)
+            fhi = jnp.full_like(low, RANS_M)   # F[A] == RANS_M by _quant
+            for _ in range(steps):
+                mid = (lo + hi + 1) >> 1
+                v = Fq_flat[base + mid]
+                le = v <= low
+                lo = jnp.where(le, mid, lo)
+                hi = jnp.where(le, hi, mid - 1)
+                flo = jnp.where(le, v, flo)
+                fhi = jnp.where(le, fhi, v)
+            sym = lo
+            start = flo.astype(_U32)
+            f = (fhi - flo).astype(_U32)
         xn = f * (x >> PROB_BITS) + (x & _MASK_M) - start
         need = (xn < RANS_L) & vld
         rank = jnp.cumsum(need.astype(jnp.int32)) - need.astype(jnp.int32)
