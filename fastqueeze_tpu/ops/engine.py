@@ -750,10 +750,17 @@ class EncodeJob:
 
     def finalize(self) -> bytes:
         n_words = int(self._n_words)
-        stream_words = np.asarray(self._wpacked[:n_words])
+        # slice at a coarse (32k-word) bucket boundary: an exact-length
+        # slice is a fresh XLA program per distinct stream length (remote-
+        # compiled through the tunnel on every block); bucketing reuses a
+        # handful of programs and wastes <= 64 KB of transfer
+        cap = self._wpacked.shape[0]
+        bucket = min(-(-max(n_words, 1) // 32768) * 32768, cap)
+        words_dev = self._wpacked[:bucket] if bucket < cap else self._wpacked
+        words_host, xf = jax.device_get((words_dev, self._x_final))
         return (_HDR.pack(self._T, self._L, n_words, self._nsym)
-                + np.asarray(self._x_final).astype("<u4").tobytes()
-                + stream_words.astype("<u2").tobytes())
+                + np.asarray(xf).astype("<u4").tobytes()
+                + np.asarray(words_host[:n_words]).astype("<u2").tobytes())
 
 
 def encode_stream_job(model: CtxModel, params: CodecParams,
