@@ -93,10 +93,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fq_train_prefix.restype = ctypes.c_int32
     lib.fq_train_prefix.argtypes = [_U8P, _U8P, _I64P, ctypes.c_int64,
                                     ctypes.c_int64, _i32, ctypes.c_uint32,
-                                    _i32, _i32, _i32, _i32p, _i32p]
-    lib.fq_qual_max.restype = ctypes.c_int32
-    lib.fq_qual_max.argtypes = [_U8P, _I64P, ctypes.c_int64,
-                                ctypes.c_int64]
+                                    _i32, _i32, _i32, _U8P, _i32p, _i32p]
     lib.fq_render_dec.restype = ctypes.c_int64
     lib.fq_render_dec.argtypes = [_I64P, ctypes.c_int64, _U8P,
                                   ctypes.c_int64]
@@ -327,20 +324,20 @@ def render_dec(vals: np.ndarray) -> Optional[bytes]:
 
 def train_prefix(seq_flat: np.ndarray, qual_flat: np.ndarray,
                  lengths: np.ndarray, stride: int, order: int, magic: int,
-                 qlevel: int, drop_init: int):
+                 qlevel: int, drop_init: int, qlut: np.ndarray,
+                 alphabet: int):
     """Fused frozen-model trainer over RAW ASCII seq/qual: stride
-    subsample + base map + degenerate strip + both histograms in one C
-    pass.  Returns (seq_hist (n_ctx,4), qual_hist (n_qctx,alphabet),
-    qmax) or None (fallback to the numpy path)."""
+    subsample + base map + degenerate strip + qual remap (qlut: raw char
+    -> coded symbol) + both histograms in one C pass.  Returns
+    (seq_hist (n_ctx,4), qual_hist (n_qctx,alphabet)) or None
+    (fallback to the numpy path)."""
     lib = get_lib()
     if lib is None:
         return None
     seq_flat = np.ascontiguousarray(seq_flat, np.uint8)
     qual_flat = np.ascontiguousarray(qual_flat, np.uint8)
     lengths = np.ascontiguousarray(lengths, np.int64)
-    qmax = lib.fq_qual_max(_u8p(qual_flat), _i64p(lengths), len(lengths),
-                           stride)
-    alphabet = ((max(qmax, 0) + 1 + 7) // 8) * 8
+    qlut = np.ascontiguousarray(qlut, np.uint8)
     n_ctx = 1 << (2 * order)
     n_qctx = (1 << 20) if qlevel >= 3 else (1 << 16)
     shist = np.zeros(n_ctx * 4, np.int32)
@@ -349,10 +346,9 @@ def train_prefix(seq_flat: np.ndarray, qual_flat: np.ndarray,
     lib.fq_train_prefix(_u8p(seq_flat), _u8p(qual_flat), _i64p(lengths),
                         len(lengths), stride, order,
                         ctypes.c_uint32(magic), qlevel, drop_init,
-                        alphabet, shist.ctypes.data_as(_p),
+                        alphabet, _u8p(qlut), shist.ctypes.data_as(_p),
                         qhist.ctypes.data_as(_p))
-    return (shist.reshape(n_ctx, 4), qhist.reshape(n_qctx, alphabet),
-            max(qmax, 0))
+    return shist.reshape(n_ctx, 4), qhist.reshape(n_qctx, alphabet)
 
 
 def cap_rescale(hist: np.ndarray, inc: int, init: int,

@@ -259,13 +259,21 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         if dege_cnt.max() > 254:
             raise ValueError(">254 degenerate bases in one read (unsupported)")
 
-    # --- quality alphabet for this block ---
-    qflat = block.qual_flat.astype(np.int32) - 33
-    if len(qflat) and (qflat.min() < 0 or qflat.max() > 93):
-        raise ValueError("quality characters outside Phred+33 range")
-    qmax = int(qflat.max()) if len(qflat) else 0
+    # --- quality vocabulary for this block (dense rank coding) ---
+    from fastqueeze_tpu.pipeline.frozen import qual_lut, qual_vocab
+    block_qvals, _ = qual_vocab(block.qual_flat)   # validates char range
     if frozen is not None:
-        qmax = max(qmax, frozen["qmax"])
+        # rank space fixed by the trained tables; values unseen in
+        # training get fresh ranks appended (fit_qual_alphabet pads the
+        # frozen table with init rows for them)
+        base = np.asarray(frozen["qvals"], np.uint8)
+        extra = np.setdiff1d(block_qvals, base)
+        qvals = np.concatenate([base, extra]) if len(extra) else base
+    else:
+        qvals = block_qvals
+    lut = qual_lut(qvals)
+    qsyms = lut[block.qual_flat]
+    qmax = max(len(qvals) - 1, 0)
 
     mapped = align.mapped if align is not None else np.zeros(R, bool)
     n_mapped = int(mapped.sum())
@@ -275,6 +283,7 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         "clen": const_len,
         "fnl": block.final_newline,
         "qmax": qmax,
+        "qv": qvals.tolist(),
         "nd": n_dege,
         "nm": n_mapped,
     }
@@ -296,8 +305,7 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         seq_model, p, codes[~dege_mask & ~mapped_sym], seq_counts,
         counts0=sc0, adapt=adapt)
     qual_job = encode_stream_job(
-        qmodel, p, qflat.astype(np.uint8), lengths, counts0=qc0,
-        adapt=adapt)
+        qmodel, p, qsyms, lengths, counts0=qc0, adapt=adapt)
 
     # --- lengths ---
     len_payload = None
@@ -529,9 +537,15 @@ def decode_block(p: CodecParams, payload: bytes,
     acgt = seq_job.finalize()
     seq_flat[~fill] = _BASE_INV[acgt]
 
-    # --- quality ---
+    # --- quality (ranks -> phred values via the block's vocabulary) ---
     qsyms = qual_job.finalize()
-    qual_flat = (qsyms.astype(np.uint8) + 33)
+    if "qv" in meta and len(meta["qv"]):
+        qv_chars = np.asarray(meta["qv"], np.uint8) + 33
+        # clamp: a corrupt stream can decode the alphabet's round-up
+        # padding ranks — garbage bytes here get caught by the block MD5
+        qual_flat = qv_chars[np.minimum(qsyms, len(qv_chars) - 1)]
+    else:
+        qual_flat = (qsyms.astype(np.uint8) + 33)
 
     # --- IDs ---
     if TAG_IDSCHEMA in sections:

@@ -40,6 +40,30 @@ def _qual_alphabet(qmax: int) -> int:
     return ((qmax + 1 + 7) // 8) * 8
 
 
+def qual_vocab(qual_flat: np.ndarray):
+    """(qvals, lut) for dense quality-rank coding: qvals = sorted distinct
+    phred values present (uint8), lut = raw-char -> rank table (255 =
+    absent).  Modern binned data (4-8 distinct values) then codes with an
+    8-symbol alphabet instead of a 40+-wide one — fewer search gathers in
+    the wave decode, 5x smaller tables."""
+    present = np.flatnonzero(np.bincount(qual_flat, minlength=256))
+    if len(present) and (present.min() < 33 or present.max() > 126):
+        raise ValueError("quality characters outside Phred+33 range")
+    qvals = (present - 33).astype(np.uint8)
+    lut = np.full(256, 255, np.uint8)
+    lut[present] = np.arange(len(present), dtype=np.uint8)
+    return qvals, lut
+
+
+def qual_lut(qvals: np.ndarray) -> np.ndarray:
+    """Raw-char -> rank table for an existing (possibly extended,
+    unsorted) value list."""
+    lut = np.full(256, 255, np.uint8)
+    lut[np.asarray(qvals, np.int64) + 33] = np.arange(len(qvals),
+                                                      dtype=np.uint8)
+    return lut
+
+
 def decide_use_model(p: CodecParams, input_bytes: int) -> bool:
     """Reference gate (doCheckSetEncodeOpt @0x408298): scale + Qlevel <= 2.
     Here: on when the input spans multiple blocks (that is when block
@@ -169,15 +193,21 @@ def train_frozen(p: CodecParams, block: FastqBlock,
     if total > target_syms and block.n_reads >= 4:
         stride = int(np.ceil(total / target_syms))
     seq_model = seq_model_from_params(p)
+    # dense quality-rank vocabulary over the whole prefix: coded symbols
+    # are ranks into qvals, not raw phred values ("qmax" below is the max
+    # RANK, so all downstream alphabet math is unchanged)
+    qvals, lut = qual_vocab(block.qual_flat)
+    qmax = max(len(qvals) - 1, 0)
+    qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
+                       inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
+                       drop_init=p.q_drop_init)
     fused = native.train_prefix(block.seq_flat, block.qual_flat,
                                 block.lengths, stride, seq_model.order,
-                                SEQ_CTX_START, p.qlevel, p.q_drop_init)
+                                SEQ_CTX_START, p.qlevel, p.q_drop_init,
+                                lut, qmodel.alphabet)
     if fused is not None:
-        shist, qhist, qmax = fused
-        qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
-                           inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
-                           drop_init=p.q_drop_init)
-        return {"qmax": qmax,
+        shist, qhist = fused
+        return {"qmax": qmax, "qvals": qvals,
                 "seq_counts": _narrow_np(_cap_rescale(seq_model, shist),
                                          seq_model.cap),
                 "qual_counts": _narrow_np(_cap_rescale(qmodel, qhist),
@@ -204,22 +234,18 @@ def train_frozen(p: CodecParams, block: FastqBlock,
             seq_model, seq_ctx_flat(seq_model, seq_codes, seq_lens),
             seq_codes)
 
-    qflat = block.qual_flat.astype(np.int32) - 33
-    qmax = int(qflat.max()) if len(qflat) else 0
-    qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
-                       inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
-                       drop_init=p.q_drop_init)
-    qhist = native.qual_hist(qflat.astype(np.uint8), lengths, p.qlevel,
+    qsyms = lut[block.qual_flat]
+    qhist = native.qual_hist(qsyms, lengths, p.qlevel,
                              p.q_drop_init, qmodel.alphabet)
     if qhist is not None:
         qual_counts = _cap_rescale(qmodel, qhist)
     else:
         qual_counts = _hist_counts(
-            qmodel, qual_ctx_flat(qmodel, qflat, lengths),
-            qflat.astype(np.uint8))
+            qmodel, qual_ctx_flat(qmodel, qsyms.astype(np.int32), lengths),
+            qsyms)
     # tables travel (host->archive->device) in the narrowest dtype the
     # model cap allows; the engine widens to int32 on device
-    return {"qmax": qmax,
+    return {"qmax": qmax, "qvals": qvals,
             "seq_counts": _narrow_np(seq_counts, seq_model.cap),
             "qual_counts": _narrow_np(qual_counts, qmodel.cap)}
 
@@ -268,6 +294,7 @@ def serialize_frozen(frozen: Dict) -> bytes:
     seq = _pack_counts(np.asarray(frozen["seq_counts"]))
     qual = _pack_counts(np.asarray(frozen["qual_counts"]))
     meta = {"qmax": frozen["qmax"],
+            "qvals": np.asarray(frozen["qvals"], np.uint8).tolist(),
             "seq_shape": seq["shape"], "seq_dtype": seq["dtype"],
             "qual_shape": qual["shape"], "qual_dtype": qual["dtype"]}
     out = io.BytesIO()
@@ -285,6 +312,9 @@ def deserialize_frozen(blob: bytes) -> Dict:
     qual = np.frombuffer(zlib.decompress(sections[_TAG_QUAL]),
                          meta["qual_dtype"])
     return {"qmax": meta["qmax"],
+            "qvals": np.asarray(
+                meta.get("qvals", list(range(meta["qmax"] + 1))),
+                np.uint8),
             "seq_counts": seq.reshape(meta["seq_shape"]),
             "qual_counts": qual.reshape(meta["qual_shape"])}
 

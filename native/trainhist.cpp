@@ -92,12 +92,15 @@ void fq_cap_rescale(int32_t* hist, int64_t n_rows, int32_t alphabet,
 // non-ACGT bases are skipped in the seq-context walk (the numpy path
 // strips them before building contexts — same compacted stream).
 // seq_hist: (1<<2*order)*4 int32, zeroed (or accumulating) by the caller.
-// qhist: n_qctx*alphabet int32 likewise.  Returns max phred seen (-1 if
-// no symbols), for callers that computed `alphabet` via fq_qual_max.
+// qhist: n_qctx*alphabet int32 likewise.  qlut maps raw quality CHARS to
+// coded symbols (dense ranks for the binned-quality fast path, or
+// identity-minus-33); caller guarantees every char present maps below
+// `alphabet`.  Returns max coded symbol seen (-1 if no symbols).
 int32_t fq_train_prefix(const uint8_t* seq, const uint8_t* qual,
                         const int64_t* lengths, int64_t n_reads,
                         int64_t stride, int32_t order, uint32_t magic,
                         int32_t qlevel, int32_t drop_init, int32_t alphabet,
+                        const uint8_t* qlut,
                         int32_t* seq_hist, int32_t* qhist) {
     const uint32_t mask = (order >= 16) ? 0xFFFFFFFFu
                                         : ((1u << (2 * order)) - 1u);
@@ -117,7 +120,7 @@ int32_t fq_train_prefix(const uint8_t* seq, const uint8_t* qual,
                 ++seq_hist[(static_cast<int64_t>(ctx) << 2) | b];
                 ctx = ((ctx << 2) | static_cast<uint32_t>(b)) & mask;
             }
-            const int32_t sym = static_cast<int32_t>(qual[off + i]) - 33;
+            const int32_t sym = static_cast<int32_t>(qlut[qual[off + i]]);
             if (sym > qmax) qmax = sym;
             int32_t qc = (((q1 > q2 ? q1 : q2) << 6) + q1) & 0xFFF;
             if (qlevel >= 2) {
@@ -181,25 +184,6 @@ void fq_unpack6(const uint8_t* packed, int64_t n, uint8_t* out) {
         g[0] = v & 63; g[1] = (v >> 6) & 63; g[2] = (v >> 12) & 63;
         g[3] = (v >> 18) & 63;
     }
-}
-
-// Max phred over the stride-subsampled reads (sizes the qual alphabet
-// before the fused histogram pass).  Returns -1 on no symbols.
-int32_t fq_qual_max(const uint8_t* qual, const int64_t* lengths,
-                    int64_t n_reads, int64_t stride) {
-    int32_t m = -1;
-    int64_t off = 0;
-    for (int64_t r = 0; r < n_reads; ++r) {
-        const int64_t len = lengths[r];
-        if (r % stride == 0) {
-            for (int64_t i = 0; i < len; ++i) {
-                const int32_t v = static_cast<int32_t>(qual[off + i]);
-                if (v > m) m = v;
-            }
-        }
-        off += len;
-    }
-    return m < 0 ? -1 : m - 33;
 }
 
 // Ragged read-major flat symbols <-> (T, L) wave grid (ops/lanes.py).

@@ -187,3 +187,48 @@ def test_e2e_config_matrix(tmp_path):
         compress_se(p, str(src), str(out))
         back = decompress(str(out), str(tmp_path / "b"), force=True)
         assert open(back[0], "rb").read() == raw, kw
+
+
+def test_binned_qual_dense_alphabet(tmp_path):
+    """Modern binned qualities (4 distinct values) must code with a dense
+    rank alphabet (8 after round-up, not 40), and round-trip bit-exact —
+    including a frozen-model run where a later block carries a quality
+    value the training prefix never saw (rank-space extension)."""
+    import json
+
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    from fastqueeze_tpu.container.encap import iter_tlv
+    from fastqueeze_tpu.pipeline.blockcodec import TAG_META
+
+    rng = np.random.default_rng(5)
+    recs = []
+    for i in range(400):
+        ln = 80
+        seq = rng.choice(list(b"ACGT"), size=ln).astype(np.uint8)
+        qual = rng.choice([2, 12, 24, 37], size=ln).astype(np.uint8) + 33
+        if i == 399:   # one read with a value unseen elsewhere
+            qual[5] = 40 + 33
+        recs.append(b"@r%d\n%s\n+\n%s\n"
+                    % (i, bytes(seq), bytes(qual)))
+    raw = b"".join(recs)
+    stats = _se_roundtrip(tmp_path, raw)
+    with ArcReader(str(tmp_path / "out.fqz")) as r:
+        meta = json.loads(dict(iter_tlv(r.read_block(0)))[TAG_META])
+    assert meta["qmax"] <= 7 and len(meta["qv"]) == 5
+
+    # frozen tables trained WITHOUT a value that a later block contains:
+    # the block must extend the rank space (appended rank, padded table)
+    # and still round-trip bit-exact
+    from fastqueeze_tpu.io.fastq import parse_block
+    from fastqueeze_tpu.pipeline.blockcodec import decode_block, encode_block
+    from fastqueeze_tpu.pipeline.frozen import train_frozen
+
+    p = CodecParams(**SMALL)
+    train_blk = parse_block(b"".join(recs[:200]), True)
+    frozen = train_frozen(p, train_blk)
+    assert len(frozen["qvals"]) == 4          # 5th value only in read 399
+    oov_blk = parse_block(b"".join(recs[380:]), True)
+    payload = encode_block(p, oov_blk, frozen=frozen)
+    back = decode_block(p, payload, frozen=frozen)
+    assert np.array_equal(back.qual_flat, oov_blk.qual_flat)
+    assert np.array_equal(back.seq_flat, oov_blk.seq_flat)
