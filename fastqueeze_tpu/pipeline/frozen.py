@@ -46,7 +46,9 @@ def qual_vocab(qual_flat: np.ndarray):
     absent).  Modern binned data (4-8 distinct values) then codes with an
     8-symbol alphabet instead of a 40+-wide one — fewer search gathers in
     the wave decode, 5x smaller tables."""
-    present = np.flatnonzero(np.bincount(qual_flat, minlength=256))
+    seen = np.zeros(256, bool)
+    seen[qual_flat] = True          # boolean scatter: no int64 widening
+    present = np.flatnonzero(seen)
     if len(present) and (present.min() < 33 or present.max() > 126):
         raise ValueError("quality characters outside Phred+33 range")
     qvals = (present - 33).astype(np.uint8)
