@@ -46,6 +46,10 @@ from fastqueeze_tpu.models.base import CtxModel
 from fastqueeze_tpu.ops.lanes import LaneLayout, aux_grids, from_grid, make_layout, to_grid
 
 _U32 = jnp.uint32
+# wave scans unroll 4 steps per loop iteration: the per-step fixed cost
+# of a TPU scan is material at thousands of waves per stream (measured
+# ~6%% end-to-end encode+decode); higher unrolls blow up compile time
+_UNROLL = 4
 _MASK_M = RANS_M - 1
 
 
@@ -126,7 +130,7 @@ def _pass1(model: CtxModel, n_halve: int, counts0, ctx_grid, syms, valid):
         return counts, (start.astype(jnp.uint16),
                         (end - start).astype(jnp.uint16))
 
-    counts, (start, freq) = lax.scan(body, counts0, (ctx_grid, syms, valid))
+    counts, (start, freq) = lax.scan(body, counts0, (ctx_grid, syms, valid), unroll=_UNROLL)
     return start, freq, counts
 
 
@@ -380,7 +384,7 @@ def _pass1_semi(model: CtxModel, n_halve: int, chunk: int,
             return counts, ((sf & 0xFFFF).astype(jnp.uint16),
                             (sf >> 16).astype(jnp.uint16))
 
-        counts, (s_c, f_c) = lax.scan(inner, counts, xs)
+        counts, (s_c, f_c) = lax.scan(inner, counts, xs, unroll=_UNROLL)
         return _rescale_full(counts, model.cap, n_halve), (s_c, f_c)
 
     shape = (n_out, chunk, L)
@@ -438,7 +442,7 @@ def _decode_semi(model: CtxModel, n_halve: int, chunk: int, counts0,
             st = _freeze_invalid(model.update(st, sym, aux_t), st, vld)
             return (counts, st, x, off), sym.astype(jnp.uint8)
 
-        (counts, st, x, off), syms = lax.scan(inner, carry, xs)
+        (counts, st, x, off), syms = lax.scan(inner, carry, xs, unroll=_UNROLL)
         return (_rescale_full(counts, model.cap, n_halve), st, x, off), syms
 
     aux_r = jax.tree_util.tree_map(
@@ -554,7 +558,8 @@ def _decode_frozen(model: CtxModel, counts0, lane_state0,
         return (st, x, off), sym.astype(jnp.uint8)
 
     (_, x, _), syms = lax.scan(
-        body, (lane_state0, states, jnp.int32(0)), (valid, aux))
+        body, (lane_state0, states, jnp.int32(0)), (valid, aux),
+        unroll=_UNROLL)
     return syms, x
 
 
@@ -583,7 +588,7 @@ def _pass2(start, freq, valid):
         return jnp.where(vld, xn, x), (word, emit)
 
     x_final, (words, emits) = lax.scan(body, x0, (start, freq, valid),
-                                       reverse=True)
+                                       reverse=True, unroll=_UNROLL)
     return words, emits, x_final
 
 
@@ -621,7 +626,8 @@ def _decode(model: CtxModel, n_halve: int, counts0, lane_state0,
         return (counts, st, x, off), sym.astype(jnp.uint8)
 
     (counts, _, x, _), syms = lax.scan(
-        body, (counts0, lane_state0, states, jnp.int32(0)), (valid, aux))
+        body, (counts0, lane_state0, states, jnp.int32(0)), (valid, aux),
+        unroll=_UNROLL)
     return syms, counts, x
 
 
