@@ -177,6 +177,34 @@ def _unpack2_host(packed: np.ndarray) -> np.ndarray:
     return parts.reshape(T, Lq * 4)
 
 
+def _pack4_host(grid: np.ndarray) -> np.ndarray:
+    """(T, L) 4-bit symbols -> (T, L//2) bytes (binned-qual rank streams:
+    dense rank coding keeps the alphabet <= 16 for modern data)."""
+    T, L = grid.shape
+    g = grid.reshape(T, L // 2, 2)
+    return g[:, :, 0] | (g[:, :, 1] << 4)
+
+
+def _unpack4_host(packed: np.ndarray) -> np.ndarray:
+    T, Lh = packed.shape
+    parts = np.stack([packed & 15, packed >> 4], axis=2)
+    return parts.reshape(T, Lh * 2)
+
+
+@jax.jit
+def _unpack4_dev(packed):
+    T, Lh = packed.shape
+    parts = jnp.stack([packed & 15, packed >> 4], axis=2)
+    return parts.reshape(T, Lh * 2)
+
+
+@jax.jit
+def _pack4_dev(grid):
+    T, L = grid.shape
+    g = grid.reshape(T, L // 2, 2).astype(jnp.uint8)
+    return g[:, :, 0] | (g[:, :, 1] << 4)
+
+
 def _pack6_host(grid: np.ndarray) -> np.ndarray:
     """(T, L) 6-bit symbols -> (T, 3L/4) bytes (4 syms per 24 bits)."""
     from fastqueeze_tpu.io import native
@@ -232,6 +260,8 @@ def _pack_mode(model: CtxModel, L: int) -> int:
         return 0
     if model.alphabet <= 4:
         return 2
+    if model.alphabet <= 16:
+        return 4
     if model.alphabet <= 64:
         return 6
     return 0
@@ -240,6 +270,8 @@ def _pack_mode(model: CtxModel, L: int) -> int:
 def _pack_host(grid: np.ndarray, mode: int) -> np.ndarray:
     if mode == 2:
         return _pack2_host(grid)
+    if mode == 4:
+        return _pack4_host(grid)
     if mode == 6:
         return _pack6_host(grid)
     return grid
@@ -248,6 +280,8 @@ def _pack_host(grid: np.ndarray, mode: int) -> np.ndarray:
 def _unpack_dev(grid, mode: int):
     if mode == 2:
         return _unpack2_dev(grid)
+    if mode == 4:
+        return _unpack4_dev(grid)
     if mode == 6:
         return _unpack6_dev(grid)
     return grid
@@ -256,6 +290,8 @@ def _unpack_dev(grid, mode: int):
 def _pack_dev(grid, mode: int):
     if mode == 2:
         return _pack2_dev(grid)
+    if mode == 4:
+        return _pack4_dev(grid)
     if mode == 6:
         return _pack6_dev(grid)
     return grid
@@ -264,6 +300,8 @@ def _pack_dev(grid, mode: int):
 def _unpack_host(grid: np.ndarray, mode: int) -> np.ndarray:
     if mode == 2:
         return _unpack2_host(grid)
+    if mode == 4:
+        return _unpack4_host(grid)
     if mode == 6:
         return _unpack6_host(grid)
     return grid
