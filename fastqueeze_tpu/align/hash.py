@@ -97,6 +97,44 @@ def _mis2bit(x):
     return lax.population_count(y).astype(jnp.int32)
 
 
+def _read_in_ref_frame(rw, mw, j, sh):
+    """Read (and mask) word j of the candidate's ALIGNED ref frame, built
+    from broadcast per-read packed words by per-candidate register shifts
+    — no gathers.  sh = 2 * (cand & 15), shape (B, C); rw/mw (B, W)."""
+    W = rw.shape[1]
+    shl = 32 - jnp.maximum(sh, 1)
+
+    def sel(arr):
+        a = arr[:, None, j - 1] if 1 <= j <= W else jnp.uint32(0)
+        b = arr[:, None, j] if j < W else jnp.uint32(0)
+        hi = jnp.where(sh > 0, a << shl, 0) if j >= 1 else jnp.uint32(0)
+        return hi | (b >> sh)
+
+    return sel(rw), sel(mw)
+
+
+def _mis_aligned(packed, cand, rw, mw, js=None):
+    """Mismatch counts with ONE gather per 16-base ref word: ref words are
+    fetched at their natural alignment (packed[cand>>4 + j]) and the READ
+    is funnel-shifted into that frame in registers (_read_in_ref_frame).
+    Halves the verify's gather traffic vs re-aligning the ref per
+    candidate (the aligner is gather-bound).  js selects a subset of
+    frame words (prefilter probes); None = all W+1 (exact window count —
+    each valid read base lands in exactly one frame word)."""
+    B, W = rw.shape
+    nw = packed.shape[0]
+    w0 = lax.shift_right_logical(cand, jnp.asarray(4, cand.dtype)).astype(
+        jnp.int32)
+    ph = (cand & jnp.asarray(15, cand.dtype)).astype(jnp.uint32)
+    sh = 2 * ph
+    mis = jnp.zeros(cand.shape, jnp.int32)
+    for j in (range(W + 1) if js is None else js):
+        refw = packed[jnp.clip(w0 + j, 0, nw - 1)]
+        rsel, msel = _read_in_ref_frame(rw, mw, j, sh)
+        mis = mis + _mis2bit((rsel ^ refw) & msel)
+    return mis
+
+
 def _fetch_ref_words(packed, start, n_words):
     """packed (Wr,) u32; start (..,) int32 base offsets -> (.., n_words) u32
     windows re-aligned to bit 31 (funnel shift over word pairs)."""
@@ -243,8 +281,7 @@ def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, l1,
         cand_s = lax.dynamic_slice_in_dim(cand, d * Cs, Cs, 1)
         ok_sl = lax.dynamic_slice_in_dim(cand_ok, d * Cs, Cs, 1)
         rw, mw = _pack_words(codes, base_valid, Lp)
-        refw = _fetch_ref_words(packed, cand_s, cfg.n_words)
-        mis = _mis2bit((rw[:, None, :] ^ refw) & mw[:, None, :]).sum(axis=2)
+        mis = _mis_aligned(packed, cand_s, rw, mw)
         mis = jnp.where(ok_sl, mis, _BIG)
         c_best = jnp.argmin(mis, axis=1)
         mis_b = jnp.take_along_axis(mis, c_best[:, None], axis=1)[:, 0]
@@ -328,27 +365,27 @@ def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, l1,
     cand = jnp.concatenate(cand_list, axis=1)
     cand_ok = jnp.concatenate(ok_list, axis=1)
 
-    # gapless packed compare.  Deep candidate lists go through a two-stage
-    # verify: a 32 bp prefix compare (2 of W words) ranks candidates, the
-    # full-window compare runs only on the best K.  A candidate that maps
-    # (<= max_mis over the window) has <= max_mis prefix mismatches, so
-    # ranking by prefix mismatches keeps mappable candidates near the top;
+    # gapless packed compare via phase-aligned fetch (_mis_aligned: one
+    # gather per 16-base frame word).  Deep candidate lists go through a
+    # two-stage verify: two 16 bp probe words rank candidates, the full-
+    # window compare runs only on the best K.  A candidate that maps
+    # (<= max_mis over the window) has <= max_mis probe mismatches, so
+    # ranking by probe mismatches keeps mappable candidates near the top;
     # any kept candidate within the cap is a valid mapping for coding.
     rw, mw = _pack_words(codes, base_valid, Lp)
-    K = 768
+    cand = cand.astype(jnp.uint32)   # frame math wants unsigned phases
+    K = 1024
     if cand.shape[1] > 2 * K and cfg.n_words > 3:
         wm = cfg.n_words // 2
-        pmis = jnp.zeros(cand.shape, jnp.int32)
-        for j in (0, wm):          # two spread 16-mers, not adjacent ones
-            refw1 = _fetch_ref_words(packed, cand + 16 * j, 1)[..., 0]
-            pmis = pmis + _mis2bit((rw[:, None, j] ^ refw1)
-                                   & mw[:, None, j])
+        # probes at frame words 1 and wm: both fully inside the read for
+        # any phase (word 0 straddles the window start), spread apart so
+        # one sequencing error can't poison both
+        pmis = _mis_aligned(packed, cand, rw, mw, js=(1, wm))
         pmis = jnp.where(cand_ok, pmis, _BIG)
         _, sel = lax.top_k(-pmis, K)
         cand = jnp.take_along_axis(cand, sel, axis=1)
         cand_ok = jnp.take_along_axis(cand_ok, sel, axis=1)
-    refw = _fetch_ref_words(packed, cand, cfg.n_words)     # (B, C, W)
-    mis = _mis2bit((rw[:, None, :] ^ refw) & mw[:, None, :]).sum(axis=2)
+    mis = _mis_aligned(packed, cand, rw, mw)
     mis = jnp.where(cand_ok, mis, _BIG)
 
     c_best = jnp.argmin(mis, axis=1)
