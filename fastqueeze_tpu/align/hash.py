@@ -135,22 +135,6 @@ def _mis_aligned(packed, cand, rw, mw, js=None):
     return mis
 
 
-def _fetch_ref_words(packed, start, n_words):
-    """packed (Wr,) u32; start (..,) int32 base offsets -> (.., n_words) u32
-    windows re-aligned to bit 31 (funnel shift over word pairs)."""
-    w0 = lax.shift_right_logical(start, jnp.asarray(4, start.dtype))
-    ph = (start & jnp.asarray(15, start.dtype)).astype(jnp.uint32)
-    sh = 2 * ph
-    nw = packed.shape[0]
-    out = []
-    for j in range(n_words):
-        a = packed[jnp.clip(w0 + j, 0, nw - 1)]
-        b = packed[jnp.clip(w0 + j + 1, 0, nw - 1)]
-        lo = jnp.where(sh > 0, b >> (32 - jnp.maximum(sh, 1)), 0)
-        out.append((a << sh) | lo)
-    return jnp.stack(out, axis=-1)
-
-
 def _ref_base_at(packed, idx):
     """Gather single 2-bit codes at absolute positions idx."""
     w = packed[jnp.clip(lax.shift_right_logical(idx, jnp.asarray(4, idx.dtype)),
@@ -465,8 +449,7 @@ def _window_batch(lp: int, n_cand: int, max_mis: int, packed, ref_len,
 
     def strand(c):
         rw, mw = _pack_words(c, valid, lp)
-        refw = _fetch_ref_words(packed, cand, W)
-        mis = _mis2bit((rw[:, None, :] ^ refw) & mw[:, None, :]).sum(axis=2)
+        mis = _mis_aligned(packed, cand.astype(jnp.uint32), rw, mw)
         mis = jnp.where(cand_ok, mis, _BIG)
         cb = jnp.argmin(mis, axis=1)
         return (jnp.take_along_axis(mis, cb[:, None], axis=1)[:, 0],
