@@ -63,16 +63,21 @@ def main() -> None:
         valid = jnp.ones((B, T, L), bool)
         pos = jnp.broadcast_to(
             jnp.arange(T, dtype=jnp.int32)[None, :, None], (B, T, L))
+        def sync(arr):
+            # a host fetch is the only reliable sync: through the axon
+            # relay block_until_ready can return before execution
+            return float(jnp.sum(arr))
+
         # warm-up compile
         w, e, x = encode_blocks_sharded(mesh, model, n_halve, counts0,
                                         syms, valid, pos)
-        x.block_until_ready()
+        sync(x)
         best = None
         for _ in range(3):
             t0 = time.time()
             w, e, x = encode_blocks_sharded(mesh, model, n_halve, counts0,
                                             syms, valid, pos)
-            x.block_until_ready()
+            sync(x)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         sym_s = B * T * L / best
