@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-q", dest="bwa", action="store_true",
                     help="long-seed aligner backend (wide 44-bit seeds, "
                     "higher specificity — the BWA-SMEM mode analogue)")
+    ap.add_argument("-X", dest="extract", metavar="START:COUNT",
+                    help="random-access decode: only reads (PE: pairs) "
+                    "[START, START+COUNT) — touches just the covering "
+                    "blocks")
     ap.add_argument("-P", dest="pipeout", type=int, default=0,
                     choices=[0, 1, 2, 3], help="pipe decompressed reads to "
                     "stdout: 1=SE/PE1 2=PE2 3=interleaved")
@@ -182,10 +186,16 @@ def main(argv=None) -> int:
             else:
                 error("decompress needs an archive path")
                 return 2
-            from fastqueeze_tpu.pipeline.driver import decompress
-            outs = decompress(arc, args.out, dbg=dbg, ref=ref,
-                              pipeout=args.pipeout, force=args.force,
-                              indir=args.indir, threads=args.threads)
+            if args.extract:
+                from fastqueeze_tpu.pipeline.driver import extract
+                s, _, c = args.extract.partition(":")
+                outs = extract(arc, args.out, int(s), int(c or 1),
+                               ref=ref, force=args.force, dbg=dbg)
+            else:
+                from fastqueeze_tpu.pipeline.driver import decompress
+                outs = decompress(arc, args.out, dbg=dbg, ref=ref,
+                                  pipeout=args.pipeout, force=args.force,
+                                  indir=args.indir, threads=args.threads)
             if outs:
                 info("wrote: " + ", ".join(outs))
         else:

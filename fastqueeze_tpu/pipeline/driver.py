@@ -248,6 +248,98 @@ def decompress(arc_path: str, out_prefix: Optional[str],
         return [out_name] if out_name else []
 
 
+def extract(arc_path: str, out_prefix: Optional[str], start: int,
+            count: int, ref: Optional[str] = None, force: bool = False,
+            dbg: Optional[DebugInfo] = None) -> List[str]:
+    """Random-access decode: reads [start, start+count) without touching
+    other blocks.  The block table's per-block read counts (container
+    BLOCKTABLE, the reference's writeBlockLenArry made blocks seekable —
+    SURVEY.md §5 checkpoint/resume) locate the covering blocks; only
+    those are fetched and decoded (per-block MD5 still verified).  For PE
+    archives indices address PAIRS; two output files are written."""
+    dbg = dbg or DebugInfo()
+    if start < 0 or count <= 0:
+        raise ValueError("extract needs start >= 0 and count > 0")
+    with ArcReader(arc_path) as reader:
+        params = reader.params
+        if getattr(params, "multi", 0):
+            raise ValueError("-X is not supported on multi-file archives")
+        ref_codes = _load_ref_for_decode(params, ref)
+        frozen = None
+        if reader.model_blob is not None:
+            from fastqueeze_tpu.pipeline.frozen import deserialize_frozen
+            frozen = deserialize_frozen(reader.model_blob)
+        total = sum(b.n_reads for b in reader.blocks)
+        if start + count > total:
+            raise ValueError(
+                f"read range [{start}, {start + count}) exceeds archive "
+                f"({total} {'pairs' if params.is_pe else 'reads'})")
+
+        pieces1, pieces2 = [], []
+        cum = 0
+        for i, info in enumerate(reader.blocks):
+            lo, hi = cum, cum + info.n_reads
+            cum = hi
+            if hi <= start or lo >= start + count:
+                continue
+            payload = reader.read_block(i)
+            s = max(start - lo, 0)
+            e = min(start + count - lo, info.n_reads)
+            if params.is_pe:
+                import json as _json
+
+                from fastqueeze_tpu.container.encap import iter_tlv
+                from fastqueeze_tpu.pipeline.pe import (
+                    TAG_PE_BODY, TAG_PE_META, deinterleave_block)
+                sections = dict(iter_tlv(payload))
+                meta = _json.loads(sections[TAG_PE_META].decode())
+                merged = decode_block(params, sections[TAG_PE_BODY],
+                                      frozen=frozen, ref_codes=ref_codes)
+                b1, b2 = deinterleave_block(merged, meta["fnl1"],
+                                            meta["fnl2"])
+                raw = assemble_block(b1) + assemble_block(b2)
+                if hashlib.md5(raw).digest() != info.md5:
+                    raise ValueError(
+                        f"block {i}: MD5 mismatch (corrupt archive)")
+                pieces1.append(_slice_records(b1, s, e))
+                pieces2.append(_slice_records(b2, s, e))
+            else:
+                block = decode_block(params, payload, frozen=frozen,
+                                     ref_codes=ref_codes)
+                raw = assemble_block(block)
+                if hashlib.md5(raw).digest() != info.md5:
+                    raise ValueError(
+                        f"block {i}: MD5 mismatch (corrupt archive)")
+                pieces1.append(_slice_records(block, s, e))
+
+        base = out_prefix or (os.path.splitext(arc_path)[0] + "_extract")
+        if params.is_pe:
+            outs = [base + "_1.fastq", base + "_2.fastq"]
+            datas = [b"".join(pieces1), b"".join(pieces2)]
+        else:
+            outs = [base + ".fastq"]
+            datas = [b"".join(pieces1)]
+        for name, data in zip(outs, datas):
+            if os.path.exists(name) and not force:
+                raise ValueError(f"{name} exists (use -f to overwrite)")
+            with open(name, "wb") as fh:
+                fh.write(data)
+        return outs
+
+
+def _slice_records(block, s: int, e: int) -> bytes:
+    """Plaintext of records [s, e) of a decoded block."""
+    from fastqueeze_tpu.io.fastq import FastqBlock
+    offs = np.cumsum(block.lengths) - block.lengths
+    a = int(offs[s])
+    b = int(offs[e - 1] + block.lengths[e - 1])
+    sub = FastqBlock(
+        n_reads=e - s, ids=list(block.ids[s:e]), plus=list(block.plus[s:e]),
+        seq_flat=block.seq_flat[a:b], qual_flat=block.qual_flat[a:b],
+        lengths=block.lengths[s:e], raw_len=0, final_newline=True)
+    return assemble_block(sub)
+
+
 def compress_multi(params: CodecParams, in_paths: List[str], out_path: str,
                    dbg: Optional[DebugInfo] = None) -> Dict:
     """Multi-file archive (reference -m mode, SURVEY.md §5: several inputs
