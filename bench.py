@@ -50,7 +50,8 @@ def main() -> None:
         good = good + 1 if time.time() - t0 < 0.3 else 0
         if good >= 2 or time.time() > deadline:
             break
-        time.sleep(15)
+        if good == 0:       # only wait out a BAD probe; healthy probes
+            time.sleep(15)  # run back-to-back
 
     # threads=3: reader/parse, device dispatch, and finalize stages overlap
     # (the reference runs a dedicated reader thread + workers, SURVEY.md C5;

@@ -50,7 +50,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_id_tokenize"):
+    if not hasattr(lib, "fq_render_dec"):   # newest required symbol
         # stale .so from before a symbol was added: rebuild and reload
         if not _build():
             return None
@@ -58,7 +58,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_id_tokenize"):
+        if not hasattr(lib, "fq_render_dec"):
             return None
     lib.fq_record_boundary.restype = ctypes.c_int64
     lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]

@@ -286,21 +286,9 @@ def extract(arc_path: str, out_prefix: Optional[str], start: int,
             s = max(start - lo, 0)
             e = min(start + count - lo, info.n_reads)
             if params.is_pe:
-                import json as _json
-
-                from fastqueeze_tpu.container.encap import iter_tlv
-                from fastqueeze_tpu.pipeline.pe import (
-                    TAG_PE_BODY, TAG_PE_META, deinterleave_block)
-                sections = dict(iter_tlv(payload))
-                meta = _json.loads(sections[TAG_PE_META].decode())
-                merged = decode_block(params, sections[TAG_PE_BODY],
-                                      frozen=frozen, ref_codes=ref_codes)
-                b1, b2 = deinterleave_block(merged, meta["fnl1"],
-                                            meta["fnl2"])
-                raw = assemble_block(b1) + assemble_block(b2)
-                if hashlib.md5(raw).digest() != info.md5:
-                    raise ValueError(
-                        f"block {i}: MD5 mismatch (corrupt archive)")
+                from fastqueeze_tpu.pipeline.pe import decode_pe_payload
+                b1, b2, _, _ = decode_pe_payload(params, payload, frozen,
+                                                 ref_codes, info.md5, i)
                 pieces1.append(_slice_records(b1, s, e))
                 pieces2.append(_slice_records(b2, s, e))
             else:
@@ -328,15 +316,19 @@ def extract(arc_path: str, out_prefix: Optional[str], start: int,
 
 
 def _slice_records(block, s: int, e: int) -> bytes:
-    """Plaintext of records [s, e) of a decoded block."""
+    """Plaintext of records [s, e) of a decoded block.  When the slice
+    reaches the block's last record, its final_newline is preserved so
+    extracting the tail of a no-trailing-newline input stays byte-exact
+    with a full decompress."""
     from fastqueeze_tpu.io.fastq import FastqBlock
     offs = np.cumsum(block.lengths) - block.lengths
     a = int(offs[s])
     b = int(offs[e - 1] + block.lengths[e - 1])
+    fnl = block.final_newline if e == block.n_reads else True
     sub = FastqBlock(
         n_reads=e - s, ids=list(block.ids[s:e]), plus=list(block.plus[s:e]),
         seq_flat=block.seq_flat[a:b], qual_flat=block.qual_flat[a:b],
-        lengths=block.lengths[s:e], raw_len=0, final_newline=True)
+        lengths=block.lengths[s:e], raw_len=0, final_newline=fnl)
     return assemble_block(sub)
 
 

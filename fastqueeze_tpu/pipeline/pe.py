@@ -235,6 +235,22 @@ def _encode_pe_block(p: CodecParams, merged: FastqBlock,
             + write_tlv(TAG_PE_BODY, body))
 
 
+def decode_pe_payload(p: CodecParams, payload: bytes, frozen, ref_codes,
+                      expected_md5: bytes, block_idx: int):
+    """Decode + verify one PE block payload (PE_META wrapper, interleaved
+    body, md5 over raw1+raw2).  Shared by the streaming decoder and the
+    random-access extractor so the layout lives in one place."""
+    sections = dict(iter_tlv(payload))
+    meta = json.loads(sections[TAG_PE_META].decode())
+    merged = decode_block(p, sections[TAG_PE_BODY], frozen=frozen,
+                          ref_codes=ref_codes)
+    b1, b2 = deinterleave_block(merged, meta["fnl1"], meta["fnl2"])
+    raw1, raw2 = assemble_block(b1), assemble_block(b2)
+    if hashlib.md5(raw1 + raw2).digest() != expected_md5:
+        raise ValueError(f"block {block_idx}: MD5 mismatch (corrupt archive)")
+    return b1, b2, raw1, raw2
+
+
 def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
                          dbg: DebugInfo, ref: Optional[str] = None,
                          pipeout: int = 0, force: bool = False,
@@ -253,16 +269,8 @@ def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
         o1 = open(names[0], "wb")
         o2 = open(names[1], "wb")
     def decode_one(i, payload):
-        sections = dict(iter_tlv(payload))
-        meta = json.loads(sections[TAG_PE_META].decode())
-        merged = decode_block(p, sections[TAG_PE_BODY],
-                              frozen=_frozen_of(reader, p),
-                              ref_codes=ref_codes)
-        b1, b2 = deinterleave_block(merged, meta["fnl1"], meta["fnl2"])
-        raw1, raw2 = assemble_block(b1), assemble_block(b2)
-        if hashlib.md5(raw1 + raw2).digest() != reader.blocks[i].md5:
-            raise ValueError(f"block {i}: MD5 mismatch (corrupt archive)")
-        return b1, b2, raw1, raw2
+        return decode_pe_payload(p, payload, _frozen_of(reader, p),
+                                 ref_codes, reader.blocks[i].md5, i)
 
     try:
         from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel

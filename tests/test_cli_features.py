@@ -114,14 +114,30 @@ def test_extract_random_access(tmp_path):
     src.write_bytes(raw)
     p = CodecParams(slevel=0, lanes_min=16, lanes_max=32,
                     lane_target_symbols=512, block_size_mb=1)
-    # force several blocks: 1 MB min block -> single block for this size,
-    # so shrink the input cut by block_size override via read_blocks is
-    # not available; instead verify the slicing math on one block and a
-    # cross-block range on a 3-block archive built from a bigger file
     arc = str(tmp_path / "a.fqz")
     compress_se(p, str(src), arc)
     outs = extract(arc, str(tmp_path / "x"), 5, 3, force=True)
     assert open(outs[0], "rb").read() == b"".join(recs[5:8])
+
+    # multi-block: ~1.2 MB input with 1 MB blocks -> 2 blocks; extract a
+    # range that straddles the block boundary, and the tail of an input
+    # with NO trailing newline (final_newline must propagate)
+    big = recs * 10                       # 9000 records
+    big_raw = b"".join(big)[:-1]          # strip the final newline
+    src_b = tmp_path / "big.fq"
+    src_b.write_bytes(big_raw)
+    arc_b = str(tmp_path / "b.fqz")
+    stats = compress_se(p, str(src_b), arc_b)
+    assert stats["blocks"] >= 2
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    with ArcReader(arc_b) as r:
+        r0 = r.blocks[0].n_reads
+        total_b = sum(b.n_reads for b in r.blocks)
+    lo = r0 - 2                           # straddles block 0/1 boundary
+    outs = extract(arc_b, str(tmp_path / "xb"), lo, 5, force=True)
+    assert open(outs[0], "rb").read() == b"".join(big[lo:lo + 5])
+    outs = extract(arc_b, str(tmp_path / "xt"), total_b - 2, 2, force=True)
+    assert open(outs[0], "rb").read() == b"".join(big[-2:])[:-1]
 
     # PE pairs
     r2 = [b"@r%d\n%s\n+\n%s\n" % (i, s, q) for i, (s, q) in
