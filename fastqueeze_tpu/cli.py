@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-o", dest="out", help="output archive / prefix")
     ap.add_argument("-f", dest="force", action="store_true",
                     help="force overwrite")
-    ap.add_argument("-t", dest="threads", type=int, default=1,
+    ap.add_argument("-t", dest="threads", type=int, default=0,
                     help="worker parallelism (blocks in flight)")
     ap.add_argument("-l", dest="lossy", type=float, default=0.0,
                     help="lossy quality factor (e.g. 1.15)")
@@ -193,6 +193,8 @@ def main(argv=None) -> int:
                                ref=ref, force=args.force, dbg=dbg)
             else:
                 from fastqueeze_tpu.pipeline.driver import decompress
+                # -t 0 (default) inherits the archive's encode-side
+                # thread count; an explicit -t N overrides it
                 outs = decompress(arc, args.out, dbg=dbg, ref=ref,
                                   pipeout=args.pipeout, force=args.force,
                                   indir=args.indir, threads=args.threads)
