@@ -16,7 +16,6 @@ for references < 4 Gbp and uint64 above (HashRefIndex32/64 parity).
 
 from __future__ import annotations
 
-import hashlib
 import io
 import json
 import os
@@ -25,7 +24,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from fastqueeze_tpu.align.ref import RefSeq, load_fasta, pack_2bit
+from fastqueeze_tpu.align.ref import RefSeq, load_fasta
 from fastqueeze_tpu.config import CodecParams
 from fastqueeze_tpu.container.encap import iter_tlv, write_tlv
 

@@ -23,8 +23,8 @@ from __future__ import annotations
 
 import io
 import struct
-from dataclasses import dataclass, field
-from typing import BinaryIO, Dict, List, Optional
+from dataclasses import dataclass
+from typing import Dict, List, Optional
 
 from fastqueeze_tpu.config import MAGIC, CodecParams
 from fastqueeze_tpu.container.encap import read_tlv, write_tlv, read_varint, write_varint

@@ -34,7 +34,7 @@ from __future__ import annotations
 import functools
 import math
 import struct
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +43,7 @@ from jax import lax
 
 from fastqueeze_tpu.config import PROB_BITS, RANS_L, RANS_M, CodecParams
 from fastqueeze_tpu.models.base import CtxModel
-from fastqueeze_tpu.ops.lanes import LaneLayout, aux_grids, from_grid, make_layout, to_grid
+from fastqueeze_tpu.ops.lanes import aux_grids, from_grid, make_layout, to_grid
 
 _U32 = jnp.uint32
 # wave scans unroll 4 steps per loop iteration: the per-step fixed cost

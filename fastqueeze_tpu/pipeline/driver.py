@@ -13,14 +13,14 @@ import hashlib
 import os
 import sys
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import numpy as np
 
 from fastqueeze_tpu.config import CodecParams
 from fastqueeze_tpu.container.arcfile import (
-    FLAG_PE, ArcReader, ArcWriter, BlockInfo)
+    ArcReader, ArcWriter, BlockInfo)
 from fastqueeze_tpu.io.fastq import assemble_block, parse_block, read_blocks
 from fastqueeze_tpu.pipeline.blockcodec import decode_block, encode_block
 from fastqueeze_tpu.utils.log import info
