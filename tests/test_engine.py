@@ -155,3 +155,22 @@ def test_semi_adaptive_roundtrip():
         payload = encode_stream(model, p, flat, counts)
         out = decode_stream(model, p, payload, counts)
         assert np.array_equal(out, flat)
+
+
+def test_wide_alphabet_unpacked_transfer():
+    """Alphabet > 64 rides the pack-mode-0 (raw) transfer path — e.g.
+    full-range PacBio-style qualities with > 64 distinct values."""
+    import numpy as np
+
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.models.base import QualModel
+    from fastqueeze_tpu.ops.engine import decode_stream, encode_stream
+
+    rng = np.random.default_rng(9)
+    p = CodecParams(lanes_min=16, lanes_max=32, lane_target_symbols=256)
+    model = QualModel(alphabet=96, init=1, inc=8, cap=8192, qlevel=2)
+    lengths = rng.integers(20, 80, 50)
+    syms = rng.integers(0, 93, int(lengths.sum())).astype(np.uint8)
+    payload = encode_stream(model, p, syms, lengths)
+    back = decode_stream(model, p, payload, lengths)
+    assert np.array_equal(back, syms)
