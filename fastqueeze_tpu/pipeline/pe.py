@@ -48,8 +48,8 @@ def interleave_blocks(b1: FastqBlock, b2: FastqBlock) -> FastqBlock:
     lengths[1::2] = b2.lengths
     seq = _interleave_flat(b1.seq_flat, b1.lengths, b2.seq_flat, b2.lengths)
     qual = _interleave_flat(b1.qual_flat, b1.lengths, b2.qual_flat, b2.lengths)
-    ids = [x for pair in zip(b1.ids, b2.ids) for x in pair]
-    plus = [x for pair in zip(b1.plus, b2.plus) for x in pair]
+    ids = _interleave_lines(b1.ids, b2.ids)
+    plus = _interleave_lines(b1.plus, b2.plus)
     return FastqBlock(n_reads=2 * R, ids=ids, plus=plus, seq_flat=seq,
                       qual_flat=qual, lengths=lengths,
                       raw_len=b1.raw_len + b2.raw_len,
@@ -65,6 +65,26 @@ def deinterleave_block(blk: FastqBlock, fnl1: bool, fnl2: bool
     b1 = FastqBlock(R, blk.ids[0::2], blk.plus[0::2], s1, q1, l1, 0, fnl1)
     b2 = FastqBlock(R, blk.ids[1::2], blk.plus[1::2], s2, q2, l2, 0, fnl2)
     return b1, b2
+
+
+def _interleave_lines(a, b):
+    """Pair-interleave two line collections.  LazyLines inputs stay lazy
+    (one flat copy, no per-line bytes objects — the ID binner consumes
+    the concatenated form directly)."""
+    from fastqueeze_tpu.io.fastq import LazyLines
+    if isinstance(a, LazyLines) and isinstance(b, LazyLines):
+        la = np.diff(a.offs)
+        lb = np.diff(b.offs)
+        R = len(la)
+        lens = np.empty(2 * R, np.int64)
+        lens[0::2] = la
+        lens[1::2] = lb
+        offs = np.zeros(2 * R + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        cat = _interleave_flat(np.frombuffer(a.cat, np.uint8), la,
+                               np.frombuffer(b.cat, np.uint8), lb)
+        return LazyLines(cat.tobytes(), offs)
+    return [x for pair in zip(a, b) for x in pair]
 
 
 def _interleave_flat(f1, l1, f2, l2):
