@@ -106,6 +106,35 @@ def _freeze_invalid(new_state, old_state, valid):
         lambda n, o: jnp.where(valid, n, o), new_state, old_state)
 
 
+def _wave_update_tot(counts, tot, ctx, sym, valid, model: CtxModel,
+                     n_halve: int):
+    """_wave_update with a carried row-total vector: the (gather rows,
+    halve, scatter rows) fix runs under a lax.cond only on waves where
+    some touched row actually crossed the cap (~half of waves at typical
+    inc/cap) — skipped waves save two (L, A) table round-trips.  Bit-
+    identical to _wave_update: a skipped fix is exactly the waves where
+    every halving was a no-op."""
+    inc = jnp.where(valid, model.inc, 0).astype(jnp.int32)
+    counts = counts.at[ctx, sym].add(inc)
+    tot = tot.at[ctx].add(inc)
+
+    def fix(cs_tt):
+        cs, tt = cs_tt
+        rows = cs[ctx]
+        for _ in range(n_halve):
+            rt = rows.sum(axis=1, keepdims=True)
+            rows = jnp.where(rt > model.cap, (rows + 1) >> 1, rows)
+        return (cs.at[ctx].set(rows),
+                tt.at[ctx].set(rows.sum(axis=1)))
+
+    over = jnp.any(tot[ctx] > model.cap)
+    return lax.cond(over, fix, lambda x: x, (counts, tot))
+
+
+def _init_tot(counts0):
+    return counts0.sum(axis=1).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Pass 1: forward model walk -> (start, freq) per symbol
 # ---------------------------------------------------------------------------
@@ -119,18 +148,22 @@ def _pass1(model: CtxModel, n_halve: int, counts0, ctx_grid, syms, valid):
     tables walk through the scan.  Returns (start, freq) u16 grids and the
     final counts table."""
 
-    def body(counts, xs):
+    def body(carry, xs):
+        counts, tot = carry
         ctx, sym, vld = xs
         sym = sym.astype(jnp.int32)
         ctx = ctx.astype(jnp.int32)
         F = _quant(counts[ctx])
         start = jnp.take_along_axis(F, sym[:, None], axis=1)[:, 0]
         end = jnp.take_along_axis(F, sym[:, None] + 1, axis=1)[:, 0]
-        counts = _wave_update(counts, ctx, sym, vld, model, n_halve)
-        return counts, (start.astype(jnp.uint16),
-                        (end - start).astype(jnp.uint16))
+        counts, tot = _wave_update_tot(counts, tot, ctx, sym, vld, model,
+                                       n_halve)
+        return (counts, tot), (start.astype(jnp.uint16),
+                               (end - start).astype(jnp.uint16))
 
-    counts, (start, freq) = lax.scan(body, counts0, (ctx_grid, syms, valid), unroll=_UNROLL)
+    (counts, _), (start, freq) = lax.scan(
+        body, (counts0, _init_tot(counts0)), (ctx_grid, syms, valid),
+        unroll=_UNROLL)
     return start, freq, counts
 
 
@@ -642,7 +675,7 @@ def _decode(model: CtxModel, n_halve: int, counts0, lane_state0,
     nwords = words.shape[0]
 
     def body(carry, xs):
-        counts, st, x, off = carry
+        counts, tot, st, x, off = carry
         vld, aux_t = xs
         ctx = model.context(st, aux_t)
         F = _quant(counts[ctx])
@@ -659,12 +692,14 @@ def _decode(model: CtxModel, n_halve: int, counts0, lane_state0,
         xn = jnp.where(need, (xn << 16) | w, xn)
         x = jnp.where(vld, xn, x)
         off = off + jnp.sum(need.astype(jnp.int32))
-        counts = _wave_update(counts, ctx, sym, vld, model, n_halve)
+        counts, tot = _wave_update_tot(counts, tot, ctx, sym, vld, model,
+                                       n_halve)
         st = _freeze_invalid(model.update(st, sym, aux_t), st, vld)
-        return (counts, st, x, off), sym.astype(jnp.uint8)
+        return (counts, tot, st, x, off), sym.astype(jnp.uint8)
 
-    (counts, _, x, _), syms = lax.scan(
-        body, (counts0, lane_state0, states, jnp.int32(0)), (valid, aux),
+    (counts, _, _, x, _), syms = lax.scan(
+        body, (counts0, _init_tot(counts0), lane_state0, states,
+               jnp.int32(0)), (valid, aux),
         unroll=_UNROLL)
     return syms, counts, x
 
