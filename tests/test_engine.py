@@ -174,3 +174,35 @@ def test_wide_alphabet_unpacked_transfer():
     payload = encode_stream(model, p, syms, lengths)
     back = decode_stream(model, p, payload, lengths)
     assert np.array_equal(back, syms)
+
+
+def test_bitstream_stability_goldens():
+    """Pinned payload MD5s for three model configs: the bitstream is
+    platform-independent (pure integer walk) and must not drift under
+    refactors — an intentional format change updates these hashes
+    deliberately (and breaks old archives, so version accordingly)."""
+    import hashlib
+
+    import numpy as np
+
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.models.base import QualModel, seq_model_from_params
+    from fastqueeze_tpu.ops.engine import encode_stream
+
+    rng = np.random.default_rng(42)
+    p = CodecParams(lanes_min=16, lanes_max=64, lane_target_symbols=512)
+    golden = {
+        "qual": "d37c93864f1ce2ae92d38ee91a4b5ba8",
+        "qual3": "7e701d103395308a8439617841b2c39e",
+        "seq": "24d73a8a135bc6405c04c56b46c223f8",
+    }
+    for name, model, amax in (
+            ("qual", QualModel(alphabet=48, init=1, inc=8, cap=8192,
+                               qlevel=2), 48),
+            ("qual3", QualModel(alphabet=40, init=1, inc=8, cap=8192,
+                                qlevel=3), 40),
+            ("seq", seq_model_from_params(CodecParams(slevel=0)), 4)):
+        lengths = rng.integers(10, 120, 300)
+        syms = rng.integers(0, amax, int(lengths.sum())).astype(np.uint8)
+        payload = encode_stream(model, p, syms, lengths)
+        assert hashlib.md5(payload).hexdigest() == golden[name], name
