@@ -25,6 +25,7 @@ _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libfqnative.so")
 
 _I64P = ctypes.POINTER(ctypes.c_int64)
+_I32P = ctypes.POINTER(ctypes.c_int32)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
 
 
@@ -115,6 +116,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.rc_decode_o1.restype = ctypes.c_int64
     lib.rc_decode_o1.argtypes = [_U8P, ctypes.c_int64, ctypes.c_int64, _i32,
                                  _i32, _i32, _i32, _U8P]
+    lib.rc_encode_names.restype = ctypes.c_int64
+    lib.rc_encode_names.argtypes = [_U8P, _i32p, ctypes.c_int64, _i32, _i32,
+                                    _i32, _U8P, ctypes.c_int64]
+    lib.rc_decode_names.restype = ctypes.c_int64
+    lib.rc_decode_names.argtypes = [_U8P, ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int64, _i32, _i32, _i32, _U8P,
+                                    _i32p]
     _LIB = lib
     return _LIB
 
@@ -246,6 +254,35 @@ def rc_decode_o1(data, n, alphabet, init, inc, cap):
     if r < 0:
         return None
     return out
+
+
+def rc_encode_names(cat, lens, init, inc, cap):
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap_bytes = int(len(cat) + len(lens)) * 2 + 64
+    out = np.empty(cap_bytes, np.uint8)
+    lens32 = np.ascontiguousarray(lens, np.int32)
+    n = lib.rc_encode_names(_u8p(cat), lens32.ctypes.data_as(_I32P),
+                            len(lens32), init, inc, cap, _u8p(out),
+                            cap_bytes)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def rc_decode_names(data, R, total_len, init, inc, cap):
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    cat = np.empty(max(total_len, 1), np.uint8)
+    lens = np.empty(max(R, 1), np.int32)
+    r = lib.rc_decode_names(_u8p(buf), len(buf), R, total_len, init, inc,
+                            cap, _u8p(cat), lens.ctypes.data_as(_I32P))
+    if r < 0:
+        raise ValueError("corrupt name stream")
+    return cat[:total_len], lens[:R]
 
 
 def seq_hist(codes: np.ndarray, lengths: np.ndarray, order: int,
