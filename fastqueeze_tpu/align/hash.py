@@ -418,6 +418,13 @@ def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, l1,
     return mapped, pos, use_rev & mapped, mis_mask
 
 
+def _intra(lengths: np.ndarray) -> np.ndarray:
+    """Per-symbol position-within-read for concatenated reads."""
+    offs = np.cumsum(lengths) - lengths
+    return (np.arange(int(lengths.sum()), dtype=np.int64)
+            - np.repeat(offs, lengths))
+
+
 def _gridify(codes_flat, dege_flat, lengths, lp):
     R = len(lengths)
     offs = np.cumsum(lengths) - lengths
@@ -520,6 +527,26 @@ class Aligner:
         self._l1 = jnp.asarray(l1)
         max_bucket = int(np.diff(l1).max()) if len(l1) > 1 else 1
         self._search_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
+        # per-device replicas for block-DP over a mesh (the reference's
+        # POSIX-shm index sharing mapped to a pod slice, SURVEY.md §2.3):
+        # each block device gets the index arrays once, not per batch
+        self._replicas = {}
+
+    def _arrays(self):
+        """Index arrays for the calling thread's default device."""
+        import jax
+        dev = jax.config.jax_default_device
+        if dev is None:
+            return (self._keys, self._offsets, self._positions,
+                    self._packed, self._l1)
+        rep = self._replicas.get(dev)
+        if rep is None:
+            put = lambda x: jax.device_put(x, dev)  # noqa: E731
+            rep = ((put(self._keys[0]), put(self._keys[1])),
+                   put(self._offsets), put(self._positions),
+                   put(self._packed), put(self._l1))
+            self._replicas[dev] = rep
+        return rep
 
     def _lp_bucket(self, max_len: int) -> int:
         """Bucketed padded length ({1, 1.5} x powers of two, >= 32, x16
@@ -539,6 +566,27 @@ class Aligner:
             return AlignResult(np.zeros(R, bool), np.zeros(R, np.int64),
                                np.zeros(R, bool), np.zeros((R, lp), bool))
         max_len = int(lengths.max())
+        cap = self.params.align_max_len
+        if max_len > cap:
+            # long reads (ONT/PacBio) skip the short-read gapless aligner:
+            # gridding them would blow the (R, lp) batch memory; the block
+            # falls back to entropy-only coding for them (the reference's
+            # aligner is equally short-read-only)
+            sel = np.flatnonzero(lengths <= cap)
+            lp = self._lp_bucket(int(lengths[sel].max()) if len(sel) else 32)
+            res = AlignResult(np.zeros(R, bool), np.zeros(R, np.int64),
+                              np.zeros(R, bool), np.zeros((R, lp), bool))
+            if len(sel):
+                off = np.cumsum(lengths) - lengths
+                idx = (np.repeat(off[sel], lengths[sel])
+                       + _intra(lengths[sel]))
+                sub = self.align(codes_flat[idx], dege_flat[idx],
+                                 lengths[sel])
+                res.mapped[sel] = sub.mapped
+                res.pos[sel] = sub.pos
+                res.is_rev[sel] = sub.is_rev
+                res.mis_mask[sel] = sub.mis_mask
+            return res
         lp = self._lp_bucket(max_len)
         p = self.params
         cfg = AlignConfig(k=self.k, stride=p.seed_stride,
@@ -593,11 +641,17 @@ class Aligner:
         if R < 2 or max_insr <= 0:
             return res
         mate = np.arange(R) ^ 1
-        todo = np.flatnonzero(~res.mapped & res.mapped[mate] & (lengths > 0))
+        lp = res.mis_mask.shape[1]
+        todo = np.flatnonzero(~res.mapped & res.mapped[mate]
+                              & (lengths > 0) & (lengths <= lp))
         if not len(todo):
             return res
-        lp = res.mis_mask.shape[1]
-        codes, dege = _gridify(codes_flat, dege_flat, lengths, lp)
+        # grid only the rescue candidates (long reads skipped alignment and
+        # must not enter the (R, lp) grid)
+        off = np.cumsum(lengths) - lengths
+        idx = np.repeat(off[todo], lengths[todo]) + _intra(lengths[todo])
+        codes_t, dege_t = _gridify(codes_flat[idx], dege_flat[idx],
+                                   lengths[todo], lp)
         C = min(4096, 2 * max_insr + 128)
         B = max(64, (1 << 22) // (C * (lp // 16)))     # bound device memory
         mapped, pos = res.mapped.copy(), res.pos.copy()
@@ -610,9 +664,11 @@ class Aligner:
             db = np.zeros((B, lp), bool)
             lb = np.zeros(B, np.int32)
             ctr = np.zeros(B, np.int32)
-            cb[:n], db[:n], lb[:n] = codes[sel], dege[sel], lengths[sel]
+            cb[:n], db[:n] = codes_t[s:s + n], dege_t[s:s + n]
+            lb[:n] = lengths[sel]
             ctr[:n] = res.pos[mate[sel]]
-            out = _window_batch(lp, C, self.params.max_mis, self._packed,
+            out = _window_batch(lp, C, self.params.max_mis,
+                                self._arrays()[3],
                                 jnp.int32(self.ref_len), jnp.asarray(cb),
                                 jnp.asarray(db), jnp.asarray(lb),
                                 jnp.asarray(ctr))
@@ -633,6 +689,7 @@ class Aligner:
         lp = codes.shape[1]
         B = batch
         jobs = []
+        keys, offsets, positions, packed, l1 = self._arrays()
         for s in range(0, len(rows), B):
             sel = rows[s:s + B]
             n = len(sel)
@@ -641,8 +698,8 @@ class Aligner:
             lb = np.zeros(B, np.int32)
             cb[:n], db[:n], lb[:n] = codes[sel], dege[sel], lengths[sel]
             out = _align_batch(
-                cfg, self._keys, self._offsets, self._positions,
-                self._packed, self._l1, jnp.int32(self.ref_len),
+                cfg, keys, offsets, positions,
+                packed, l1, jnp.int32(self.ref_len),
                 jnp.asarray(cb), jnp.asarray(db), jnp.asarray(lb))
             jobs.append((sel, n, out))
         for sel, n, (m, p_, r, mm) in jobs:

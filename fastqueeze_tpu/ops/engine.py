@@ -357,11 +357,19 @@ def _device_aux(T: int, counts_grid):
     # scatter each read's start wave into its lane's timeline, then cummax
     # gives "start wave of the read covering t" at every wave t
     marks = jnp.zeros((T, L), jnp.int32)
-    s_clip = jnp.minimum(s, T - 1)
-    marks = marks.at[s_clip.reshape(-1), lanes.reshape(-1)].max(
-        s.reshape(-1))
+    # zero-count slots (grid padding / empty reads) and starts beyond the
+    # grid must not scatter: route them out of range and drop, matching the
+    # host mirror (lanes.aux_grids masks counts > 0).  Clipping instead
+    # would land value T on row T-1 and corrupt pos/start at the last wave.
+    tgt = jnp.where(c > 0, s, T)
+    marks = marks.at[tgt.reshape(-1), lanes.reshape(-1)].max(
+        s.reshape(-1), mode="drop")
     run_start = lax.cummax(marks, axis=0)
-    pos = (t_idx - run_start).astype(jnp.uint16)
+    # pos must be EXACT (int32): the qual drops baseline (start_t = t_idx -
+    # pos in QualModel.context_grids) and the seq ctx-start gating both
+    # consume it, and a uint16 wrap at 65536 breaks encode/decode agreement
+    # for reads longer than 64k bases (ONT/PacBio)
+    pos = t_idx - run_start
     start = (t_idx == run_start)
     return valid, {"start": start & valid, "pos": jnp.where(valid, pos, 0)}
 
@@ -947,7 +955,10 @@ def decode_stream_job(model: CtxModel, params: CodecParams,
     off += 4 * L
     words = np.frombuffer(payload, "<u2", n_words, off).copy()
     counts_per_read = np.asarray(counts_per_read, np.int64)
-    assert int(counts_per_read.sum()) == nsym, "length stream mismatch"
+    if int(counts_per_read.sum()) != nsym:
+        raise ValueError(
+            f"corrupt stream: symbol count {nsym} in payload header does "
+            f"not match length stream total {int(counts_per_read.sum())}")
 
     # pad the word stream to a power-of-two bucket so the jitted decode is
     # compiled once per bucket, not once per stream length
@@ -961,7 +972,9 @@ def decode_stream_job(model: CtxModel, params: CodecParams,
 
     if not extra_aux:
         layout = make_layout(counts_per_read, L)
-        assert layout.T == T, f"layout mismatch T={layout.T} vs {T}"
+        if layout.T != T:
+            raise ValueError(
+                f"corrupt stream: layout T={layout.T} vs payload T={T}")
         pmode = _pack_mode(model, L)
         cg = jnp.asarray(_counts_grid(counts_per_read, L))
         if adapt:
@@ -982,7 +995,9 @@ def decode_stream_job(model: CtxModel, params: CodecParams,
 
     layout, nsym2, L2, valid_dev, aux_dev = _make_grids(
         model, params, None, counts_per_read, extra_aux, L)
-    assert layout.T == T, f"layout mismatch T={layout.T} vs {T}"
+    if layout.T != T:
+        raise ValueError(
+            f"corrupt stream: layout T={layout.T} vs payload T={T}")
     if adapt:
         c0 = counts0 if counts0 is not None else init_counts(model)
         nh = _n_halve(model, L)

@@ -158,7 +158,10 @@ def aux_grids(layout: LaneLayout, with_pos: bool = False) -> Dict[str, np.ndarra
         start = (t_idx % C == 0) & valid
         aux = {"start": start}
         if with_pos:
-            pos = np.broadcast_to((t_idx % C).astype(np.uint16),
+            # uint16 halves the h2d transfer; exact int32 when any read is
+            # 64k+ bases (pos must never wrap — see engine._device_aux)
+            dt = np.uint16 if C <= 0xFFFF else np.int32
+            pos = np.broadcast_to((t_idx % C).astype(dt),
                                   (layout.T, layout.L)).copy()
             pos[~valid] = 0
             aux["pos"] = pos
@@ -172,8 +175,10 @@ def aux_grids(layout: LaneLayout, with_pos: bool = False) -> Dict[str, np.ndarra
         intra = (np.arange(N, dtype=np.int64) -
                  np.repeat(np.cumsum(layout.counts) - layout.counts,
                            layout.counts))
-        pos = np.zeros((layout.T, layout.L), dtype=np.uint16)
+        maxc = int(layout.counts.max()) if len(layout.counts) else 0
+        dt = np.uint16 if maxc <= 0xFFFF else np.int32
+        pos = np.zeros((layout.T, layout.L), dtype=dt)
         sym_t, sym_lane = layout.sym_coords()
-        pos[sym_t, sym_lane] = np.minimum(intra, 0xFFFF)
+        pos[sym_t, sym_lane] = intra
         aux["pos"] = pos
     return valid, aux

@@ -113,6 +113,41 @@ def _decode_bytes(p: CodecParams, blob: bytes, order1: bool = True) -> bytes:
     return flat.astype(np.uint8).tobytes()
 
 
+def _code_lines(p: CodecParams, lines, R: int) -> bytes:
+    """Fallback line coder for IDs/plus lines when binning fails
+    (reference: encode_name @0x421070, SURVEY.md §2.1 path 2).  Codes the
+    lines through the tokenized previous-name diff coder (marker 3) and
+    through the generic byte path; the smaller payload wins, so
+    unstructured IDs (SRA hashes, instrument coords) land near entropy
+    while degenerate inputs keep the raw/order-1 floor."""
+    from fastqueeze_tpu.io.fastq import LazyLines
+    if R == 0:
+        return _code_bytes(p, b"")
+    if isinstance(lines, LazyLines):
+        cat = np.frombuffer(lines.cat, np.uint8)
+        lens = np.diff(lines.offs).astype(np.int32)
+    else:
+        cat = np.frombuffer(b"".join(lines), np.uint8)
+        lens = np.array([len(x) for x in lines], np.int32)
+    blob = host_rans.encode_names(cat, lens, p.byte_init, p.byte_inc,
+                                  p.byte_cap)
+    cand = b"\x03" + len(cat).to_bytes(4, "little") + blob
+    alt = _code_bytes(p, b"\n".join(lines) + b"\n")
+    return cand if len(cand) < len(alt) else alt
+
+
+def _decode_lines(p: CodecParams, blob: bytes, R: int) -> List[bytes]:
+    if blob[:1] == b"\x03":
+        total = int.from_bytes(blob[1:5], "little")
+        cat, lens = host_rans.decode_names(blob[5:], R, total, p.byte_init,
+                                           p.byte_inc, p.byte_cap)
+        offs = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+        c = cat.tobytes()
+        return [c[offs[i]:offs[i + 1]] for i in range(R)]
+    raw = _decode_bytes(p, blob)
+    return raw.split(b"\n")[:-1] if raw else []
+
+
 def _two_byte_stream(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """values -> interleaved (lo, hi) symbols, counts=2/item, ctx=[0,1]."""
     n = len(values)
@@ -126,6 +161,16 @@ def _two_byte_stream(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.nda
 
 def _qual_alphabet(qmax: int) -> int:
     return ((qmax + 1 + 7) // 8) * 8
+
+
+def _width_of(max_val: int) -> int:
+    """Byte width tier for little-endian integer streams (the reference's
+    encode_len_short/encode_len_long split, generalized to 1/2/4)."""
+    if max_val <= 0xFF:
+        return 1
+    if max_val <= 0xFFFF:
+        return 2
+    return 4
 
 
 def _code_flags(p: CodecParams, bits: np.ndarray) -> bytes:
@@ -256,8 +301,6 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         dege_read = np.searchsorted(read_starts, dege_idx, side="right") - 1
         dege_pos = dege_idx - read_starts[dege_read]
         dege_cnt = np.bincount(dege_read, minlength=R).astype(np.int64)
-        if dege_cnt.max() > 254:
-            raise ValueError(">254 degenerate bases in one read (unsupported)")
 
     # --- quality vocabulary for this block (dense rank coding) ---
     from fastqueeze_tpu.pipeline.frozen import qual_lut, qual_vocab
@@ -307,12 +350,15 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     qual_job = encode_stream_job(
         qmodel, p, qsyms, lengths, counts0=qc0, adapt=adapt)
 
-    # --- lengths ---
+    # --- lengths (reference: encode_len_short/encode_len_long, SURVEY.md
+    #     §2.1 — variable-width tiers; long reads (ONT/PacBio) take the
+    #     4-byte tier instead of hard-failing) ---
     len_payload = None
     if const_len is None and R:
-        if lengths.max() > 0xFFFF:
-            raise ValueError("read length > 65535 unsupported")
-        len_payload = _code_le(p, lengths, 2)
+        lenb = _width_of(int(lengths.max()))
+        if lenb != 2:
+            meta["lenb"] = lenb
+        len_payload = _code_le(p, lengths, lenb)
 
     # --- IDs (host binning; var fields coded on-device) ---
     schema, var_payload = analyze_ids(block.ids)
@@ -322,8 +368,7 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         if var_payload:
             id_sections.append((TAG_IDVAR, _code_bytes(p, var_payload)))
     else:
-        raw = b"\n".join(block.ids) + b"\n" if R else b""
-        id_sections.append((TAG_IDRAW, _code_bytes(p, raw)))
+        id_sections.append((TAG_IDRAW, _code_lines(p, block.ids, R)))
 
     # --- plus lines ---
     from fastqueeze_tpu.io.fastq import any_content
@@ -335,15 +380,23 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
             if pvar:
                 plus_sections.append((TAG_PLUSVAR, _code_bytes(p, pvar)))
         else:
-            raw = b"\n".join(block.plus) + b"\n"
-            plus_sections.append((TAG_PLUSRAW, _code_bytes(p, raw)))
+            plus_sections.append((TAG_PLUSRAW,
+                                  _code_lines(p, block.plus, R)))
 
     # --- degenerate streams ---
     dege_sections = []
     if n_dege:
-        cnt_payload = _code_bytes(
-            p, dege_cnt.astype(np.uint8).tobytes(), order1=False)
-        pos_payload = _code_le(p, dege_pos, 2)
+        if int(dege_cnt.max()) > 0xFF:
+            meta["degcb"] = _width_of(int(dege_cnt.max()))
+            cnt_payload = _code_le(p, dege_cnt, meta["degcb"])
+        else:
+            cnt_payload = _code_bytes(
+                p, dege_cnt.astype(np.uint8).tobytes(), order1=False)
+        degpb = _width_of(int(dege_pos.max()) if len(dege_pos) else 0)
+        degpb = max(degpb, 2)       # 2 is the historical default width
+        if degpb != 2:
+            meta["degpb"] = degpb
+        pos_payload = _code_le(p, dege_pos, degpb)
         chr_payload = _code_bytes(
             p, block.seq_flat[dege_mask].tobytes(), order1=False)
         dege_sections = [(TAG_DEGCNT, cnt_payload), (TAG_DEGPOS, pos_payload),
@@ -396,7 +449,7 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
     lengths = block.lengths
     mlens = lengths[mapped]
     posb = max(1, (int(ref_codes.size).bit_length() + 7) // 8)
-    mposb = 1 if (len(mlens) == 0 or int(mlens.max()) <= 255) else 2
+    mposb = _width_of(int(mlens.max()) if len(mlens) else 0)
     meta["posb"] = posb
     meta["mposb"] = mposb
 
@@ -486,16 +539,20 @@ def decode_block(p: CodecParams, payload: bytes,
     if meta["clen"] is not None:
         lengths = np.full(R, meta["clen"], np.int64)
     elif R:
-        lengths = _decode_le(p, sections[TAG_LEN], R, 2)
+        lengths = _decode_le(p, sections[TAG_LEN], R, meta.get("lenb", 2))
     else:
         lengths = np.zeros(0, np.int64)
 
     # --- degenerate streams ---
     dege_cnt = np.zeros(R, np.int64)
     if n_dege:
-        cnt_raw = _decode_bytes(p, sections[TAG_DEGCNT], order1=False)
-        dege_cnt = np.frombuffer(cnt_raw, np.uint8).astype(np.int64)
-        dpos = _decode_le(p, sections[TAG_DEGPOS], n_dege, 2)
+        if "degcb" in meta:
+            dege_cnt = _decode_le(p, sections[TAG_DEGCNT], R, meta["degcb"])
+        else:
+            cnt_raw = _decode_bytes(p, sections[TAG_DEGCNT], order1=False)
+            dege_cnt = np.frombuffer(cnt_raw, np.uint8).astype(np.int64)
+        dpos = _decode_le(p, sections[TAG_DEGPOS], n_dege,
+                          meta.get("degpb", 2))
         dchr = np.frombuffer(
             _decode_bytes(p, sections[TAG_DEGCHR], order1=False), np.uint8)
 
@@ -554,8 +611,7 @@ def decode_block(p: CodecParams, payload: bytes,
                if TAG_IDVAR in sections else b"")
         ids = reconstruct_ids(schema, R, var)
     else:
-        raw = _decode_bytes(p, sections[TAG_IDRAW])
-        ids = raw.split(b"\n")[:-1] if raw else []
+        ids = _decode_lines(p, sections[TAG_IDRAW], R)
 
     # --- plus lines ---
     if TAG_PLUSSCHEMA in sections:
@@ -564,8 +620,7 @@ def decode_block(p: CodecParams, payload: bytes,
                 if TAG_PLUSVAR in sections else b"")
         plus = reconstruct_ids(pschema, R, pvar)
     elif TAG_PLUSRAW in sections:
-        raw = _decode_bytes(p, sections[TAG_PLUSRAW])
-        plus = raw.split(b"\n")[:-1] if raw else []
+        plus = _decode_lines(p, sections[TAG_PLUSRAW], R)
     else:
         plus = [b""] * R
 

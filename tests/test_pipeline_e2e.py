@@ -74,21 +74,11 @@ def test_se_gz_input(tmp_path):
 def test_se_multiblock(tmp_path):
     rng = np.random.default_rng(4)
     raw = _mk_fastq(rng, 400)
-    p = CodecParams(**SMALL)
-    p.block_size_mb = 1  # still one block; force small blocks via monkey size
+    p = CodecParams(**SMALL, block_bytes=8192)
     src = tmp_path / "in.fq"
     src.write_bytes(raw)
     arc = str(tmp_path / "out.fqz")
-    # shrink block size below file size to get multiple blocks
-    p.block_size_mb = 0  # 0 MB -> read_blocks uses block_size=0? guard below
-    p.block_size_mb = 1
-    import fastqueeze_tpu.pipeline.driver as drv
-    orig = drv.read_blocks
-    try:
-        drv.read_blocks = lambda path, bs: orig(path, 8192)
-        stats = compress_se(p, str(src), arc)
-    finally:
-        drv.read_blocks = orig
+    stats = compress_se(p, str(src), arc)
     assert stats["blocks"] > 2
     outs = decompress(arc, str(tmp_path / "back"), force=True)
     assert open(outs[0], "rb").read() == raw
@@ -232,3 +222,43 @@ def test_binned_qual_dense_alphabet(tmp_path):
     back = decode_block(p, payload, frozen=frozen)
     assert np.array_equal(back.qual_flat, oov_blk.qual_flat)
     assert np.array_equal(back.seq_flat, oov_blk.seq_flat)
+
+
+def test_se_unbinnable_ids_fallback_coder(tmp_path):
+    """Random-hash IDs defeat the ID binner; the tokenized fallback name
+    coder (reference encode_name parity) must round-trip them and beat the
+    raw+order-1 floor."""
+    import random
+    rng = np.random.default_rng(9)
+    rd = random.Random(9)
+    recs = []
+    for i in range(300):
+        name = ("".join(rd.choice("0123456789abcdef") for _ in range(16))
+                + f" run={rd.randint(1000, 9999)} length=90")
+        seq = bytes(rng.choice(list(b"ACGT"), size=90).astype(np.uint8)
+                    ).decode()
+        qual = bytes(rng.integers(33, 73, size=90).astype(np.uint8)).decode()
+        recs.append(f"@{name}\n{seq}\n+\n{qual}\n")
+    raw = "".join(recs).encode()
+    stats = _se_roundtrip(tmp_path, raw)
+    assert stats["ratio"] > 1.5
+
+
+def test_long_reads_ont_style(tmp_path):
+    """ONT/PacBio-style long reads: variable-width length tier (one read
+    over 65,535 bases exercises the 4-byte tier), >254 degenerate bases in
+    one read, round-trip bit-exact (reference hard-fails on none of this
+    because it never gets there; SURVEY.md encode_len_long parity)."""
+    rng = np.random.default_rng(11)
+    lens = [70_000] + [int(x) for x in rng.integers(2_000, 20_000, 8)]
+    recs = []
+    for i, ln in enumerate(lens):
+        seq = rng.choice(list(b"ACGT"), size=ln).astype(np.uint8)
+        if i == 0:   # a 300-N run: dege count > 254 in one read
+            seq[1000:1300] = ord("N")
+        qual = (rng.integers(0, 60, size=ln) + 33).astype(np.uint8)
+        recs.append(b"@ont/" + str(i).encode() + b"\n" + seq.tobytes()
+                    + b"\n+\n" + qual.tobytes() + b"\n")
+    raw = b"".join(recs)
+    stats = _se_roundtrip(tmp_path, raw, qlevel=1)
+    assert stats["ratio"] > 1.5
