@@ -32,6 +32,15 @@ def _enable_compile_cache() -> None:
     (first-ever compile of a shape is 10-40 s on TPU)."""
     if _os.environ.get("FASTQUEEZE_NO_COMPILE_CACHE"):
         return
+    # CPU-only runs (tests, dryrun_multichip) must NOT use the persistent
+    # cache: XLA:CPU cache payloads are AOT-compiled machine code stamped
+    # with the builder's CPU features, and loading an entry whose feature
+    # set mismatches the running host (observed on this box even across
+    # processes) can SIGILL/SIGSEGV/SIGABRT instead of falling back to a
+    # recompile.  TPU executables have no host-ISA dependence, so the
+    # warm-start cache stays on for the real backend.
+    if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
     import jax
     cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",

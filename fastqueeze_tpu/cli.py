@@ -39,11 +39,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-o", dest="out", help="output archive / prefix")
     ap.add_argument("-f", dest="force", action="store_true",
                     help="force overwrite")
-    ap.add_argument("-t", dest="threads", type=int, default=0,
-                    help="worker parallelism (blocks in flight)")
-    ap.add_argument("-l", dest="lossy", type=float, default=0.0,
+    # flags that shape CodecParams default to None so "explicitly passed"
+    # is detectable even when the value equals the built-in default (an
+    # explicit flag must beat the fastqueeze.config developer file)
+    ap.add_argument("-t", dest="threads", type=int, default=None,
+                    help="worker parallelism (blocks in flight; default 0)")
+    ap.add_argument("-l", dest="lossy", type=float, default=None,
                     help="lossy quality factor (e.g. 1.15)")
-    ap.add_argument("-I", dest="max_insr", type=int, default=0,
+    ap.add_argument("-I", dest="max_insr", type=int, default=None,
                     help="max insert size for PE alignment")
     ap.add_argument("-s", dest="shm", action="store_true",
                     help="share the index across processes (mmap; "
@@ -65,9 +68,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write output next to input")
     ap.add_argument("-D", dest="dump_config", action="store_true",
                     help="write ./fastqueeze.config with current defaults")
-    ap.add_argument("--block-mb", type=int, default=50)
-    ap.add_argument("--slevel", type=int, default=3)
-    ap.add_argument("--qlevel", type=int, default=2)
+    ap.add_argument("--block-mb", type=int, default=None,
+                    help="block size in MB (default 50)")
+    ap.add_argument("--slevel", type=int, default=None,
+                    help="sequence context level (default 3)")
+    ap.add_argument("--qlevel", type=int, default=None,
+                    help="quality context level (default 2)")
+    ap.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="block-data-parallel over N devices of the mesh "
+                    "(-1 = all).  Archives are byte-identical to -t 1; on "
+                    "decode, 0/unset inherits the encoder's setting "
+                    "(clamped to visible devices)")
     ap.add_argument("--stats", action="store_true", help="print debug tables")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR "
@@ -143,16 +154,15 @@ def main(argv=None) -> int:
             ref = args.pos[0] if args.pos else None
             p = CodecParams(is_pe=1 if args.in2 else 0)
             p.apply_config_file()      # developer config (seqarc.config)
-            defaults = build_parser().parse_args(
-                ["-c"] + (["-1", in1] if args.in1 else []))
-            for attr, val, dflt in (
-                    ("block_size_mb", args.block_mb, defaults.block_mb),
-                    ("slevel", args.slevel, defaults.slevel),
-                    ("qlevel", args.qlevel, defaults.qlevel),
-                    ("lossy_factor", args.lossy, defaults.lossy),
-                    ("max_insr", args.max_insr, defaults.max_insr),
-                    ("threads", args.threads, defaults.threads)):
-                if val != dflt:        # explicit CLI flag beats config file
+            for attr, val in (
+                    ("block_size_mb", args.block_mb),
+                    ("slevel", args.slevel),
+                    ("qlevel", args.qlevel),
+                    ("lossy_factor", args.lossy),
+                    ("max_insr", args.max_insr),
+                    ("threads", args.threads),
+                    ("mesh_n", args.mesh)):
+                if val is not None:    # explicit CLI flag beats config file
                     setattr(p, attr, val)
             if args.bwa and p.seed_len <= 15:
                 p.seed_len = 22        # -q: long-seed backend
@@ -197,7 +207,9 @@ def main(argv=None) -> int:
                 # thread count; an explicit -t N overrides it
                 outs = decompress(arc, args.out, dbg=dbg, ref=ref,
                                   pipeout=args.pipeout, force=args.force,
-                                  indir=args.indir, threads=args.threads)
+                                  indir=args.indir,
+                                  threads=args.threads or 0,
+                                  mesh=args.mesh or 0)
             if outs:
                 info("wrote: " + ", ".join(outs))
         else:

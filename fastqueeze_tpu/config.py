@@ -37,7 +37,13 @@ class CodecParams:
 
     # --- block pipeline (reference: BlockSize(M):50, -t threads) ---
     block_size_mb: int = 50
+    block_bytes: int = 0           # exact block cut in bytes (0 = use MB);
+                                   # sub-MB blocks for tests/tuning
     threads: int = 1               # host worker threads (blocks in flight)
+    mesh_n: int = 0                # block-DP over a device mesh: 0 = off,
+                                   # -1 = all devices, N = first N devices.
+                                   # Does NOT shape the bitstream (payloads
+                                   # are device-count invariant, like -t)
 
     # --- sequence model (reference: Slevel:3 → order = Slevel+7) ---
     slevel: int = 3                 # context order = slevel + 7 (2 bits/base)
@@ -72,6 +78,10 @@ class CodecParams:
     seed_excl_bp: int = 7           # tier-2: +-bp masked around each pick
     seed_drop_occ: int = 65536      # build-time drop: hyper-repetitive seeds
     seed_stride: int = 2            # sample read seeds every N bp
+    align_max_len: int = 2048       # reads longer than this skip alignment
+                                    # (short-read gapless aligner; longer
+                                    # reads code entropy-only, no lp-bucket
+                                    # grid blowup on ONT/PacBio inputs)
     shm_index: int = 0              # -s: mmap the index (page cache shared
                                     # across processes; reference: POSIX shm)
     min_map_ratio: float = 0.25     # block falls back to entropy-only below
@@ -153,6 +163,7 @@ class CodecParams:
         "Bothstrands": "both_strands",
         "Maxinsr": "max_insr",
         "Threads": "threads",
+        "Mesh": "mesh_n",
         "SeedMaxOcc": "seed_max_occ",
         "SeedBigOcc": "seed_big_occ",
         "RescueSeeds": "rescue_seeds",

@@ -44,6 +44,46 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, ("block", "ctx"))
 
 
+def block_devices(mesh_n: int, clamp: bool = False):
+    """Resolve the block-DP device list for archive production.
+
+    ``mesh_n`` is CodecParams.mesh_n (0 = off, -1 = all devices, N = first
+    N).  Returns the devices along the mesh's 'block' axis, or None when
+    block-DP is a no-op (<=1 device).  Archive production then round-robins
+    whole blocks over these devices — the reference's block workers draining
+    a shared pool (SeqArcContext::doReadAndEncode, SURVEY.md §2.3 "**The**
+    scaling axis") with chips in place of pthreads.  Payloads are
+    device-count invariant (the engine is integer-deterministic), so
+    --mesh N archives are byte-identical to -t 1 ones."""
+    if not mesh_n:
+        return None
+    devs = jax.devices()
+    n = len(devs) if mesh_n < 0 else mesh_n
+    if n > len(devs):
+        if not clamp:
+            raise ValueError(
+                f"--mesh {n}: only {len(devs)} device(s) visible")
+        n = len(devs)
+    if n <= 1:
+        return None
+    return list(make_mesh(n).devices.reshape(-1))
+
+
+def device_cycled(devices, fn):
+    """Wrap a per-block work fn so block i runs with device i%N as the
+    default device: every jit dispatch and array upload inside lands on
+    that chip.  Identity when devices is None (single-device)."""
+    if not devices:
+        return fn
+    n = len(devices)
+
+    def wrapped(i, item):
+        with jax.default_device(devices[i % n]):
+            return fn(i, item)
+
+    return wrapped
+
+
 def train_counts_sharded(mesh: Mesh, model: CtxModel,
                          syms: jnp.ndarray, valid: jnp.ndarray,
                          aux: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -199,6 +239,97 @@ def align_blocks_index_sharded(mesh: Mesh, params: CodecParams, sh: Dict,
         jnp.asarray(sh["offsets"]), jnp.asarray(sh["positions"]),
         jnp.asarray(sh["packed"]), jnp.asarray(codes),
         jnp.asarray(dege), jnp.asarray(lengths.astype(np.int32)))
+
+
+def decode_blocks_frozen_sharded(mesh: Mesh, model: CtxModel,
+                                 counts0: jnp.ndarray, states: jnp.ndarray,
+                                 words: jnp.ndarray, valid: jnp.ndarray,
+                                 pos: jnp.ndarray):
+    """Frozen-model wave decode with the quantized table sharded over the
+    'ctx' mesh axis — the TP analogue for models too big to replicate
+    (qlevel-3 quality tables: 2^20 contexts; high-order seq models).
+
+    Each ctx shard holds ``n_ctx/D`` whole table rows.  Per wave, the lane
+    contexts are computed replicated (the lane-state walk is identical on
+    every shard); the shard that owns a lane's context row runs the
+    cumulative-frequency search locally and non-owners contribute zeros, so
+    one ``psum`` over 'ctx' per wave yields the global (sym, start, freq)
+    packed as a single (3, L) vector — collective bytes per wave are tiny
+    (~lanes * 12 B) and ride ICI.  The rANS arithmetic then advances
+    replicated.  Produces bit-identical symbols to the replicated
+    ``engine._decode_frozen`` (tests/test_mesh.py asserts equality).
+
+    states/words/valid/pos are (B, ...) stacked blocks sharded over
+    'block'; counts0 is the full raw count table (quantized per-shard —
+    quantization is row-local, so sharding commutes with it).
+    """
+    from fastqueeze_tpu.ops.engine import (
+        _MASK_M, _freeze_invalid, _quant_full)
+    from fastqueeze_tpu.config import PROB_BITS, RANS_L, RANS_M
+    import math
+    A = model.alphabet
+    D = mesh.shape["ctx"]
+    if model.n_ctx % D:
+        raise ValueError(f"n_ctx={model.n_ctx} not divisible by ctx={D}")
+    n_ctx_local = model.n_ctx // D
+    steps = max(1, math.ceil(math.log2(A)))
+    nwords = words.shape[-1]
+    L = valid.shape[-1]
+
+    def local(fq, st0, wds, vld, ps):
+        ctx0 = jax.lax.axis_index("ctx") * n_ctx_local
+        fq_flat = fq.reshape(-1).astype(jnp.int32)
+
+        def one(x0, w, v, p):
+            def body(carry, xs):
+                st, x, off = carry
+                vld_t, pos_t = xs
+                aux_t = {"pos": pos_t, "start": pos_t == 0}
+                ctx = model.context(st, aux_t).astype(jnp.int32)
+                own = (ctx >= ctx0) & (ctx < ctx0 + n_ctx_local)
+                base = jnp.where(own, ctx - ctx0, 0) * (A + 1)
+                low = (x & _MASK_M).astype(jnp.int32)
+                lo = jnp.zeros_like(low)
+                hi = jnp.full_like(low, A - 1)
+                flo = jnp.zeros_like(low)
+                fhi = jnp.full_like(low, RANS_M)
+                for _ in range(steps):
+                    mid = (lo + hi + 1) >> 1
+                    val = fq_flat[base + mid]
+                    le = val <= low
+                    lo = jnp.where(le, mid, lo)
+                    hi = jnp.where(le, hi, mid - 1)
+                    flo = jnp.where(le, val, flo)
+                    fhi = jnp.where(le, fhi, val)
+                res = jnp.where(own, jnp.stack([lo, flo, fhi - flo]), 0)
+                res = jax.lax.psum(res, "ctx")
+                sym, start, f = res[0], res[1], res[2]
+                start = start.astype(jnp.uint32)
+                f = f.astype(jnp.uint32)
+                xn = f * (x >> PROB_BITS) + (x & _MASK_M) - start
+                need = (xn < RANS_L) & vld_t
+                rank = (jnp.cumsum(need.astype(jnp.int32))
+                        - need.astype(jnp.int32))
+                idx = jnp.minimum(off + rank, nwords - 1)
+                xn = jnp.where(need, (xn << 16) | w[idx].astype(jnp.uint32),
+                               xn)
+                x = jnp.where(vld_t, xn, x)
+                off = off + jnp.sum(need.astype(jnp.int32))
+                st = _freeze_invalid(model.update(st, sym, aux_t), st, vld_t)
+                return (st, x, off), sym.astype(jnp.uint8)
+
+            (_, x, _), syms = jax.lax.scan(
+                body, (model.lane_init(L), x0, jnp.int32(0)), (v, p))
+            return syms, x
+
+        return jax.vmap(one)(st0, wds, vld, ps)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("ctx"), P("block"), P("block"), P("block"), P("block")),
+        out_specs=(P("block"), P("block")), check_vma=False,
+    )
+    return jax.jit(fn)(_quant_full(counts0), states, words, valid, pos)
 
 
 def encode_blocks_sharded(mesh: Mesh, model: CtxModel, n_halve: int,

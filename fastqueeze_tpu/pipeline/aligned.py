@@ -76,7 +76,7 @@ def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
                         dbg: Optional[DebugInfo] = None) -> Dict:
     dbg = dbg or DebugInfo()
     aligner, ref = prepare_ref(p, ref_path)
-    block_size = p.block_size_mb * (1 << 20)
+    block_size = p.block_bytes or p.block_size_mb * (1 << 20)
     whole_md5 = hashlib.md5()
     writer = ArcWriter(out_path, p, [os.path.basename(in_path)], [])
     frozen = None
@@ -102,7 +102,12 @@ def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
         dbg.add("encode_s", time.time() - t0)
         return raw, payload, block.n_reads, n_mapped, align is not None
 
+    from fastqueeze_tpu.pipeline.driver import _block_dp_devices
     from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
+    devices = _block_dp_devices(p)
+    if devices:
+        from fastqueeze_tpu.parallel.mesh import device_cycled
+        work = device_cycled(devices, work)
     for i, (raw, payload, n_reads, n_mapped, was_aligned) in \
             ordered_parallel(read_blocks(in_path, block_size), work,
                              max(1, p.threads)):
@@ -137,7 +142,7 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
     dbg = dbg or DebugInfo()
     aligner, ref = prepare_ref(p, ref_path)
     p.is_pe = 1
-    block_size = p.block_size_mb * (1 << 20)
+    block_size = p.block_bytes or p.block_size_mb * (1 << 20)
     md5_1, md5_2 = hashlib.md5(), hashlib.md5()
     writer = ArcWriter(out_path, p,
                        [os.path.basename(in1), os.path.basename(in2)], [])
@@ -151,16 +156,21 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
     idx = 0
     total_raw = 0
     total_mapped = total_reads = 0
-    for raw1, fnl1 in read_blocks(in1, block_size // 2):
+
+    def items():
+        for raw1, fnl1 in read_blocks(in1, block_size // 2):
+            n1 = (raw1.count(b"\n") + (0 if fnl1 else 1)) // 4
+            raw2, fnl2 = rr2.take(n1)
+            yield raw1, fnl1, raw2, fnl2
+
+    def work(i, item):
+        raw1, fnl1, raw2, fnl2 = item
         b1 = parse_block(raw1, fnl1)
-        raw2, fnl2 = rr2.take(b1.n_reads)
         b2 = parse_block(raw2, fnl2)
         if p.lossy_factor > 1.0:
             from fastqueeze_tpu.pipeline.driver import apply_lossy
             raw1, b1 = apply_lossy(p, b1)
             raw2, b2 = apply_lossy(p, b2)
-        md5_1.update(raw1)
-        md5_2.update(raw2)
         merged = interleave_blocks(b1, b2)
         align, n_mapped = _maybe_align(p, aligner, merged, dbg)
         if align is not None and p.max_insr > 0:
@@ -180,15 +190,29 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
         meta = {"fnl1": b1.final_newline, "fnl2": b2.final_newline}
         payload = (write_tlv(TAG_PE_META, json.dumps(meta).encode())
                    + write_tlv(TAG_PE_BODY, body))
-        flags = FLAG_PE | (FLAG_ALIGNED if align is not None else 0)
-        writer.add_block(idx, payload, BlockInfo(
-            payload_len=len(payload), n_reads=b1.n_reads,
+        return (raw1, raw2, payload, b1.n_reads, merged.n_reads, n_mapped,
+                align is not None)
+
+    from fastqueeze_tpu.pipeline.driver import _block_dp_devices
+    from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
+    devices = _block_dp_devices(p)
+    if devices:
+        from fastqueeze_tpu.parallel.mesh import device_cycled
+        work = device_cycled(devices, work)
+    for i, (raw1, raw2, payload, n_pairs, n_merged, n_mapped,
+            was_aligned) in ordered_parallel(items(), work,
+                                             max(1, p.threads)):
+        md5_1.update(raw1)
+        md5_2.update(raw2)
+        flags = FLAG_PE | (FLAG_ALIGNED if was_aligned else 0)
+        writer.add_block(i, payload, BlockInfo(
+            payload_len=len(payload), n_reads=n_pairs,
             raw_len1=len(raw1), raw_len2=len(raw2), flags=flags,
             md5=hashlib.md5(raw1 + raw2).digest()))
         total_mapped += n_mapped
-        total_reads += merged.n_reads
+        total_reads += n_merged
         total_raw += len(raw1) + len(raw2)
-        idx += 1
+        idx = i + 1
     if rr2.take_rest():
         raise ValueError("PE inputs have different read counts")
     writer.input_md5s = [md5_1.digest(), md5_2.digest()]

@@ -67,11 +67,24 @@ def _gate_bytes(in_path: str) -> int:
     return sz * 5 if in_path.endswith(".gz") else sz
 
 
+def _block_dp_devices(params: CodecParams):
+    """Resolve block-DP mesh devices and widen the host pipeline to cover
+    them (each in-flight block needs a feeding thread)."""
+    if not params.mesh_n:
+        return None
+    from fastqueeze_tpu.parallel.mesh import block_devices
+    devices = block_devices(params.mesh_n)
+    if devices and params.threads < len(devices):
+        params.threads = len(devices)
+    return devices
+
+
 def compress_se(params: CodecParams, in_path: str, out_path: str,
                 dbg: Optional[DebugInfo] = None) -> Dict:
     from fastqueeze_tpu.pipeline.frozen import decide_use_model
     dbg = dbg or DebugInfo()
-    block_size = params.block_size_mb * (1 << 20)
+    devices = _block_dp_devices(params)
+    block_size = params.block_bytes or params.block_size_mb * (1 << 20)
     whole_md5 = hashlib.md5()
     writer = ArcWriter(out_path, params, [os.path.basename(in_path)], [])
     frozen = None
@@ -124,6 +137,9 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             payload = encode_block(params, block, frozen=frozen, dbg=dbg)
             return raw, payload, block.n_reads
 
+        if devices:
+            from fastqueeze_tpu.parallel.mesh import device_cycled
+            work = device_cycled(devices, work)
         t_all = time.time()
         for i, (raw, payload, n_reads) in ordered_parallel(
                 items(), work, params.threads):
@@ -179,18 +195,26 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
 def decompress(arc_path: str, out_prefix: Optional[str],
                dbg: Optional[DebugInfo] = None, ref: Optional[str] = None,
                pipeout: int = 0, force: bool = False,
-               indir: bool = False, threads: int = 0) -> List[str]:
+               indir: bool = False, threads: int = 0,
+               mesh: int = 0) -> List[str]:
     dbg = dbg or DebugInfo()
     with ArcReader(arc_path) as reader:
         params = reader.params
         if threads:            # decode-side -t overrides the encoder's
             params.threads = threads
+        if mesh:               # decode-side --mesh overrides the encoder's;
+            params.mesh_n = mesh   # either way clamped to visible devices
+        from fastqueeze_tpu.parallel.mesh import block_devices, device_cycled
+        devices = block_devices(params.mesh_n, clamp=True)
+        if devices and params.threads < len(devices):
+            params.threads = len(devices)
         ref_codes = _load_ref_for_decode(params, ref)
         if params.is_pe:
             from fastqueeze_tpu.pipeline.pe import decompress_pe_blocks
             return decompress_pe_blocks(reader, out_prefix, dbg, ref=ref,
                                         pipeout=pipeout, force=force,
-                                        ref_codes=ref_codes)
+                                        ref_codes=ref_codes,
+                                        devices=devices)
         if getattr(params, "multi", 0):
             frozen_m = None
             if reader.model_blob is not None:
@@ -221,6 +245,8 @@ def decompress(arc_path: str, out_prefix: Optional[str],
                 raise ValueError(
                     f"block {i}: MD5 mismatch (corrupt archive)")
             return raw
+
+        decode_one = device_cycled(devices, decode_one)
 
         with (open(out_name, "wb") if out_name
               else contextlib.nullcontext(sys.stdout.buffer)) as out:
@@ -341,7 +367,7 @@ def compress_multi(params: CodecParams, in_paths: List[str], out_path: str,
     from fastqueeze_tpu.pipeline.frozen import decide_use_model
     dbg = dbg or DebugInfo()
     params.multi = 1
-    block_size = params.block_size_mb * (1 << 20)
+    block_size = params.block_bytes or params.block_size_mb * (1 << 20)
     writer = ArcWriter(out_path, params,
                        [os.path.basename(x) for x in in_paths], [])
     frozen = None

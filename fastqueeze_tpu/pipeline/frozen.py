@@ -322,18 +322,25 @@ def deserialize_frozen(blob: bytes) -> Dict:
 
 
 def frozen_dev_tables(frozen: Dict, qual_alphabet: int, init: int):
-    """Device-resident frozen tables, uploaded once per archive (the tables
-    are ~10 MB and identical for every block — re-uploading them per block
-    costs ~0.7 s/block over the tunnel).  Cached inside the frozen dict."""
+    """Device-resident frozen tables, uploaded once per archive per device
+    (the tables are ~10 MB and identical for every block — re-uploading
+    them per block costs ~0.7 s/block over the tunnel).  Cached inside the
+    frozen dict, keyed by the calling thread's default device so block-DP
+    over a mesh replicates the tables once per chip (the reference's
+    shared-memory model snapshot, SURVEY.md §2.3)."""
+    import jax
+
     from fastqueeze_tpu.ops.engine import counts0_dev
+    dev = jax.config.jax_default_device  # None = process default
     cache = frozen.setdefault("_dev", {})
-    if "seq" not in cache:
-        cache["seq"] = counts0_dev(frozen["seq_counts"])
-    qkey = ("qual", qual_alphabet)
+    skey = ("seq", dev)
+    if skey not in cache:
+        cache[skey] = counts0_dev(frozen["seq_counts"])
+    qkey = ("qual", qual_alphabet, dev)
     if qkey not in cache:
         cache[qkey] = counts0_dev(
             fit_qual_alphabet(frozen["qual_counts"], qual_alphabet, init))
-    return cache["seq"], cache[qkey]
+    return cache[skey], cache[qkey]
 
 
 def fit_qual_alphabet(counts, alphabet: int, init: int):

@@ -135,7 +135,7 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
         from fastqueeze_tpu.pipeline.aligned import compress_pe_aligned
         return compress_pe_aligned(p, ref, in1, in2, out_path, dbg=dbg)
     p.is_pe = 1
-    block_size = p.block_size_mb * (1 << 20)
+    block_size = p.block_bytes or p.block_size_mb * (1 << 20)
     md5_1, md5_2 = hashlib.md5(), hashlib.md5()
     writer = ArcWriter(out_path, p,
                        [os.path.basename(in1), os.path.basename(in2)], [])
@@ -144,35 +144,49 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
     if decide_use_model(p, os.path.getsize(in1) + os.path.getsize(in2)):
         frozen, blob = train_frozen_pe_prefix(p, in1, in2)
         writer.set_model(blob)
-    it1 = read_blocks(in1, block_size // 2)
     idx = 0
     total_raw = 0
-    it2: Optional[Iterator] = None
-    pending2 = None
 
     # file2 is consumed with the same record counts as file1's blocks
     f2_iter_state = _RecordReader(in2)
-    for raw1, fnl1 in it1:
+
+    def items():
+        for raw1, fnl1 in read_blocks(in1, block_size // 2):
+            n1 = (raw1.count(b"\n") + (0 if fnl1 else 1)) // 4
+            raw2, fnl2 = f2_iter_state.take(n1)
+            yield raw1, fnl1, raw2, fnl2
+
+    def work(i, item):
+        raw1, fnl1, raw2, fnl2 = item
         b1 = parse_block(raw1, fnl1)
-        raw2, fnl2 = f2_iter_state.take(b1.n_reads)
         b2 = parse_block(raw2, fnl2)
         if p.lossy_factor > 1.0:
             from fastqueeze_tpu.pipeline.driver import apply_lossy
             raw1, b1 = apply_lossy(p, b1)
             raw2, b2 = apply_lossy(p, b2)
-        md5_1.update(raw1)
-        md5_2.update(raw2)
         merged = interleave_blocks(b1, b2)
         t0 = time.time()
         payload = _encode_pe_block(p, merged, b1, b2, frozen=frozen)
         dbg.add("encode_s", time.time() - t0)
-        info = BlockInfo(payload_len=len(payload), n_reads=b1.n_reads,
+        return raw1, raw2, payload, b1.n_reads
+
+    from fastqueeze_tpu.pipeline.driver import _block_dp_devices
+    from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
+    devices = _block_dp_devices(p)
+    if devices:
+        from fastqueeze_tpu.parallel.mesh import device_cycled
+        work = device_cycled(devices, work)
+    for i, (raw1, raw2, payload, n_reads) in ordered_parallel(
+            items(), work, max(1, p.threads)):
+        md5_1.update(raw1)
+        md5_2.update(raw2)
+        info = BlockInfo(payload_len=len(payload), n_reads=n_reads,
                          raw_len1=len(raw1), raw_len2=len(raw2),
                          flags=FLAG_PE,
                          md5=hashlib.md5(raw1 + raw2).digest())
-        writer.add_block(idx, payload, info)
+        writer.add_block(i, payload, info)
         total_raw += len(raw1) + len(raw2)
-        idx += 1
+        idx = i + 1
     if f2_iter_state.take_rest():
         raise ValueError("PE inputs have different read counts")
     writer.input_md5s = [md5_1.digest(), md5_2.digest()]
@@ -274,7 +288,7 @@ def decode_pe_payload(p: CodecParams, payload: bytes, frozen, ref_codes,
 def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
                          dbg: DebugInfo, ref: Optional[str] = None,
                          pipeout: int = 0, force: bool = False,
-                         ref_codes=None) -> List[str]:
+                         ref_codes=None, devices=None) -> List[str]:
     p = reader.params
     names = _pe_out_names(reader, out_prefix)
     md5_1, md5_2 = hashlib.md5(), hashlib.md5()
@@ -292,6 +306,9 @@ def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
         return decode_pe_payload(p, payload, _frozen_of(reader, p),
                                  ref_codes, reader.blocks[i].md5, i)
 
+    if devices:
+        from fastqueeze_tpu.parallel.mesh import device_cycled
+        decode_one = device_cycled(devices, decode_one)
     try:
         from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
         payloads = (reader.read_block(i) for i in range(len(reader.blocks)))
@@ -317,25 +334,24 @@ def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
     return names if not pipeout else []
 
 
-_FROZEN_CACHE = {}
-
-
 def _frozen_of(reader, p):
+    # cached on the reader instance: id()-keyed module globals can alias a
+    # new reader after GC, and instance state needs no cross-thread locking
     if reader.model_blob is None:
         return None
-    key = id(reader)
-    if key not in _FROZEN_CACHE:
+    frozen = getattr(reader, "_frozen_cache", None)
+    if frozen is None:
         from fastqueeze_tpu.pipeline.frozen import deserialize_frozen
-        _FROZEN_CACHE.clear()
-        _FROZEN_CACHE[key] = deserialize_frozen(reader.model_blob)
-    return _FROZEN_CACHE[key]
+        frozen = reader._frozen_cache = deserialize_frozen(reader.model_blob)
+    return frozen
 
 
 def _write_interleaved(out, b1: FastqBlock, b2: FastqBlock) -> None:
+    offs = [np.concatenate(([0], np.cumsum(b.lengths, dtype=np.int64)))
+            for b in (b1, b2)]
     for k in range(b1.n_reads):
-        for b in (b1, b2):
-            s = int(np.sum(b.lengths[:k]))
-            e = s + int(b.lengths[k])
+        for b, off in zip((b1, b2), offs):
+            s, e = int(off[k]), int(off[k + 1])
             out.write(b"@" + b.ids[k] + b"\n" + b.seq_flat[s:e].tobytes()
                       + b"\n+" + b.plus[k] + b"\n" + b.qual_flat[s:e].tobytes()
                       + b"\n")

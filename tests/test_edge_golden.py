@@ -98,3 +98,36 @@ def test_pipeout_pe_interleaved(tmp_path, capfdbinary):
     # interleaved stream contains every record of both mates
     assert out.count(b"\n@ERR") + out.startswith(b"@ERR") == 200
     assert len(out) == len(raw1) + len(raw2)
+
+
+def test_write_interleaved_linear_at_scale():
+    """-P 3 interleaving must be O(n): 100k reads/mate stream out in
+    seconds (the old per-record np.sum(lengths[:k]) scan was O(R^2) and
+    needed ~10^10 element-adds at this size)."""
+    import io as _io
+    import time
+
+    from fastqueeze_tpu.io.fastq import FastqBlock
+    from fastqueeze_tpu.pipeline.pe import _write_interleaved
+
+    R, L = 100_000, 100
+    rng = np.random.default_rng(5)
+
+    def mk():
+        seq = rng.integers(65, 69, R * L).astype(np.uint8)
+        qual = rng.integers(33, 73, R * L).astype(np.uint8)
+        return FastqBlock(
+            n_reads=R, ids=[b"r%d" % i for i in range(R)],
+            plus=[b""] * R, seq_flat=seq, qual_flat=qual,
+            lengths=np.full(R, L, np.int64), raw_len=0)
+
+    b1, b2 = mk(), mk()
+    out = _io.BytesIO()
+    t0 = time.time()
+    _write_interleaved(out, b1, b2)
+    dt = time.time() - t0
+    assert dt < 30, f"interleaved pipe-out too slow: {dt:.1f}s"
+    data = out.getvalue()
+    assert data.count(b"\n") == 8 * R
+    first = data[:data.index(b"\n@", 1)]
+    assert first.startswith(b"@r0\n")

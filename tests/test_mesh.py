@@ -27,6 +27,74 @@ def test_dryrun_multichip(n):
     graft.dryrun_multichip(n)
 
 
+def _mk_fastq(rng, n, L=100):
+    recs = []
+    for i in range(n):
+        seq = rng.choice(list(b"ACGT"), size=L).astype(np.uint8)
+        qual = (np.clip(rng.integers(0, 41, size=L), 0, 40) + 33
+                ).astype(np.uint8)
+        recs.append(f"@m.{i} {i} length={L}\n{bytes(seq).decode()}\n+\n"
+                    f"{bytes(qual).decode()}\n")
+    return "".join(recs).encode()
+
+
+def test_mesh_archive_bit_identical_to_single_device(tmp_path):
+    """END-TO-END block-DP: compress_se over the 8-device mesh must produce
+    the same block payloads as -t 1 on one device, and decode back
+    bit-exact (the reference's block-worker scaling, SURVEY.md §2.3,
+    delivered as archive production, not a bare kernel)."""
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    from fastqueeze_tpu.pipeline.driver import compress_se, decompress
+
+    rng = np.random.default_rng(7)
+    raw = _mk_fastq(rng, 600)
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    small = dict(slevel=0, lanes_min=16, lanes_max=32,
+                 lane_target_symbols=512, block_bytes=32768)
+    s1 = compress_se(CodecParams(**small, threads=1),
+                     str(src), str(tmp_path / "a1.fqz"))
+    s8 = compress_se(CodecParams(**small, mesh_n=8),
+                     str(src), str(tmp_path / "a8.fqz"))
+    assert s1["blocks"] == s8["blocks"] > 2
+    with ArcReader(str(tmp_path / "a1.fqz")) as r1, \
+            ArcReader(str(tmp_path / "a8.fqz")) as r8:
+        assert len(r1.blocks) == len(r8.blocks)
+        for i in range(len(r1.blocks)):
+            assert r1.read_block(i) == r8.read_block(i), f"block {i}"
+    outs = decompress(str(tmp_path / "a8.fqz"), str(tmp_path / "back"),
+                      force=True)   # inherits mesh_n=8 from the archive
+    assert open(outs[0], "rb").read() == raw
+
+
+def test_mesh_pe_archive_bit_identical(tmp_path):
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    from fastqueeze_tpu.pipeline.pe import compress_pe
+
+    rng = np.random.default_rng(8)
+    raw1, raw2 = _mk_fastq(rng, 300), _mk_fastq(rng, 300)
+    (tmp_path / "in1.fq").write_bytes(raw1)
+    (tmp_path / "in2.fq").write_bytes(raw2)
+    small = dict(slevel=0, lanes_min=16, lanes_max=32,
+                 lane_target_symbols=512, block_bytes=32768)
+    s1 = compress_pe(CodecParams(**small, threads=1), str(tmp_path / "in1.fq"),
+                     str(tmp_path / "in2.fq"), str(tmp_path / "p1.fqz"))
+    s4 = compress_pe(CodecParams(**small, mesh_n=4), str(tmp_path / "in1.fq"),
+                     str(tmp_path / "in2.fq"), str(tmp_path / "p4.fqz"))
+    assert s1["blocks"] == s4["blocks"] > 1
+    with ArcReader(str(tmp_path / "p1.fqz")) as r1, \
+            ArcReader(str(tmp_path / "p4.fqz")) as r4:
+        for i in range(len(r1.blocks)):
+            assert r1.read_block(i) == r4.read_block(i), f"block {i}"
+    from fastqueeze_tpu.pipeline.driver import decompress
+    outs = decompress(str(tmp_path / "p4.fqz"), str(tmp_path / "back"),
+                      force=True)
+    assert open(outs[0], "rb").read() == raw1
+    assert open(outs[1], "rb").read() == raw2
+
+
 def test_sharded_training_matches_single_device():
     """The mesh-trained frozen table must equal the single-device one."""
     import jax.numpy as jnp
@@ -45,6 +113,45 @@ def test_sharded_training_matches_single_device():
         {"pos": jnp.asarray(pos.reshape(B * T, L)),
          "start": jnp.asarray(pos.reshape(B * T, L) == 0)})
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+
+
+def test_ctx_sharded_frozen_decode_matches_replicated():
+    """Frozen decode fed from ctx-SHARDED tables (TP analogue for models
+    too big for one chip's HBM) must walk bit-identically to the
+    replicated engine._decode_frozen.  The decode kernel is a
+    deterministic function of (table, states, words), so equality on
+    random word streams proves the sharded search + psum combine exact."""
+    import jax.numpy as jnp
+
+    from fastqueeze_tpu.config import RANS_L
+    from fastqueeze_tpu.parallel.mesh import decode_blocks_frozen_sharded
+
+    model = QualModel(alphabet=40, init=1, inc=8, cap=8192, qlevel=2)
+    B, T, L, W = 4, 64, 32, 2048
+    rng = np.random.default_rng(33)
+    # a trained-looking table: skewed random counts
+    counts0 = (rng.integers(1, 50, (model.n_ctx, model.alphabet)) ** 2
+               ).astype(np.int32)
+    syms, valid, pos = graft._example_grids(B=B, T=T, L=L,
+                                            qmax=model.alphabet - 1)
+    states = rng.integers(RANS_L, 1 << 31, (B, L)).astype(np.uint32)
+    words = rng.integers(0, 1 << 16, (B, W)).astype(np.uint16)
+
+    mesh = make_mesh(8, ctx_shards=4)
+    s_syms, s_x = decode_blocks_frozen_sharded(
+        mesh, model, jnp.asarray(counts0), jnp.asarray(states),
+        jnp.asarray(words), jnp.asarray(valid), jnp.asarray(pos))
+
+    for b in range(B):
+        aux = {"pos": jnp.asarray(pos[b]),
+               "start": jnp.asarray(pos[b] == 0)}
+        r_syms, r_x = engine._decode_frozen(
+            model, jnp.asarray(counts0), model.lane_init(L),
+            jnp.asarray(states[b]), jnp.asarray(words[b]),
+            jnp.asarray(valid[b]), aux)
+        np.testing.assert_array_equal(np.asarray(s_syms[b]),
+                                      np.asarray(r_syms))
+        np.testing.assert_array_equal(np.asarray(s_x[b]), np.asarray(r_x))
 
 
 def test_index_sharded_alignment_matches_local():
