@@ -55,6 +55,15 @@ class AlignConfig:
     l1_shift: int = -1   # >= 0: first-level bucket table is present
     search_steps: int = 16   # binary-search steps within a bucket
     wide: bool = False   # k > 15: 2k-bit keys as (hi, lo30) u32 pairs
+    strand: str = "both"     # "fwd" / "rc": single-strand pass (the host
+                             # tiers forward first and runs RC only on the
+                             # reads forward failed — RC is a *fallback* in
+                             # the reference, so a forward-mapped read
+                             # never pays the RC lookup+verify)
+    probe_k: int = 1024      # two-probe-word prefilter keeps the top-K
+                             # candidates for full verify when the list is
+                             # > 2K deep (tier-2 rescue); tier 1 sets a
+                             # small K to halve its verify gathers
     shard_axis: str = ""     # non-empty: keys/offsets/positions are key-
                              # range shards over this mesh axis; lookups
                              # combine with pmin/pmax collectives and each
@@ -71,6 +80,14 @@ class AlignResult(NamedTuple):
     pos: np.ndarray       # (R,) int64 window start in ref coords
     is_rev: np.ndarray    # (R,) bool
     mis_mask: np.ndarray  # (R, Lp) bool, True at mismatch (window coords)
+    # one-indel alignments (reference CigaL/CigaV parity, the BWA path's
+    # indel capability, SURVEY.md §2.1): split position s and signed gap g.
+    # g > 0: read skips g ref bases at s (deletion in the read); g < 0:
+    # |g| read bases at s are insertions (coded as literal patches).  The
+    # spliced window is read-length long: ref[pos+i] for i<s, then
+    # ref[pos+g+i] (filler 0 under insertions).  None = all gapless.
+    gap_pos: np.ndarray = None   # (R,) int32 split s (0 where gapless)
+    gap_len: np.ndarray = None   # (R,) int32 signed gap g (0 = gapless)
 
 
 def config_from_params(p: CodecParams, lp: int) -> AlignConfig:
@@ -358,8 +375,8 @@ def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, l1,
     # any kept candidate within the cap is a valid mapping for coding.
     rw, mw = _pack_words(codes, base_valid, Lp)
     cand = cand.astype(jnp.uint32)   # frame math wants unsigned phases
-    K = 1024
-    if cand.shape[1] > 2 * K and cfg.n_words > 3:
+    K = cfg.probe_k
+    if K > 0 and cand.shape[1] > 2 * K and cfg.n_words > 3:
         wm = cfg.n_words // 2
         # probes at frame words 1 and wm: both fully inside the read for
         # any phase (word 0 straddles the window start), spread apart so
@@ -386,29 +403,47 @@ def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, l1,
     valid = pos_i < lengths[:, None]
     has_dege = (dege & valid).any(axis=1)
 
-    mis_f, pos_f = _one_strand(cfg, keys, offsets, positions, packed, l1,
-                               ref_len, codes, dege, lengths)
+    if cfg.strand != "rc":
+        mis_f, pos_f = _one_strand(cfg, keys, offsets, positions, packed,
+                                   l1, ref_len, codes, dege, lengths)
 
-    # reverse complement grid (per read: base i <- 3 - codes[len-1-i])
-    ridx = jnp.clip(lengths[:, None] - 1 - pos_i, 0, Lp - 1)
-    rc = jnp.where(valid, 3 - jnp.take_along_axis(codes.astype(jnp.int32),
-                                                  ridx, axis=1), 0)
-    rc = rc.astype(jnp.uint8)
-    rdege = jnp.where(valid, jnp.take_along_axis(
-        dege.astype(jnp.int32), ridx, axis=1), 0).astype(bool)
-    mis_r, pos_r = _one_strand(cfg, keys, offsets, positions, packed, l1,
-                               ref_len, rc, rdege, lengths)
+    if cfg.strand != "fwd":
+        # reverse complement grid (per read: base i <- 3 - codes[len-1-i])
+        ridx = jnp.clip(lengths[:, None] - 1 - pos_i, 0, Lp - 1)
+        rc = jnp.where(valid,
+                       3 - jnp.take_along_axis(codes.astype(jnp.int32),
+                                               ridx, axis=1), 0)
+        rc = rc.astype(jnp.uint8)
+        rdege = jnp.where(valid, jnp.take_along_axis(
+            dege.astype(jnp.int32), ridx, axis=1), 0).astype(bool)
+        mis_r, pos_r = _one_strand(cfg, keys, offsets, positions, packed,
+                                   l1, ref_len, rc, rdege, lengths)
 
-    if cfg.both_strands:
+    if cfg.strand == "fwd":
+        use_rev = jnp.zeros(codes.shape[0], bool)
+        mis, pos = mis_f, pos_f
+    elif cfg.strand == "rc":
+        # only reads whose forward pass failed reach this kernel, so an
+        # RC hit is by construction the fallback acceptance
+        use_rev = mis_r <= cfg.max_mis
+        mis, pos = mis_r, pos_r
+    elif cfg.both_strands:
         use_rev = mis_r < mis_f
+        mis = jnp.where(use_rev, mis_r, mis_f)
+        pos = jnp.where(use_rev, pos_r, pos_f)
     else:  # RC only as fallback (reference default, SURVEY.md §2.2)
         use_rev = mis_f > cfg.max_mis
-    mis = jnp.where(use_rev, mis_r, mis_f)
-    pos = jnp.where(use_rev, pos_r, pos_f)
+        mis = jnp.where(use_rev, mis_r, mis_f)
+        pos = jnp.where(use_rev, pos_r, pos_f)
     mapped = (mis <= cfg.max_mis) & ~has_dege & (lengths >= cfg.k)
 
     # per-base mismatch mask (window coords) for the accepted alignment
-    eff = jnp.where(use_rev[:, None], rc, codes)
+    if cfg.strand == "fwd":
+        eff = codes
+    elif cfg.strand == "rc":
+        eff = rc
+    else:
+        eff = jnp.where(use_rev[:, None], rc, codes)
     # uint32 window arithmetic: pos is int32 (local index) or uint32
     # (sharded index, refs up to 4 G positions)
     refc = _ref_base_at(packed,
@@ -416,6 +451,134 @@ def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, l1,
                         + pos_i.astype(jnp.uint32))
     mis_mask = (eff != refc) & valid & mapped[:, None]
     return mapped, pos, use_rev & mapped, mis_mask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "G"))
+def _indel_batch(cfg: AlignConfig, G: int, keys, offsets, positions, packed,
+                 l1, ref_len, codes, dege, lengths):
+    """One-indel rescue for reads the gapless tiers failed (the BWA path's
+    indel capability, reference compressAlignInfo_CigaL/CigaV +
+    decomposeAlignInfo @0x433860, SURVEY.md §2.1, recast TPU-first).
+
+    Per strand: take the best *gapless* candidate from the seed search,
+    build per-base compare vectors against the reference at shifts
+    -G..+G (2G+1 gathers of the window), and score every split s x gap g
+    by exclusive-cumsum algebra — prefix mismatches at one shift + suffix
+    mismatches at another + literal cost of inserted bases (compared to
+    the filler base 0 so they ride the existing mismatch-patch streams).
+    Two anchorings are evaluated from the same compare tensors: seed hit
+    in the prefix piece (suffix shifted by g) and seed hit in the suffix
+    piece (prefix shifted; output pos = cand+g, gap -g).  All variants are
+    (B, L+1) elementwise mins — no extra gathers beyond the 2G+1 windows.
+
+    Returns (found, pos, split, gap, use_rev, mis_mask); mis_mask is in
+    spliced-window coords so the downstream patch streams are unchanged.
+    """
+    B, Lp = codes.shape
+    pos_i = jnp.arange(Lp, dtype=jnp.int32)[None, :]
+    valid = pos_i < lengths[:, None]
+    has_dege = (dege & valid).any(axis=1)
+    s_grid = jnp.arange(Lp + 1, dtype=jnp.int32)[None, :]
+
+    def exc(x):
+        # exclusive cumsum along the read: col s = mismatches among i < s
+        return jnp.pad(jnp.cumsum(x.astype(jnp.int32), axis=1),
+                       ((0, 0), (1, 0)))
+
+    def strand_eval(c, d):
+        _, cand = _one_strand(cfg, keys, offsets, positions, packed, l1,
+                              ref_len, c, d, lengths)
+        posi = cand.astype(jnp.int32)
+        ok_b = (posi >= 2 * G) & (posi + lengths.astype(jnp.int32)
+                                  + 2 * G <= ref_len)
+        cmp = []
+        for g in range(-G, G + 1):
+            idx = posi[:, None] + g + pos_i
+            rb = _ref_base_at(packed, jnp.clip(idx, 0, ref_len - 1)
+                              .astype(jnp.uint32))
+            cmp.append((c != rb) & valid)
+        E = [exc(x) for x in cmp]
+        F = exc((c != 0) & valid)              # literal-vs-filler cost
+        E0 = E[G]
+        T = [e[:, -1:] for e in E]
+
+        tot_b = jnp.full((B,), _BIG, jnp.int32)
+        s_b = jnp.zeros((B,), jnp.int32)
+        g_b = jnp.zeros((B,), jnp.int32)      # output gap
+        po_b = posi
+        pg_b = jnp.zeros((B,), jnp.int32)     # prefix shift index (g+G)
+        sg_b = jnp.zeros((B,), jnp.int32)     # suffix shift index (g+G)
+
+        def consider(tot_s, ok_s, g_out, d_pos, pg, sg):
+            nonlocal tot_b, s_b, g_b, po_b, pg_b, sg_b
+            tot_s = jnp.where(ok_s, tot_s, _BIG)
+            sb = jnp.argmin(tot_s, axis=1).astype(jnp.int32)
+            tb = jnp.take_along_axis(tot_s, sb[:, None], axis=1)[:, 0]
+            better = tb < tot_b
+            tot_b = jnp.where(better, tb, tot_b)
+            s_b = jnp.where(better, sb, s_b)
+            g_b = jnp.where(better, g_out, g_b)
+            po_b = jnp.where(better, posi + d_pos, po_b)
+            pg_b = jnp.where(better, pg + G, pg_b)
+            sg_b = jnp.where(better, sg + G, sg_b)
+
+        len1 = lengths.astype(jnp.int32)[:, None]
+        for g in range(-G, G + 1):
+            if g == 0:
+                continue
+            Eg, Tg = E[g + G], T[g + G]
+            h = abs(g)
+            pad = ((0, 0), (0, h))
+            if g > 0:
+                # A: seed in prefix, read DELETES g ref bases at s
+                consider(E0 + (Tg - Eg), s_grid <= len1, g, 0, 0, g)
+                # B: seed in suffix, output gap -g = insertion of g bases
+                tot = (Eg[:, :Lp + 1 - h] + (F[:, h:] - F[:, :Lp + 1 - h])
+                       + (T[G] - E0[:, h:]))
+                consider(jnp.pad(tot, pad, constant_values=1 << 28),
+                         s_grid <= len1 - h, -g, g, g, 0)
+            else:
+                # A: seed in prefix, read INSERTS h bases at s
+                tot = (E0[:, :Lp + 1 - h] + (F[:, h:] - F[:, :Lp + 1 - h])
+                       + (Tg - Eg[:, h:]))
+                consider(jnp.pad(tot, pad, constant_values=1 << 28),
+                         s_grid <= len1 - h, g, 0, 0, g)
+                # B: seed in suffix, output gap -g = deletion of h bases
+                consider(Eg + (T[G] - E0), s_grid <= len1, -g, g, g, 0)
+
+        tot_b = jnp.where(ok_b, tot_b, _BIG)
+        # chosen-variant mismatch mask in spliced-window (== read) coords
+        cmp_st = jnp.stack(cmp, axis=1)                    # (B, 2G+1, Lp)
+        pre = jnp.take_along_axis(cmp_st, pg_b[:, None, None],
+                                  axis=1)[:, 0]
+        suf = jnp.take_along_axis(cmp_st, sg_b[:, None, None],
+                                  axis=1)[:, 0]
+        lit = (c != 0) & valid
+        h_b = jnp.maximum(-g_b, 0)[:, None]
+        mask = jnp.where(pos_i < s_b[:, None], pre,
+                         jnp.where(pos_i < s_b[:, None] + h_b,
+                                   jnp.where(h_b > 0, lit, suf), suf))
+        return tot_b, s_b, g_b, po_b, mask & valid
+
+    tot_f, s_f, g_f, po_f, mk_f = strand_eval(codes, dege)
+
+    ridx = jnp.clip(lengths[:, None] - 1 - pos_i, 0, Lp - 1)
+    rc = jnp.where(valid, 3 - jnp.take_along_axis(codes.astype(jnp.int32),
+                                                  ridx, axis=1), 0)
+    rc = rc.astype(jnp.uint8)
+    rdege = jnp.where(valid, jnp.take_along_axis(
+        dege.astype(jnp.int32), ridx, axis=1), 0).astype(bool)
+    tot_r, s_r, g_r, po_r, mk_r = strand_eval(rc, rdege)
+
+    use_rev = tot_r < tot_f
+    tot = jnp.where(use_rev, tot_r, tot_f)
+    found = (tot <= cfg.max_mis) & ~has_dege & (lengths >= cfg.k)
+    return (found,
+            jnp.where(use_rev, po_r, po_f),
+            jnp.where(use_rev, s_r, s_f),
+            jnp.where(use_rev, g_r, g_f),
+            use_rev & found,
+            jnp.where(use_rev[:, None], mk_r, mk_f))
 
 
 def _intra(lengths: np.ndarray) -> np.ndarray:
@@ -593,7 +756,8 @@ class Aligner:
                           n_cand=p.seed_max_occ, max_mis=p.max_mis,
                           both_strands=p.both_strands, lp=lp,
                           l1_shift=self._l1_shift,
-                          search_steps=self._search_steps, wide=self.wide)
+                          search_steps=self._search_steps, wide=self.wide,
+                          probe_k=p.seed_probe_k)
 
         codes, dege = _gridify(codes_flat, dege_flat, lengths, lp)
 
@@ -602,9 +766,24 @@ class Aligner:
         is_rev = np.zeros(R, bool)
         mis_mask = np.zeros((R, lp), bool)
 
-        # tier 1: cheap pass, first seed_max_occ candidates, all reads
-        self._run_tier(cfg, codes, dege, lengths, np.arange(R),
-                       mapped, pos, is_rev, mis_mask, self.BATCH)
+        # tier 1: cheap pass, first seed_max_occ candidates.  With RC as
+        # fallback (the reference default) the forward strand runs alone
+        # over every read and the RC lookup+verify only over the reads
+        # forward failed (~25-40%) — the reference pays the same split
+        # serially per read; here it is two batched passes.
+        import dataclasses
+        if p.both_strands:
+            self._run_tier(cfg, codes, dege, lengths, np.arange(R),
+                           mapped, pos, is_rev, mis_mask, self.BATCH)
+        else:
+            self._run_tier(dataclasses.replace(cfg, strand="fwd"),
+                           codes, dege, lengths, np.arange(R),
+                           mapped, pos, is_rev, mis_mask, self.BATCH)
+            todo_rc = np.flatnonzero(~mapped & (lengths >= self.k))
+            if len(todo_rc):
+                self._run_tier(dataclasses.replace(cfg, strand="rc"),
+                               codes, dege, lengths, todo_rc,
+                               mapped, pos, is_rev, mis_mask, self.BATCH)
 
         # tier 2 (beyond reference parity: findHashSeeds checks only the
         # single least-frequent seed's occurrences @0x4108d0, which fails
@@ -629,7 +808,49 @@ class Aligner:
                                    wide=self.wide)
                 self._run_tier(cfg2, codes, dege, lengths, todo,
                                mapped, pos, is_rev, mis_mask, 512)
-        return AlignResult(mapped, pos, is_rev, mis_mask)
+
+        gap_pos = gap_len = None
+        if p.max_indel > 0:
+            # tier 3: one-indel rescue for still-unmapped reads (the -q
+            # mode's CigaL/CigaV capability)
+            gap_pos = np.zeros(R, np.int32)
+            gap_len = np.zeros(R, np.int32)
+            todo = np.flatnonzero(~mapped & (lengths >= self.k))
+            if len(todo):
+                cfg3 = AlignConfig(k=self.k, stride=p.seed_stride,
+                                   n_cand=big, max_mis=p.max_mis,
+                                   both_strands=p.both_strands, lp=lp,
+                                   n_seeds=p.rescue_seeds,
+                                   excl_bp=p.seed_excl_bp,
+                                   l1_shift=self._l1_shift,
+                                   search_steps=self._search_steps,
+                                   wide=self.wide)
+                arrs = self._arrays()
+                jobs = []
+                B = 512
+                for s in range(0, len(todo), B):
+                    sel = todo[s:s + B]
+                    n = len(sel)
+                    cb = np.zeros((B, lp), np.uint8)
+                    db = np.zeros((B, lp), bool)
+                    lb = np.zeros(B, np.int32)
+                    cb[:n], db[:n] = codes[sel], dege[sel]
+                    lb[:n] = lengths[sel]
+                    out = _indel_batch(cfg3, p.max_indel, *arrs,
+                                       jnp.int32(self.ref_len),
+                                       jnp.asarray(cb), jnp.asarray(db),
+                                       jnp.asarray(lb))
+                    jobs.append((sel, n, out))
+                for sel, n, (f, p_, s_, g_, r, mm) in jobs:
+                    f = np.asarray(f)[:n]
+                    upd = sel[f]
+                    mapped[upd] = True
+                    pos[upd] = np.asarray(p_)[:n][f]
+                    gap_pos[upd] = np.asarray(s_)[:n][f]
+                    gap_len[upd] = np.asarray(g_)[:n][f]
+                    is_rev[upd] = np.asarray(r)[:n][f]
+                    mis_mask[upd] = np.asarray(mm)[:n][f]
+        return AlignResult(mapped, pos, is_rev, mis_mask, gap_pos, gap_len)
 
     def rescue_mates(self, codes_flat: np.ndarray, dege_flat: np.ndarray,
                      lengths: np.ndarray, res: AlignResult,
@@ -680,7 +901,9 @@ class Aligner:
             pos[upd] = np.asarray(p_)[:n][m]
             is_rev[upd] = np.asarray(r)[:n][m]
             mis_mask[upd] = np.asarray(mm)[:n][m]
-        return AlignResult(mapped, pos, is_rev, mis_mask)
+        # window-rescued reads are gapless; existing gap fields carry over
+        return AlignResult(mapped, pos, is_rev, mis_mask,
+                           res.gap_pos, res.gap_len)
 
     def _run_tier(self, cfg: AlignConfig, codes, dege, lengths, rows,
                   mapped, pos, is_rev, mis_mask, batch: int) -> None:

@@ -164,8 +164,11 @@ def main(argv=None) -> int:
                     ("mesh_n", args.mesh)):
                 if val is not None:    # explicit CLI flag beats config file
                     setattr(p, attr, val)
-            if args.bwa and p.seed_len <= 15:
-                p.seed_len = 22        # -q: long-seed backend
+            if args.bwa:
+                if p.seed_len <= 15:
+                    p.seed_len = 22    # -q: long-seed backend
+                if p.max_indel == 0:
+                    p.max_indel = 3    # -q: indel-capable (BWA-path parity)
             if args.shm:
                 p.shm_index = 1
             if args.multi:

@@ -78,6 +78,17 @@ class CodecParams:
     seed_excl_bp: int = 7           # tier-2: +-bp masked around each pick
     seed_drop_occ: int = 65536      # build-time drop: hyper-repetitive seeds
     seed_stride: int = 2            # sample read seeds every N bp
+    seed_probe_k: int = 16          # tier-1 probe prefilter: full-verify
+                                    # only the K best candidates by 2-word
+                                    # probe mismatches (0 = verify all;
+                                    # decode never re-aligns, so this only
+                                    # trades encode speed vs map rate —
+                                    # measured no map-count change at 16 on
+                                    # the bundled telomeric data)
+    max_indel: int = 0              # one-indel rescue tier: max gap size in
+                                    # bp (0 = gapless only, the hash-path
+                                    # default; -q enables 3 — the BWA
+                                    # path's CigaL/CigaV capability)
     align_max_len: int = 2048       # reads longer than this skip alignment
                                     # (short-read gapless aligner; longer
                                     # reads code entropy-only, no lp-bucket
@@ -162,6 +173,7 @@ class CodecParams:
         "Maxmis": "max_mis",
         "Bothstrands": "both_strands",
         "Maxinsr": "max_insr",
+        "Maxindel": "max_indel",
         "Threads": "threads",
         "Mesh": "mesh_n",
         "SeedMaxOcc": "seed_max_occ",

@@ -52,6 +52,9 @@ TAG_AMISP = 18    # mapped: mismatch positions (window coords, delta)
 TAG_AMISB = 19    # mapped: substituted bases (2-bit), ctx = ref base
 TAG_APDF = 20     # PE -I: delta-coded flag per eligible mate-2
 TAG_APD = 21      # PE -I: zigzag insert deltas for flagged mate-2s
+TAG_ACIGF = 22    # mapped: has-indel flag (reference CigaL/CigaV parity)
+TAG_ACIGS = 23    # indel reads: split position s in the read
+TAG_ACIGL = 24    # indel reads: zigzag signed gap size g
 
 _VAR_CHUNK = 256  # var byte streams are cut into pseudo-reads for lane ||ism
 
@@ -501,13 +504,32 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
     first[1:] = rows[1:] != rows[:-1]
     deltas = np.where(first, cols, cols - prev)
 
+    # one-indel cigar streams (reference compressAlignInfo_CigaL/CigaV,
+    # SURVEY.md §2.1): split s + signed gap g per flagged read; mismatch
+    # positions/chars stay in spliced-window coords so those streams are
+    # untouched
+    g_m = s_m = None
+    if align.gap_len is not None:
+        g_all = align.gap_len[mapped].astype(np.int64)
+        if (g_all != 0).any():
+            g_m = g_all
+            s_m = align.gap_pos[mapped].astype(np.int64)
+
     # substituted base = effective-strand read base at the window col;
-    # context = the reference base it replaced
+    # context = the spliced reference base it replaced (filler 0 under
+    # insertions — mirrors the decode-side window build exactly)
     moffs = (np.cumsum(lengths) - lengths)[mapped]
     eff_col = np.where(rev[rows], mlens[rows] - 1 - cols, cols)
     read_base = _BASE_MAP[block.seq_flat[moffs[rows] + eff_col]]
     sub_base = np.where(rev[rows], 3 - read_base, read_base).astype(np.uint8)
-    ref_base = ref_codes[pos[rows] + cols]
+    if g_m is None:
+        ref_base = ref_codes[pos[rows] + cols]
+    else:
+        shift = np.where(cols >= s_m[rows], g_m[rows], 0)
+        ridx = np.clip(pos[rows] + cols + shift, 0, ref_codes.size - 1)
+        ins = ((g_m[rows] < 0) & (cols >= s_m[rows])
+               & (cols < s_m[rows] - g_m[rows]))
+        ref_base = np.where(ins, 0, ref_codes[ridx])
 
     sections = pe_sections + [
         (TAG_APOS, _code_le(p, pos[abs_mask_m], posb)),
@@ -519,6 +541,13 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
         sections.append((TAG_AMISP, _code_le(p, deltas, mposb)))
         sections.append((TAG_AMISB, _code_syms_ctx(
             p, sub_base, ref_base.astype(np.uint8), 4, 4)))
+    if g_m is not None:
+        has = g_m != 0
+        meta["nidl"] = int(has.sum())
+        sections.append((TAG_ACIGF, _code_flags(p, has)))
+        sections.append((TAG_ACIGS, _code_le(p, s_m[has], mposb)))
+        zz = np.where(g_m[has] >= 0, 2 * g_m[has], -2 * g_m[has] - 1)
+        sections.append((TAG_ACIGL, _code_le(p, zz, 1)))
     return sections
 
 
@@ -679,7 +708,27 @@ def _decode_align_streams(p: CodecParams, sections: Dict, meta: Dict,
     win_off = np.cumsum(mlens) - mlens
     sym_read = np.repeat(np.arange(M), mlens)
     intra = np.arange(total, dtype=np.int64) - np.repeat(win_off, mlens)
-    win = ref_codes[np.repeat(pos, mlens) + intra].copy()
+    if TAG_ACIGF in sections:
+        # one-indel reads: spliced window — ref[pos+i] for i < s, then
+        # ref[pos+g+i]; filler 0 over inserted read bases (their actual
+        # values arrive through the ordinary mismatch patches)
+        g_r = np.zeros(M, np.int64)
+        s_r = np.zeros(M, np.int64)
+        has = _decode_flags(p, sections[TAG_ACIGF], M)
+        nidl = int(has.sum())
+        if nidl:
+            s_r[has] = _decode_le(p, sections[TAG_ACIGS], nidl, mposb)
+            zz = _decode_le(p, sections[TAG_ACIGL], nidl, 1)
+            g_r[has] = np.where(zz % 2 == 0, zz // 2, -((zz + 1) // 2))
+        g_sym, s_sym = g_r[sym_read], s_r[sym_read]
+        shift = np.where(intra >= s_sym, g_sym, 0)
+        widx = np.clip(np.repeat(pos, mlens) + intra + shift, 0,
+                       ref_codes.size - 1)
+        win = ref_codes[widx].copy()
+        win[(g_sym < 0) & (intra >= s_sym)
+            & (intra < s_sym - g_sym)] = 0
+    else:
+        win = ref_codes[np.repeat(pos, mlens) + intra].copy()
 
     if n_mis:
         deltas = _decode_le(p, sections[TAG_AMISP], n_mis, mposb)

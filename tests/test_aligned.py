@@ -294,3 +294,92 @@ def test_pe_mate_window_rescue(ref_env, tmp_path):
     win[res2.mis_mask[1, :L]] = eff[res2.mis_mask[1, :L]]
     out = (3 - win[::-1]) if res2.is_rev[1] else win
     assert np.array_equal(out, m2)
+
+
+def _indel_reads(rng, ref_codes, n, L=60, G=3):
+    """Reads carrying one 1..G bp indel vs the reference (+ 0-2 extra
+    mismatches), alternating deletions/insertions/strands."""
+    recs = []
+    truth = []
+    for i in range(n):
+        g = int(rng.integers(1, G + 1)) * (1 if i % 2 == 0 else -1)
+        s = int(rng.integers(L // 4, 3 * L // 4))
+        start = int(rng.integers(G, len(ref_codes) - L - 2 * G))
+        if g > 0:       # read skips g ref bases at s
+            seq = np.concatenate([ref_codes[start:start + s],
+                                  ref_codes[start + s + g:start + L + g]])
+        else:           # |g| inserted read bases at s
+            ins = rng.integers(0, 4, -g).astype(np.uint8)
+            seq = np.concatenate([ref_codes[start:start + s], ins,
+                                  ref_codes[start + s:start + L + g]])
+        seq = seq.copy()
+        mp = rng.choice(L, rng.integers(0, 2), replace=False)
+        seq[mp] = (seq[mp] + 1) % 4
+        if i % 3 == 0:
+            seq = 3 - seq[::-1]
+        txt = "".join("ACGT"[c] for c in seq)
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(2, 40, L))
+        recs.append(f"@idl.{i} {i} length={L}\n{txt}\n+\n{qual}\n")
+        truth.append((start, s, g))
+    return "".join(recs).encode(), truth
+
+
+def test_indel_tier_maps_gapped_reads(ref_env):
+    """Reads with a 1-3 bp indel fail the gapless tiers but map through
+    the one-indel rescue (reference CigaL/CigaV capability, -q mode)."""
+    fa, ref_codes, rng = ref_env
+    p = CodecParams(**SMALL, max_indel=3)
+    idx = build_from_ref(load_fasta(fa), p)
+    al = Aligner(idx, p)
+    raw, truth = _indel_reads(rng, ref_codes, 24)
+    from fastqueeze_tpu.io.fastq import parse_block
+    from fastqueeze_tpu.pipeline.blockcodec import _BASE_MAP
+    blk = parse_block(raw, True)
+    codes = _BASE_MAP[blk.seq_flat].copy()
+    dege = codes == 255
+    codes[dege] = 0
+    # gapless-only: these reads don't map
+    p0 = CodecParams(**SMALL)
+    res0 = Aligner(idx, p0).align(codes, dege, blk.lengths)
+    assert int(res0.mapped.sum()) <= 4
+    res = al.align(codes, dege, blk.lengths)
+    n_idl = int((res.gap_len[res.mapped] != 0).sum())
+    assert int(res.mapped.sum()) >= 18
+    assert n_idl >= 16
+
+    # exactness: spliced window + patches reconstructs every mapped read
+    off = np.cumsum(blk.lengths) - blk.lengths
+    for r in np.flatnonzero(res.mapped):
+        L = int(blk.lengths[r])
+        s, g, pos = int(res.gap_pos[r]), int(res.gap_len[r]), int(res.pos[r])
+        i = np.arange(L)
+        widx = pos + i + np.where(i >= s, g, 0)
+        win = ref_codes[np.clip(widx, 0, len(ref_codes) - 1)].copy()
+        if g < 0:
+            win[(i >= s) & (i < s - g)] = 0
+        mm = res.mis_mask[r, :L]
+        read = codes[off[r]:off[r] + L]
+        eff = (3 - read[::-1]) if res.is_rev[r] else read
+        win[mm] = eff[mm]
+        out = (3 - win[::-1]) if res.is_rev[r] else win
+        assert np.array_equal(out, read), f"read {r} splice mismatch"
+
+
+def test_indel_aligned_se_roundtrip(ref_env, tmp_path):
+    """End-to-end: an indel-bearing FASTQ round-trips bit-exact through
+    the aligned pipeline with the cigar streams, and maps enough to beat
+    the entropy-only fallback gate."""
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    from fastqueeze_tpu.pipeline.driver import decompress
+    fa, ref_codes, rng = ref_env
+    raw_i, _ = _indel_reads(rng, ref_codes, 40)
+    raw_g = _mk_fastq_from_ref(rng, ref_codes, 40)
+    raw = raw_i + raw_g
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    p = CodecParams(**SMALL, max_indel=3)
+    arc = str(tmp_path / "out.fqz")
+    stats = compress_se_aligned(p, fa, str(src), arc)
+    assert stats["mapped"] >= 60
+    outs = decompress(arc, str(tmp_path / "back"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw
