@@ -1,11 +1,13 @@
 """Mesh scaling-efficiency benchmark (BASELINE.md target: >= 80 % reads/s
 scaling efficiency from 1 device to N, block-data-parallel).
 
-Runs the block-DP frozen encode step (parallel/mesh.py
-encode_blocks_sharded — the same kernel the production pipeline
-dispatches per block) over meshes of 1, 2, 4, ... N devices with one
-block per device (weak scaling), and reports throughput and efficiency
-(throughput_N / (N * throughput_1)).
+Measures the FULL archive-production path — `driver.compress_se` with
+`mesh_n=N` (the real --mesh N code path: host parse, per-device frozen
+replicas, stream coding, transfers, container writes) — over meshes of
+1, 2, 4, ... N devices with one 1 MB block per device (weak scaling), and
+reports reads/s and efficiency (reads_per_s_N / (N * reads_per_s_1)).
+A second kernel-only series (encode_blocks_sharded) isolates the
+device-compute scaling from the host pipeline.
 
 On real multi-chip hardware this measures ICI-coupled scaling.  On this
 box only one tunneled chip exists, so the default run uses the 8-virtual-
@@ -13,7 +15,7 @@ device CPU mesh (JAX_PLATFORMS=cpu, xla_force_host_platform_device_count)
 — all virtual devices share one physical core, so *wall-clock* efficiency
 is bounded by 1/N there; the per-device work constancy check and the
 payload-equality invariant (tests/test_mesh.py) are what the CPU run
-validates.  Point it at a real slice for true numbers.
+validates.  Point it at a real slice (--real) for true numbers.
 
 Prints one JSON line.
 """
@@ -23,7 +25,34 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
+
+
+def _bench_archive(n: int, src: str, n_reads_per_block: int) -> dict:
+    """Time compress_se over an n-device mesh; input is n blocks."""
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.pipeline.driver import compress_se
+
+    out = os.path.join(tempfile.mkdtemp(), "out.fqz")
+
+    def run():
+        p = CodecParams(block_bytes=1 << 20,
+                        mesh_n=n if n > 1 else 0,
+                        threads=n)
+        t0 = time.time()
+        stats = compress_se(p, src, out)
+        return time.time() - t0, stats
+
+    run()                                    # warm-up compile
+    best, stats = None, None
+    for _ in range(2):
+        dt, stats = run()
+        best = dt if best is None else min(best, dt)
+    reads = n * n_reads_per_block
+    return {"devices": n, "wall_s": round(best, 4),
+            "reads_per_s": round(reads / best, 1),
+            "blocks": stats["blocks"]}
 
 
 def main() -> None:
@@ -47,15 +76,44 @@ def main() -> None:
     from fastqueeze_tpu.parallel.mesh import encode_blocks_sharded, make_mesh
 
     n_dev = len(jax.devices())
+
+    # --- series 1: full archive production (weak scaling, one 1 MB block
+    #     per device; same synthetic 100 bp reads at every mesh size) ---
+    rng = np.random.default_rng(0)
+    mesh_sizes = []
+    n = 1
+    while n <= n_dev:
+        mesh_sizes.append(n)
+        n *= 2
+    rec = []
+    i = 0
+    # ~1 MB of records per block (big enough to amortize dispatch,
+    # small enough that the 1-vCPU virtual-mesh run finishes in minutes)
+    while sum(len(r) for r in rec) < max(mesh_sizes) * (1 << 20):
+        seq = rng.choice(list(b"ACGT"), size=100).astype(np.uint8)
+        qv = (rng.integers(0, 41, size=100) + 33).astype(np.uint8)
+        rec.append(f"@b.{i}\n{bytes(seq).decode()}\n+\n"
+                   f"{bytes(qv).decode()}\n".encode())
+        i += 1
+    per_block = len(rec) // max(mesh_sizes)
+    tmp = tempfile.mkdtemp()
+    archive = []
+    for n in mesh_sizes:
+        src = os.path.join(tmp, f"in{n}.fq")
+        with open(src, "wb") as fh:
+            fh.write(b"".join(rec[:n * per_block]))
+        archive.append(_bench_archive(n, src, per_block))
+    base = archive[0]["reads_per_s"]
+    for r in archive:
+        r["efficiency"] = round(r["reads_per_s"] / (r["devices"] * base), 3)
+
+    # --- series 2: bare coding kernel (device-compute scaling floor) ---
     model = QualModel(alphabet=40, init=1, inc=8, cap=8192, qlevel=2)
     T, L = 256, 256          # 64k symbols per block
     n_halve = engine._n_halve(model, L)
     counts0 = engine.init_counts(model)
-    rng = np.random.default_rng(0)
-
-    results = []
-    n = 1
-    while n <= n_dev:
+    kernel = []
+    for n in mesh_sizes:
         mesh = make_mesh(n)
         B = n                # one block per device: weak scaling
         syms = jnp.asarray(
@@ -63,15 +121,15 @@ def main() -> None:
         valid = jnp.ones((B, T, L), bool)
         pos = jnp.broadcast_to(
             jnp.arange(T, dtype=jnp.int32)[None, :, None], (B, T, L))
+
         def sync(arr):
             # a host fetch is the only reliable sync: through the axon
             # relay block_until_ready can return before execution
             return float(jnp.sum(arr))
 
-        # warm-up compile
         w, e, x = encode_blocks_sharded(mesh, model, n_halve, counts0,
                                         syms, valid, pos)
-        sync(x)
+        sync(x)              # warm-up compile
         best = None
         for _ in range(3):
             t0 = time.time()
@@ -80,23 +138,22 @@ def main() -> None:
             sync(x)
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
-        sym_s = B * T * L / best
-        results.append({"devices": n, "wall_s": round(best, 4),
-                        "syms_per_s": round(sym_s, 1)})
-        n *= 2
+        kernel.append({"devices": n, "wall_s": round(best, 4),
+                       "syms_per_s": round(B * T * L / best, 1)})
+    kbase = kernel[0]["syms_per_s"]
+    for r in kernel:
+        r["efficiency"] = round(r["syms_per_s"] / (r["devices"] * kbase), 3)
 
-    base = results[0]["syms_per_s"]
-    for r in results:
-        r["efficiency"] = round(r["syms_per_s"] / (r["devices"] * base), 3)
     print(json.dumps({
         "metric": "mesh_block_dp_scaling",
-        "value": results[-1]["efficiency"],
-        "unit": "efficiency_at_max_devices",
+        "value": archive[-1]["efficiency"],
+        "unit": "archive_efficiency_at_max_devices",
         "platform": jax.devices()[0].platform,
         "note": ("virtual CPU devices share one core: wall-clock "
                  "efficiency is bounded by 1/N on this host"
                  if jax.devices()[0].platform == "cpu" else "real mesh"),
-        "points": results,
+        "archive_path": archive,
+        "kernel_only": kernel,
     }))
 
 
