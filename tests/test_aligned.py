@@ -383,3 +383,22 @@ def test_indel_aligned_se_roundtrip(ref_env, tmp_path):
     assert stats["mapped"] >= 60
     outs = decompress(arc, str(tmp_path / "back"), ref=fa, force=True)
     assert open(outs[0], "rb").read() == raw
+
+
+def test_indel_aligned_pe_roundtrip(ref_env, tmp_path):
+    """PE + -q indels: merged mate blocks ride the same cigar streams."""
+    from fastqueeze_tpu.pipeline.aligned import compress_pe_aligned
+    from fastqueeze_tpu.pipeline.driver import decompress
+    fa, ref_codes, rng = ref_env
+    raw1, _ = _indel_reads(rng, ref_codes, 30)
+    raw2 = _mk_fastq_from_ref(rng, ref_codes, 30)
+    (tmp_path / "in1.fq").write_bytes(raw1)
+    (tmp_path / "in2.fq").write_bytes(raw2)
+    p = CodecParams(**SMALL, max_indel=3)
+    arc = str(tmp_path / "out.fqz")
+    stats = compress_pe_aligned(p, fa, str(tmp_path / "in1.fq"),
+                                str(tmp_path / "in2.fq"), arc)
+    assert stats["mapped"] >= 45
+    outs = decompress(arc, str(tmp_path / "back"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw1
+    assert open(outs[1], "rb").read() == raw2

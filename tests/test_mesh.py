@@ -22,7 +22,7 @@ def test_graft_entry_compiles():
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
 
 
-@pytest.mark.parametrize("n", [2, 4, 8])
+@pytest.mark.parametrize("n", [2, 8])   # 2 = minimal mesh edge; 8 = full
 def test_dryrun_multichip(n):
     graft.dryrun_multichip(n)
 
