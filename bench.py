@@ -19,7 +19,37 @@ BASELINE_READS_PER_S = 98_000.0
 TEST_FQ = "/root/reference/test/ERR2755197_test_1.fq"
 
 
+def _device_watchdog(timeout_s: int = 120) -> bool:
+    """True if the default JAX backend answers within timeout_s.
+
+    The axon tunnel can go FULLY dead (jax.devices() hangs forever, not
+    just slowly) — probing in a subprocess is the only way to bound it.
+    Without this, a dead link turns the whole benchmark into a silent
+    hang and the round records nothing."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np\n"
+             "d = jax.devices()\n"
+             "x = jax.device_put(np.ones(1024, np.uint8))\n"
+             "np.asarray(x)\n"
+             "print(d[0].platform)"],
+            capture_output=True, timeout=timeout_s, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _device_watchdog():
+        print(json.dumps({
+            "metric": "se_encode_reads_per_s", "value": 0.0,
+            "unit": "reads_per_s", "vs_baseline": 0.0,
+            "error": "device backend unreachable (axon tunnel dead: "
+                     "jax.devices() did not answer within 120 s)",
+        }))
+        return
     from fastqueeze_tpu.config import CodecParams
     from fastqueeze_tpu.io.fastq import parse_block
     from fastqueeze_tpu.pipeline.blockcodec import encode_block
