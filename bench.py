@@ -42,7 +42,15 @@ def _device_watchdog(timeout_s: int = 120) -> bool:
 
 
 def main() -> None:
-    if not _device_watchdog():
+    # --cpu: validation mode — run the whole bench flow on the CPU backend
+    # with a 1x input (numbers NOT comparable to baseline; exercises every
+    # code path so a bench-script bug can't eat the round's TPU run)
+    cpu_mode = "--cpu" in sys.argv
+    if cpu_mode:
+        os.environ["FASTQUEEZE_NO_COMPILE_CACHE"] = "1"   # host-ISA AOT
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    elif not _device_watchdog():
         print(json.dumps({
             "metric": "se_encode_reads_per_s", "value": 0.0,
             "unit": "reads_per_s", "vs_baseline": 0.0,
@@ -58,7 +66,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="fqzbench")
     src = os.path.join(tmp, "in.fq")
     raw1 = open(TEST_FQ, "rb").read()
-    reps = 10
+    reps = 1 if cpu_mode else 10
     with open(src, "wb") as fh:
         for _ in range(reps):
             fh.write(raw1)
@@ -71,7 +79,7 @@ def main() -> None:
     import jax
     import numpy as np
     probe_host = np.ones(1 << 20, np.uint8)
-    deadline = time.time() + 360
+    deadline = time.time() + (0 if cpu_mode else 360)
     good = 0
     while True:
         dev = jax.device_put(probe_host)

@@ -377,23 +377,36 @@ def compress_multi(params: CodecParams, in_paths: List[str], out_path: str,
         writer.set_model(blob)
     idx = 0
     total_raw = 0
-    md5s = []
-    for fid, path in enumerate(in_paths):
-        whole = hashlib.md5()
-        for raw, final_nl in read_blocks(path, block_size):
-            block = parse_block(raw, final_nl)
-            if params.lossy_factor > 1.0:
-                raw, block = apply_lossy(params, block)
-            whole.update(raw)
-            payload = encode_block(params, block, frozen=frozen)
-            writer.add_block(idx, payload, BlockInfo(
-                payload_len=len(payload), n_reads=block.n_reads,
-                raw_len1=len(raw), md5=hashlib.md5(raw).digest(),
-                file_id=fid))
-            total_raw += len(raw)
-            idx += 1
-        md5s.append(whole.digest())
-    writer.input_md5s = md5s
+    md5s = [hashlib.md5() for _ in in_paths]
+    devices = _block_dp_devices(params)
+
+    def items():
+        for fid, path in enumerate(in_paths):
+            for raw, final_nl in read_blocks(path, block_size):
+                yield fid, raw, final_nl
+
+    def work(i, item):
+        fid, raw, final_nl = item
+        block = parse_block(raw, final_nl)
+        if params.lossy_factor > 1.0:
+            raw, block = apply_lossy(params, block)
+        payload = encode_block(params, block, frozen=frozen)
+        return fid, raw, payload, block.n_reads
+
+    if devices:
+        from fastqueeze_tpu.parallel.mesh import device_cycled
+        work = device_cycled(devices, work)
+    from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
+    for i, (fid, raw, payload, n_reads) in ordered_parallel(
+            items(), work, max(1, params.threads)):
+        md5s[fid].update(raw)       # blocks arrive in order, fids monotone
+        writer.add_block(i, payload, BlockInfo(
+            payload_len=len(payload), n_reads=n_reads,
+            raw_len1=len(raw), md5=hashlib.md5(raw).digest(),
+            file_id=fid))
+        total_raw += len(raw)
+        idx = i + 1
+    writer.input_md5s = [m.digest() for m in md5s]
     writer.finalize()
     out_size = os.path.getsize(out_path)
     return {"blocks": idx, "raw": total_raw, "compressed": out_size,
