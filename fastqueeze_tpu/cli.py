@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "(-1 = all).  Archives are byte-identical to -t 1; on "
                     "decode, 0/unset inherits the encoder's setting "
                     "(clamped to visible devices)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the JAX CPU backend (skip any configured "
+                    "accelerator plugin; useful when the device link is "
+                    "down or for validation runs)")
     ap.add_argument("--stats", action="store_true", help="print debug tables")
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR "
@@ -114,6 +118,12 @@ def _list_archive(path: str) -> None:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        # must land before any jax device query; plain env vars are not
+        # enough when a sitecustomize pre-registers a plugin backend
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     t_start = time.time()
     dbg = DebugInfo()
     prof = None

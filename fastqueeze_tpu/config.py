@@ -59,6 +59,19 @@ class CodecParams:
     qual_cap: int = 8192
     q_drop_init: int = 5            # fqzcomp Σdrops starts at 5
 
+    # --- quality context scheme (TPU engine; no reference equivalent).
+    #     The engine codes dense quality RANKS, so for small trained
+    #     alphabets exact conditioning on the last k ranks beats the
+    #     fqzcomp bit-mash formula.  Chosen data-driven at frozen-train
+    #     time (pipeline/frozen.py _pick_qctx) by comparing trained-table
+    #     NLL + serialized-table size; 0 = fqz formula (always used for
+    #     adaptive/non-usemodel archives). ---
+    qctx_auto: int = 1              # 0 disables the train-time selection
+    qctx_k: int = 0                 # rank-chain order (>=2) or 0 = fqz
+    qctx_base: int = 0              # rank base B the chain is packed in
+    qctx_drop_bits: int = 0         # low bits: min(drops>>3, 2^b - 1)
+    qctx_pos_bits: int = 0          # low bits: min(pos>>4, 2^b - 1)
+
     # --- generic byte / flag models ---
     byte_init: int = 1
     byte_inc: int = 16
@@ -148,6 +161,9 @@ class CodecParams:
         return self.seq_nctx() - 1
 
     def qual_nctx(self) -> int:
+        if self.qctx_k >= 2:
+            return (self.qctx_base ** self.qctx_k
+                    << (self.qctx_drop_bits + self.qctx_pos_bits))
         return (1 << 20) if self.qlevel >= 3 else (1 << 16)
 
     def qual_alphabet(self) -> int:
@@ -182,6 +198,7 @@ class CodecParams:
         "SeedExclBp": "seed_excl_bp",
         "SeedStride": "seed_stride",
         "Usemodel": "use_model",
+        "Qctx": "qctx_auto",
         "ModelTrain(M)": "model_train_mb",
         "HostStreamMax": "host_stream_max",
         "AdaptChunk": "adapt_chunk",

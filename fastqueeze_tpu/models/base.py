@@ -159,41 +159,87 @@ class QualModel(CtxModel):
 
     drops accumulates max(0, q_{i-1} - q_i), starting at q_drop_init per
     read (SURVEY.md §2.1).  n_ctx = 2^16 (qlevel<=2) or 2^20 (qlevel 3).
+
+    Rank-chain scheme (k >= 2, no reference equivalent): the engine codes
+    dense quality RANKS, so for small trained alphabets exact conditioning
+    on the last k ranks beats the fqzcomp bit-mash:
+
+    ctx  = (((q1'*B + q2')*B ... qk') << (drop_bits+pos_bits))
+         | (min(drops >> 3, 2^drop_bits - 1) << pos_bits)
+         | min(pos >> 4, 2^pos_bits - 1)
+
+    with qj' = min(qj, B-1), B = ctx_base (the trained rank alphabet —
+    later blocks may append OOV ranks; conditioning clamps them).
+    n_ctx = B^k << (drop_bits + pos_bits).  Chosen data-driven at
+    frozen-train time (pipeline/frozen.py _pick_qctx), serialized in
+    CodecParams (qctx_*).
     """
 
     qlevel: int = 2
     drop_init: int = 5
+    k: int = 0                      # 0 = fqzcomp formula; >=2 = rank chain
+    ctx_base: int = 0
+    drop_bits: int = 0
+    pos_bits: int = 0
 
     def __post_init__(self):
-        object.__setattr__(self, "n_ctx",
-                           (1 << 20) if self.qlevel >= 3 else (1 << 16))
+        if self.k >= 2:
+            n = self.ctx_base ** self.k << (self.drop_bits + self.pos_bits)
+        else:
+            n = (1 << 20) if self.qlevel >= 3 else (1 << 16)
+        object.__setattr__(self, "n_ctx", n)
 
     def lane_init(self, L: int):
         z = jnp.zeros((L,), jnp.int32)
-        return {"q1": z, "q2": z, "drops": z + self.drop_init}
+        st = {"q1": z, "q2": z, "drops": z + self.drop_init}
+        for j in range(3, self.k + 1):
+            st[f"q{j}"] = z
+        return st
 
     def _eff(self, state, aux):
         start = aux["start"]
         q1 = jnp.where(start, 0, state["q1"])
         q2 = jnp.where(start, 0, state["q2"])
         drops = jnp.where(start, self.drop_init, state["drops"])
-        return q1, q2, drops
+        qk = [jnp.where(start, 0, state[f"q{j}"])
+              for j in range(3, self.k + 1)]
+        return q1, q2, drops, qk
 
     def context(self, state, aux):
-        q1, q2, drops = self._eff(state, aux)
-        pos = aux["pos"].astype(jnp.int32) if self.qlevel >= 3 else 0
-        return self._ctx_of(q1, q2, drops, pos)
+        q1, q2, drops, qk = self._eff(state, aux)
+        pos = aux["pos"].astype(jnp.int32)
+        return self._ctx_of([q1, q2] + qk, drops, pos)
 
     def update(self, state, sym, aux):
-        q1, q2, drops = self._eff(state, aux)
+        q1, q2, drops, qk = self._eff(state, aux)
         sym = sym.astype(jnp.int32)
-        return {
+        st = {
             "q1": sym,
             "q2": q1,
             "drops": drops + jnp.maximum(0, q1 - sym),
         }
+        prev = q2
+        for j in range(3, self.k + 1):
+            st[f"q{j}"] = prev
+            prev = qk[j - 3]
+        return st
 
-    def _ctx_of(self, q1, q2, drops, pos):
+    def _ctx_of(self, qs, drops, pos):
+        if self.k >= 2:
+            b = self.ctx_base
+            ctx = jnp.minimum(qs[0], b - 1)
+            for qj in qs[1:self.k]:
+                ctx = ctx * b + jnp.minimum(qj, b - 1)
+            if self.drop_bits:
+                ctx = (ctx << self.drop_bits) | jnp.minimum(
+                    drops >> 3, (1 << self.drop_bits) - 1)
+            if self.pos_bits:
+                ctx = (ctx << self.pos_bits) | jnp.minimum(
+                    pos >> 4, (1 << self.pos_bits) - 1)
+            return ctx
+        q1, q2 = qs[0], qs[1]
+        if self.qlevel < 3:
+            pos = 0
         ctx = ((jnp.maximum(q1, q2) << 6) + q1) & 0xFFF
         if self.qlevel >= 2:
             ctx = ctx + jnp.where(q1 == q2, 0x1000, 0)
@@ -203,12 +249,13 @@ class QualModel(CtxModel):
         return ctx
 
     def context_grids(self, syms, aux):
-        """Vectorized q1/q2 via in-lane shifts; Σdrops via a segmented
+        """Vectorized q1..qk via in-lane shifts; Σdrops via a segmented
         (per-read) cumulative sum along the wave axis."""
         pos = aux["pos"].astype(jnp.int32)
         q = syms.astype(jnp.int32)
-        q1 = jnp.where(pos >= 1, jnp.roll(q, 1, axis=0), 0)
-        q2 = jnp.where(pos >= 2, jnp.roll(q, 2, axis=0), 0)
+        qs = [jnp.where(pos >= j, jnp.roll(q, j, axis=0), 0)
+              for j in range(1, max(self.k, 2) + 1)]
+        q1 = qs[0]
         d = jnp.where(pos >= 1, jnp.maximum(0, q1 - q), 0)
         cs = jnp.cumsum(d, axis=0)
         csx = cs - d
@@ -218,7 +265,7 @@ class QualModel(CtxModel):
         drops = jnp.where(pos >= 1,
                           self.drop_init + jnp.roll(cs, 1, axis=0) - base,
                           self.drop_init)
-        return self._ctx_of(q1, q2, drops, pos).astype(jnp.int32)
+        return self._ctx_of(qs, drops, pos).astype(jnp.int32)
 
 
 def seq_model_from_params(p: CodecParams) -> SeqModel:
@@ -227,9 +274,17 @@ def seq_model_from_params(p: CodecParams) -> SeqModel:
 
 
 def qual_model_from_params(p: CodecParams) -> QualModel:
-    return QualModel(alphabet=p.qual_alphabet(), init=p.qual_init,
+    return qual_model_for(p, p.qual_alphabet())
+
+
+def qual_model_for(p: CodecParams, alphabet: int) -> QualModel:
+    """QualModel with the archive's context scheme at a given (per-block)
+    alphabet — the single construction point for encode and decode."""
+    return QualModel(alphabet=alphabet, init=p.qual_init,
                      inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
-                     drop_init=p.q_drop_init)
+                     drop_init=p.q_drop_init, k=p.qctx_k,
+                     ctx_base=p.qctx_base, drop_bits=p.qctx_drop_bits,
+                     pos_bits=p.qctx_pos_bits)
 
 
 def byte_model(p: CodecParams, order1: bool = True) -> CtxModel:

@@ -22,8 +22,8 @@ import numpy as np
 from fastqueeze_tpu.config import CodecParams
 from fastqueeze_tpu.container.encap import iter_tlv, write_tlv
 from fastqueeze_tpu.models.base import (
-    CtxModel, FlatModel, Order1ByteModel, QualModel, byte_model,
-    qual_model_from_params, seq_model_from_params)
+    CtxModel, FlatModel, Order1ByteModel, byte_model,
+    qual_model_for, seq_model_from_params)
 from fastqueeze_tpu.io.fastq import FastqBlock
 from fastqueeze_tpu.ops import host_rans
 from fastqueeze_tpu.ops.engine import (
@@ -340,9 +340,7 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     mapped_sym = np.repeat(mapped, lengths)
     seq_counts = (lengths - dege_cnt)[~mapped]
     seq_model = seq_model_from_params(p)
-    qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
-                       inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
-                       drop_init=p.q_drop_init)
+    qmodel = qual_model_for(p, _qual_alphabet(qmax))
     sc0 = qc0 = None
     if frozen is not None:
         from fastqueeze_tpu.pipeline.frozen import frozen_dev_tables
@@ -595,9 +593,7 @@ def decode_block(p: CodecParams, payload: bytes,
     mapped_sym = np.repeat(mapped, lengths)
     seq_counts = (lengths - dege_cnt)[~mapped]
     seq_model = seq_model_from_params(p)
-    qmodel = QualModel(alphabet=_qual_alphabet(qmax), init=p.qual_init,
-                       inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
-                       drop_init=p.q_drop_init)
+    qmodel = qual_model_for(p, _qual_alphabet(qmax))
     sc0 = qc0 = None
     if frozen is not None:
         from fastqueeze_tpu.pipeline.frozen import frozen_dev_tables

@@ -47,7 +47,9 @@ def train_frozen_prefix(params: CodecParams, in_path: str,
     block = parse_block(*prefix)
     if params.lossy_factor > 1.0:
         _, block = apply_lossy(params, block)
-    frozen = train_frozen(params, block)
+    syms = int(block.lengths.sum())
+    est = int(_gate_bytes(in_path) * syms / max(block.raw_len, 1))
+    frozen = train_frozen(params, block, est_total_syms=est)
     blob = serialize_frozen(frozen)
     # start the (~10 MB) table upload now, overlapping the first block's
     # host work (transfers are async; blocks would otherwise stall on it)
@@ -109,7 +111,10 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             got += len(raw)
             if got >= need:
                 break
-        frozen = train_frozen_blocks(params, [b for _, _, b in prefix_items])
+        syms = sum(int(b.lengths.sum()) for _, _, b in prefix_items)
+        frozen = train_frozen_blocks(
+            params, [b for _, _, b in prefix_items],
+            est_total_syms=int(_gate_bytes(in_path) * syms / max(got, 1)))
         writer.set_model(serialize_frozen(frozen))
         # start the (~10 MB) table upload now, overlapping the first
         # block's host work (transfers are async)

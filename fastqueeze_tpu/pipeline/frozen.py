@@ -128,10 +128,13 @@ def qual_ctx_flat(model, q: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Host mirror of QualModel.context_grids over flat symbols."""
     pos = _pos_in_read(lengths)
     q = q.astype(np.int32)
-    q1 = np.zeros_like(q)
-    q2 = np.zeros_like(q)
-    q1[1:] = np.where(pos[1:] >= 1, q[:-1], 0)
-    q2[2:] = np.where(pos[2:] >= 2, q[:-2], 0)
+    k = max(model.k, 2)
+    qs = []
+    for j in range(1, k + 1):
+        qj = np.zeros_like(q)
+        qj[j:] = np.where(pos[j:] >= j, q[:-j], 0)
+        qs.append(qj)
+    q1, q2 = qs[0], qs[1]
     d = np.where(pos >= 1, np.maximum(0, q1 - q), 0)
     cs = np.cumsum(d)
     starts = (np.cumsum(lengths) - lengths).astype(np.int64)
@@ -142,6 +145,18 @@ def qual_ctx_flat(model, q: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         csp[1:] = cs[:-1]
     drops = np.where(pos >= 1, model.drop_init + csp - base,
                      model.drop_init)
+    if model.k >= 2:
+        b = model.ctx_base
+        ctx = np.minimum(q1, b - 1).astype(np.int64)
+        for qj in qs[1:model.k]:
+            ctx = ctx * b + np.minimum(qj, b - 1)
+        if model.drop_bits:
+            ctx = (ctx << model.drop_bits) | np.minimum(
+                drops >> 3, (1 << model.drop_bits) - 1)
+        if model.pos_bits:
+            ctx = (ctx << model.pos_bits) | np.minimum(
+                pos >> 4, (1 << model.pos_bits) - 1)
+        return ctx
     ctx = ((np.maximum(q1, q2) << 6) + q1) & 0xFFF
     if model.qlevel >= 2:
         ctx = ctx + np.where(q1 == q2, 0x1000, 0)
@@ -180,8 +195,92 @@ def _hist_counts(model, ctx: np.ndarray, syms: np.ndarray) -> np.ndarray:
     return _cap_rescale(model, hist)
 
 
+def _pick_qctx(A: int):
+    """Candidate rank-chain scheme for a trained alphabet of A ranks:
+    largest k with A^k rows <= 64k, plus drops bits if that stays small.
+    Returns (k, drop_bits) or None when no chain fits."""
+    if A < 2:
+        return None
+    for k in (4, 3, 2):
+        if A ** k <= (1 << 16):
+            drop_bits = 3 if (A ** k) << 3 <= (1 << 17) else 0
+            return k, drop_bits
+    return None
+
+
+def _hist_nll_bits(counts: np.ndarray, hist: np.ndarray) -> float:
+    """Static (frozen-table) code length in bits of a sample with histogram
+    `hist` under cap-rescaled table `counts`."""
+    c = counts.astype(np.float64)
+    tot = c.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        bits = hist * (np.log2(tot) - np.log2(c))
+    return float(np.where(hist > 0, bits, 0.0).sum())
+
+
+def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
+                 est_total_syms: int, A_train: int,
+                 native_args=None) -> np.ndarray:
+    """Train-time quality-context selection (no reference equivalent).
+
+    Compares the fqzcomp-formula table (already trained, `qhist`) against a
+    rank-chain candidate on the same sample: projected stream bits (static
+    NLL scaled to the estimated total symbol count) + serialized table
+    size.  Winner's scheme is written into CodecParams (serialized in
+    PARAM, like qmax) and its table returned.  `qsyms_fn` lazily yields the
+    sampled rank symbols (the fused native trainer never materializes
+    them; only pay when a candidate exists)."""
+    # _cap_rescale mutates int32 hists in place (native fast path), and the
+    # raw histograms are still needed below as NLL weights — rescale copies
+    base_counts = _narrow_np(
+        _cap_rescale(qmodel, np.array(qhist, np.int32)), qmodel.cap)
+    forced = p.qctx_k >= 2
+    pick = _pick_qctx(A_train) if (p.qctx_auto and not forced) else None
+    if pick is None and not forced:
+        return base_counts
+    if forced:
+        k, drop_bits = p.qctx_k, p.qctx_drop_bits
+        base = p.qctx_base or A_train
+    else:
+        k, drop_bits = pick
+        base = A_train
+    cand = QualModel(alphabet=qmodel.alphabet, init=p.qual_init,
+                     inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
+                     drop_init=p.q_drop_init, k=k, ctx_base=base,
+                     drop_bits=drop_bits, pos_bits=p.qctx_pos_bits)
+    chist = None
+    if native_args is not None:
+        from fastqueeze_tpu.io import native
+        qraw, lens_full, stride, lut = native_args
+        chist = native.qctx_hist(qraw, lens_full, stride, lut,
+                                 cand.alphabet, k, base, drop_bits,
+                                 cand.pos_bits, cand.drop_init)
+    if chist is None:
+        qsyms = qsyms_fn()
+        ctx = qual_ctx_flat(cand, qsyms, lengths)
+        n = cand.n_ctx * cand.alphabet
+        chist = np.bincount(ctx * cand.alphabet + qsyms.astype(np.int64),
+                            minlength=n)[:n].reshape(cand.n_ctx,
+                                                     cand.alphabet)
+    cand_counts = _narrow_np(
+        _cap_rescale(cand, np.array(chist, np.int32)), cand.cap)
+    if not forced:
+        sample = int(chist.sum())
+        scale = max(est_total_syms, sample) / max(sample, 1)
+        cost_base = (_hist_nll_bits(base_counts, qhist) / 8.0 * scale
+                     + len(_pack_counts(base_counts)["blob"]))
+        cost_cand = (_hist_nll_bits(cand_counts, chist) / 8.0 * scale
+                     + len(_pack_counts(cand_counts)["blob"]))
+        if cost_cand >= cost_base:
+            return base_counts
+    p.qctx_k, p.qctx_base = k, base
+    p.qctx_drop_bits = drop_bits
+    return cand_counts
+
+
 def train_frozen(p: CodecParams, block: FastqBlock,
-                 target_syms: int = 16 << 20) -> Dict:
+                 target_syms: int = 16 << 20,
+                 est_total_syms: int = 0) -> Dict:
     """Train seq + qual frozen tables from a prefix block (host bincount)."""
     from fastqueeze_tpu.config import SEQ_CTX_START
     from fastqueeze_tpu.io import native
@@ -209,11 +308,23 @@ def train_frozen(p: CodecParams, block: FastqBlock,
                                 lut, qmodel.alphabet)
     if fused is not None:
         shist, qhist = fused
+
+        def sampled_qsyms():
+            if stride == 1:
+                return lut[block.qual_flat]
+            keep = np.zeros(block.n_reads, bool)
+            keep[::stride] = True
+            return lut[block.qual_flat[np.repeat(keep, block.lengths)]]
+
+        lens_s = block.lengths if stride == 1 else block.lengths[::stride]
+        qual_counts = _select_qctx(
+            p, qmodel, qhist, sampled_qsyms, lens_s, est_total_syms,
+            len(qvals),
+            native_args=(block.qual_flat, block.lengths, stride, lut))
         return {"qmax": qmax, "qvals": qvals,
                 "seq_counts": _narrow_np(_cap_rescale(seq_model, shist),
                                          seq_model.cap),
-                "qual_counts": _narrow_np(_cap_rescale(qmodel, qhist),
-                                          qmodel.cap)}
+                "qual_counts": qual_counts}
 
     block = _subsample(block, target_syms)
     codes = _BASE_MAP[block.seq_flat]
@@ -239,32 +350,38 @@ def train_frozen(p: CodecParams, block: FastqBlock,
     qsyms = lut[block.qual_flat]
     qhist = native.qual_hist(qsyms, lengths, p.qlevel,
                              p.q_drop_init, qmodel.alphabet)
-    if qhist is not None:
-        qual_counts = _cap_rescale(qmodel, qhist)
-    else:
-        qual_counts = _hist_counts(
-            qmodel, qual_ctx_flat(qmodel, qsyms.astype(np.int32), lengths),
-            qsyms)
+    if qhist is None:
+        n = qmodel.n_ctx * qmodel.alphabet
+        ctx = qual_ctx_flat(qmodel, qsyms.astype(np.int32), lengths)
+        qhist = np.bincount(ctx * qmodel.alphabet + qsyms,
+                            minlength=n)[:n].reshape(qmodel.n_ctx,
+                                                     qmodel.alphabet)
+    qual_counts = _select_qctx(
+        p, qmodel, qhist, lambda: qsyms, lengths, est_total_syms,
+        len(qvals),
+        native_args=(qsyms, lengths, 1,
+                     np.arange(256, dtype=np.uint8)))
     # tables travel (host->archive->device) in the narrowest dtype the
     # model cap allows; the engine widens to int32 on device
     return {"qmax": qmax, "qvals": qvals,
             "seq_counts": _narrow_np(seq_counts, seq_model.cap),
-            "qual_counts": _narrow_np(qual_counts, qmodel.cap)}
+            "qual_counts": qual_counts}
 
 
 def train_frozen_blocks(p: CodecParams, blocks,
-                        target_syms: int = 16 << 20) -> Dict:
+                        target_syms: int = 16 << 20,
+                        est_total_syms: int = 0) -> Dict:
     """Train from already-parsed blocks (the driver reuses the prefix
     blocks for both training and encoding — no second read/parse pass)."""
     if len(blocks) == 1:
-        return train_frozen(p, blocks[0], target_syms)
+        return train_frozen(p, blocks[0], target_syms, est_total_syms)
     combo = FastqBlock(
         n_reads=sum(b.n_reads for b in blocks), ids=[], plus=[],
         seq_flat=np.concatenate([b.seq_flat for b in blocks]),
         qual_flat=np.concatenate([b.qual_flat for b in blocks]),
         lengths=np.concatenate([b.lengths for b in blocks]),
         raw_len=0, final_newline=True)
-    return train_frozen(p, combo, target_syms)
+    return train_frozen(p, combo, target_syms, est_total_syms)
 
 
 def _narrow_np(counts: np.ndarray, cap: int) -> np.ndarray:

@@ -248,7 +248,12 @@ def train_frozen_pe_prefix(p: CodecParams, in1: str, in2: str):
         from fastqueeze_tpu.pipeline.driver import apply_lossy
         _, b1 = apply_lossy(p, b1)
         _, b2 = apply_lossy(p, b2)
-    frozen = train_frozen(p, interleave_blocks(b1, b2))
+    merged = interleave_blocks(b1, b2)
+    prefix_syms = int(merged.lengths.sum())
+    total = os.path.getsize(in1) + os.path.getsize(in2)
+    est = (int(total * prefix_syms / max(b1.raw_len + b2.raw_len, 1))
+           if (b1.raw_len and b2.raw_len) else prefix_syms)
+    frozen = train_frozen(p, merged, est_total_syms=est)
     return frozen, serialize_frozen(frozen)
 
 

@@ -141,6 +141,49 @@ int32_t fq_train_prefix(const uint8_t* seq, const uint8_t* qual,
     return qmax;
 }
 
+// Rank-chain quality-context histogram (models/base.py QualModel k>=2,
+// frozen.py _select_qctx) over the same stride sample as fq_train_prefix.
+// qlut maps raw quality chars to dense ranks; conditioning ranks clamp to
+// cbase-1 (OOV ranks of later blocks).  hist: (cbase^k << (drop_bits +
+// pos_bits)) * alphabet int32, zeroed by the caller.
+void fq_qctx_hist(const uint8_t* qual, const int64_t* lengths,
+                  int64_t n_reads, int64_t stride, const uint8_t* qlut,
+                  int32_t alphabet, int32_t k, int32_t cbase,
+                  int32_t drop_bits, int32_t pos_bits, int32_t drop_init,
+                  int32_t* hist) {
+    const int32_t qcap = cbase - 1;
+    int64_t off = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        const int64_t len = lengths[r];
+        if (stride > 1 && r % stride != 0) { off += len; continue; }
+        int32_t q[4] = {0, 0, 0, 0};        // q[0] = q1 (most recent)
+        int32_t drops = drop_init;
+        for (int64_t i = 0; i < len; ++i) {
+            const int32_t sym = static_cast<int32_t>(qlut[qual[off + i]]);
+            int64_t ctx = q[0] < qcap ? q[0] : qcap;
+            for (int32_t j = 1; j < k; ++j) {
+                const int32_t qc = q[j] < qcap ? q[j] : qcap;
+                ctx = ctx * cbase + qc;
+            }
+            if (drop_bits) {
+                const int32_t m = (1 << drop_bits) - 1;
+                const int32_t d = drops >> 3;
+                ctx = (ctx << drop_bits) | (d < m ? d : m);
+            }
+            if (pos_bits) {
+                const int32_t m = (1 << pos_bits) - 1;
+                const int32_t pp = static_cast<int32_t>(i >> 4);
+                ctx = (ctx << pos_bits) | (pp < m ? pp : m);
+            }
+            ++hist[ctx * alphabet + sym];
+            drops += (q[0] > sym) ? (q[0] - sym) : 0;
+            for (int32_t j = 3; j > 0; --j) q[j] = q[j - 1];
+            q[0] = sym;
+        }
+        off += len;
+    }
+}
+
 // Transfer-packing twins of ops/engine.py _pack{2,6}/_unpack{2,6}_host:
 // the tunnel link is the transfer bottleneck, so grids cross it packed;
 // the pack/unpack passes themselves must not eat the saving on this

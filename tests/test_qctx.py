@@ -1,0 +1,174 @@
+"""Rank-chain quality-context scheme (CodecParams.qctx_*): train-time
+selection, native/numpy histogram equivalence, device/host context
+equivalence, and archive round-trips.  No reference equivalent — this is
+a TPU-engine scheme enabled by dense rank coding (models/base.py
+QualModel docstring)."""
+
+import numpy as np
+import pytest
+
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.io.fastq import parse_block
+from fastqueeze_tpu.pipeline.driver import compress_se, decompress
+from fastqueeze_tpu.pipeline.frozen import (
+    _pick_qctx, qual_ctx_flat, train_frozen)
+
+SMALL = dict(slevel=0, lanes_min=16, lanes_max=32, lane_target_symbols=512)
+
+
+def _binned_fastq(rng, n, L=80, bins=(2, 12, 24, 37)):
+    """Illumina-binned-style quality data: tiny alphabet, strong q1..qk
+    correlation — the regime where the rank chain wins."""
+    recs = []
+    bins = np.array(bins)
+    for i in range(n):
+        seq = "".join(rng.choice(list("ACGT"), L))
+        # random walk over bin indices -> correlated quality ranks
+        idx = np.clip(np.cumsum(rng.integers(-1, 2, L)) + 2, 0,
+                      len(bins) - 1)
+        qual = "".join(chr(33 + int(bins[j])) for j in idx)
+        recs.append(f"@qc.{i}\n{seq}\n+\n{qual}\n")
+    return "".join(recs).encode()
+
+
+def test_pick_qctx():
+    assert _pick_qctx(1) is None
+    assert _pick_qctx(4) == (4, 3)           # 4^4 = 256 rows
+    assert _pick_qctx(8) == (4, 3)           # 8^4 = 4096
+    assert _pick_qctx(16) == (4, 0)          # 16^4 = 64k; <<3 too big
+    assert _pick_qctx(40) == (3, 0)          # 40^3 = 64000; <<3 too big
+    assert _pick_qctx(50) == (2, 3)
+    assert _pick_qctx(300) is None
+
+
+def test_native_qctx_hist_matches_host_mirror():
+    """fq_qctx_hist must equal a bincount over qual_ctx_flat with the same
+    rank-chain model, including stride sampling and the raw->rank LUT."""
+    from fastqueeze_tpu.io import native
+    from fastqueeze_tpu.models.base import QualModel
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(21)
+    lengths = rng.integers(1, 70, 90).astype(np.int64)
+    n = int(lengths.sum())
+    # raw quality chars from a small set, mapped to dense ranks by lut
+    vals = np.array([35, 40, 52, 60, 70], np.uint8)
+    raw = vals[rng.integers(0, len(vals), n)]
+    lut = np.zeros(256, np.uint8)
+    lut[vals] = np.arange(len(vals))
+    A = len(vals)
+    for k, drop_bits, pos_bits, stride in ((2, 0, 0, 1), (3, 3, 0, 1),
+                                           (4, 3, 2, 1), (3, 3, 0, 4)):
+        nat = native.qctx_hist(raw, lengths, stride, lut, A, k, A,
+                               drop_bits, pos_bits, 5)
+        if nat is None:
+            pytest.skip("native library unavailable")
+        qm = QualModel(alphabet=A, qlevel=2, drop_init=5, k=k, ctx_base=A,
+                       drop_bits=drop_bits, pos_bits=pos_bits)
+        if stride == 1:
+            syms, lens = lut[raw], lengths
+        else:
+            keep = np.zeros(len(lengths), bool)
+            keep[::stride] = True
+            syms = lut[raw[np.repeat(keep, lengths)]]
+            lens = lengths[::stride]
+        ctx = qual_ctx_flat(qm, syms.astype(np.int32), lens)
+        ref = np.bincount(ctx * A + syms,
+                          minlength=qm.n_ctx * A).reshape(qm.n_ctx, A)
+        assert np.array_equal(nat, ref), (k, drop_bits, pos_bits, stride)
+
+
+def test_device_context_grids_match_host_flat():
+    """QualModel.context_grids (wave grids, device) must walk the same
+    rank-chain contexts as qual_ctx_flat (host) — train/encode/decode all
+    share these."""
+    from fastqueeze_tpu.models.base import QualModel
+    from fastqueeze_tpu.ops.engine import train_counts
+    from fastqueeze_tpu.pipeline.frozen import _hist_counts
+    rng = np.random.default_rng(5)
+    p = CodecParams(**SMALL)
+    lengths = rng.integers(3, 50, 40)
+    quals = rng.integers(0, 6, int(lengths.sum())).astype(np.uint8)
+    for k, drop_bits in ((2, 0), (3, 3), (4, 3)):
+        qm = QualModel(alphabet=8, init=p.qual_init, inc=p.qual_inc,
+                       cap=p.qual_cap, qlevel=p.qlevel,
+                       drop_init=p.q_drop_init, k=k, ctx_base=6,
+                       drop_bits=drop_bits)
+        host = _hist_counts(qm, qual_ctx_flat(qm, quals, lengths), quals)
+        dev = np.asarray(train_counts(qm, p, quals, lengths))
+        assert np.array_equal(host, dev), (k, drop_bits)
+
+
+def test_auto_qctx_selected_and_roundtrips(tmp_path):
+    """On binned data the auto gate should pick the rank chain, serialize
+    the scheme in PARAM, and the archive must round-trip bit-exact."""
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    rng = np.random.default_rng(13)
+    raw = _binned_fastq(rng, 500) * 8        # ~0.5 MB
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    p = CodecParams(use_model=1, model_train_mb=1, **SMALL)
+    p.block_size_mb = 1
+    arc = str(tmp_path / "out.fqz")
+    compress_se(p, str(src), arc)
+    assert p.qctx_k >= 2 and p.qctx_base >= 2   # chain chosen on this data
+    with ArcReader(arc) as r:
+        assert r.params.qctx_k == p.qctx_k
+        assert r.params.qctx_base == p.qctx_base
+        assert r.params.qctx_drop_bits == p.qctx_drop_bits
+    outs = decompress(arc, str(tmp_path / "back"), force=True)
+    assert open(outs[0], "rb").read() == raw
+
+
+def test_qctx_beats_fqz_formula_on_binned_data(tmp_path):
+    """The selection must only fire when it helps: on binned data the
+    chain archive must be no larger than the formula archive."""
+    rng = np.random.default_rng(17)
+    raw = _binned_fastq(rng, 500) * 8
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    a_on = str(tmp_path / "on.fqz")
+    a_off = str(tmp_path / "off.fqz")
+    p_on = CodecParams(use_model=1, model_train_mb=1, **SMALL)
+    p_off = CodecParams(use_model=1, model_train_mb=1, qctx_auto=0,
+                        **SMALL)
+    for p in (p_on, p_off):
+        p.block_size_mb = 1
+    compress_se(p_on, str(src), a_on)
+    compress_se(p_off, str(src), a_off)
+    assert p_off.qctx_k == 0
+    import os
+    assert os.path.getsize(a_on) <= os.path.getsize(a_off)
+
+
+def test_qctx_off_when_disabled(tmp_path):
+    rng = np.random.default_rng(19)
+    raw = _binned_fastq(rng, 300) * 4
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    p = CodecParams(use_model=1, model_train_mb=1, qctx_auto=0, **SMALL)
+    p.block_size_mb = 1
+    arc = str(tmp_path / "out.fqz")
+    compress_se(p, str(src), arc)
+    assert p.qctx_k == 0
+    outs = decompress(arc, str(tmp_path / "back"), force=True)
+    assert open(outs[0], "rb").read() == raw
+
+
+def test_train_frozen_numpy_fallback_path(tmp_path, monkeypatch):
+    """With the native lib unavailable the numpy candidate path must pick
+    the same scheme and produce the same tables."""
+    from fastqueeze_tpu.io import native
+    rng = np.random.default_rng(23)
+    raw = _binned_fastq(rng, 400)
+    block = parse_block(raw, True)
+    p_nat = CodecParams(use_model=1, **SMALL)
+    f_nat = train_frozen(p_nat, block, est_total_syms=10 << 20)
+    monkeypatch.setattr(native, "qctx_hist",
+                        lambda *a, **k: None)
+    p_np = CodecParams(use_model=1, **SMALL)
+    f_np = train_frozen(p_np, block, est_total_syms=10 << 20)
+    assert (p_nat.qctx_k, p_nat.qctx_base, p_nat.qctx_drop_bits) == \
+           (p_np.qctx_k, p_np.qctx_base, p_np.qctx_drop_bits)
+    assert np.array_equal(np.asarray(f_nat["qual_counts"]),
+                          np.asarray(f_np["qual_counts"]))
