@@ -195,17 +195,34 @@ def _hist_counts(model, ctx: np.ndarray, syms: np.ndarray) -> np.ndarray:
     return _cap_rescale(model, hist)
 
 
-def _pick_qctx(A: int):
-    """Candidate rank-chain scheme for a trained alphabet of A ranks:
-    largest k with A^k rows <= 64k, plus drops bits if that stays small.
-    Returns (k, drop_bits) or None when no chain fits."""
+# Big candidate tables only pay off when the projected stream dwarfs the
+# one-time device upload of the dense table (~2 s for a 30 MB table over
+# the tunnel, once per archive per chip): rows*alphabet above _BIG_TABLE
+# entries requires at least _BIG_TABLE_MIN_SYMS projected symbols.
+_BIG_TABLE = 4 << 20            # u16 entries ~ 8 MB upload
+_BIG_TABLE_MIN_SYMS = 64 << 20
+
+
+def _qctx_candidates(A: int):
+    """Candidate rank-chain schemes for a trained alphabet of A ranks:
+    (k, drop_bits, pos_bits) triples.  k is the largest chain with
+    A^k rows <= 64k; the pos/drops variants multiply rows by 8-64 and are
+    admitted up to 2^19 rows (the NLL + table-size + upload-amortization
+    cost model in _select_qctx arbitrates)."""
     if A < 2:
-        return None
+        return []
     for k in (4, 3, 2):
         if A ** k <= (1 << 16):
-            drop_bits = 3 if (A ** k) << 3 <= (1 << 17) else 0
-            return k, drop_bits
-    return None
+            break
+    else:
+        return []
+    rows = A ** k
+    cands = [(k, 3 if rows << 3 <= (1 << 17) else 0, 0)]
+    if rows << 3 <= (1 << 19):
+        cands.append((k, 0, 3))                 # + pos>>4 (cap 7)
+    if rows << 6 <= (1 << 19):
+        cands.append((k, 3, 3))                 # + drops + pos
+    return list(dict.fromkeys(cands))
 
 
 def _hist_nll_bits(counts: np.ndarray, hist: np.ndarray) -> float:
@@ -230,52 +247,65 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
     PARAM, like qmax) and its table returned.  `qsyms_fn` lazily yields the
     sampled rank symbols (the fused native trainer never materializes
     them; only pay when a candidate exists)."""
+    from fastqueeze_tpu.io import native
+
     # _cap_rescale mutates int32 hists in place (native fast path), and the
     # raw histograms are still needed below as NLL weights — rescale copies
     base_counts = _narrow_np(
         _cap_rescale(qmodel, np.array(qhist, np.int32)), qmodel.cap)
     forced = p.qctx_k >= 2
-    pick = _pick_qctx(A_train) if (p.qctx_auto and not forced) else None
-    if pick is None and not forced:
-        return base_counts
     if forced:
-        k, drop_bits = p.qctx_k, p.qctx_drop_bits
+        cands = [(p.qctx_k, p.qctx_drop_bits, p.qctx_pos_bits)]
         base = p.qctx_base or A_train
-    else:
-        k, drop_bits = pick
+    elif p.qctx_auto:
+        cands = _qctx_candidates(A_train)
         base = A_train
-    cand = QualModel(alphabet=qmodel.alphabet, init=p.qual_init,
-                     inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
-                     drop_init=p.q_drop_init, k=k, ctx_base=base,
-                     drop_bits=drop_bits, pos_bits=p.qctx_pos_bits)
-    chist = None
-    if native_args is not None:
-        from fastqueeze_tpu.io import native
-        qraw, lens_full, stride, lut = native_args
-        chist = native.qctx_hist(qraw, lens_full, stride, lut,
-                                 cand.alphabet, k, base, drop_bits,
-                                 cand.pos_bits, cand.drop_init)
-    if chist is None:
-        qsyms = qsyms_fn()
-        ctx = qual_ctx_flat(cand, qsyms, lengths)
-        n = cand.n_ctx * cand.alphabet
-        chist = np.bincount(ctx * cand.alphabet + qsyms.astype(np.int64),
-                            minlength=n)[:n].reshape(cand.n_ctx,
-                                                     cand.alphabet)
-    cand_counts = _narrow_np(
-        _cap_rescale(cand, np.array(chist, np.int32)), cand.cap)
+    else:
+        cands = []
+    if not cands:
+        return base_counts
+    sample = int(qhist.sum())
+    scale = max(est_total_syms, sample) / max(sample, 1)
+    proj_syms = sample * scale
+    best = None
     if not forced:
-        sample = int(chist.sum())
-        scale = max(est_total_syms, sample) / max(sample, 1)
-        cost_base = (_hist_nll_bits(base_counts, qhist) / 8.0 * scale
-                     + len(_pack_counts(base_counts)["blob"]))
-        cost_cand = (_hist_nll_bits(cand_counts, chist) / 8.0 * scale
-                     + len(_pack_counts(cand_counts)["blob"]))
-        if cost_cand >= cost_base:
-            return base_counts
-    p.qctx_k, p.qctx_base = k, base
-    p.qctx_drop_bits = drop_bits
-    return cand_counts
+        cost0 = (_hist_nll_bits(base_counts, qhist) / 8.0 * scale
+                 + len(_pack_counts(base_counts)["blob"]))
+        best = (cost0, None, base_counts)
+    qsyms_cache = None
+    for (k, db, pb) in cands:
+        cand = QualModel(alphabet=qmodel.alphabet, init=p.qual_init,
+                         inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
+                         drop_init=p.q_drop_init, k=k, ctx_base=base,
+                         drop_bits=db, pos_bits=pb)
+        if (not forced and cand.n_ctx * cand.alphabet > _BIG_TABLE
+                and proj_syms < _BIG_TABLE_MIN_SYMS):
+            continue
+        chist = None
+        if native_args is not None:
+            qraw, lens_full, stride, lut = native_args
+            chist = native.qctx_hist(qraw, lens_full, stride, lut,
+                                     cand.alphabet, k, base, db, pb,
+                                     cand.drop_init)
+        if chist is None:
+            if qsyms_cache is None:
+                qsyms_cache = qsyms_fn()
+            ctx = qual_ctx_flat(cand, qsyms_cache, lengths)
+            n = cand.n_ctx * cand.alphabet
+            chist = np.bincount(
+                ctx * cand.alphabet + qsyms_cache.astype(np.int64),
+                minlength=n)[:n].reshape(cand.n_ctx, cand.alphabet)
+        cand_counts = _narrow_np(
+            _cap_rescale(cand, np.array(chist, np.int32)), cand.cap)
+        cost = (_hist_nll_bits(cand_counts, chist) / 8.0 * scale
+                + len(_pack_counts(cand_counts)["blob"]))
+        if best is None or cost < best[0]:
+            best = (cost, (k, db, pb), cand_counts)
+    _, scheme, counts = best
+    if scheme is not None:
+        p.qctx_k, p.qctx_base = scheme[0], base
+        p.qctx_drop_bits, p.qctx_pos_bits = scheme[1], scheme[2]
+    return counts
 
 
 def train_frozen(p: CodecParams, block: FastqBlock,
@@ -402,11 +432,29 @@ def _narrow(counts, cap: int):
 
 def _pack_counts(a: np.ndarray) -> Dict:
     """Minimal-width serialization: table caps bound every count, so u8/u16
-    usually suffice; zlib squeezes the (mostly init-valued) remainder."""
+    usually suffice.  u16 tables are split into low/high byte planes before
+    zlib (counts are mostly small, so the high plane is near-constant) —
+    measured ~45% smaller than whole-array zlib-1 on trained qual tables."""
     hi = int(a.max()) if a.size else 0
     dt = np.uint8 if hi < 0x100 else (np.uint16 if hi < 0x10000 else np.int32)
-    return {"shape": list(a.shape), "dtype": np.dtype(dt).str,
-            "blob": zlib.compress(np.ascontiguousarray(a, dt).tobytes(), 1)}
+    u = np.ascontiguousarray(a, dt)
+    if dt == np.uint16:
+        lo = zlib.compress((u & 0xFF).astype(np.uint8).tobytes(), 9)
+        hb = zlib.compress((u >> 8).astype(np.uint8).tobytes(), 9)
+        return {"shape": list(a.shape), "dtype": np.dtype(dt).str,
+                "enc": "p9",
+                "blob": len(lo).to_bytes(4, "little") + lo + hb}
+    return {"shape": list(a.shape), "dtype": np.dtype(dt).str, "enc": "z",
+            "blob": zlib.compress(u.tobytes(), 9)}
+
+
+def _unpack_counts(blob: bytes, dtype: str, enc: str) -> np.ndarray:
+    if enc == "p9":
+        n = int.from_bytes(blob[:4], "little")
+        lo = np.frombuffer(zlib.decompress(blob[4:4 + n]), np.uint8)
+        hb = np.frombuffer(zlib.decompress(blob[4 + n:]), np.uint8)
+        return (hb.astype(np.uint16) << 8) | lo
+    return np.frombuffer(zlib.decompress(blob), dtype)
 
 
 def serialize_frozen(frozen: Dict) -> bytes:
@@ -415,7 +463,9 @@ def serialize_frozen(frozen: Dict) -> bytes:
     meta = {"qmax": frozen["qmax"],
             "qvals": np.asarray(frozen["qvals"], np.uint8).tolist(),
             "seq_shape": seq["shape"], "seq_dtype": seq["dtype"],
-            "qual_shape": qual["shape"], "qual_dtype": qual["dtype"]}
+            "seq_enc": seq["enc"],
+            "qual_shape": qual["shape"], "qual_dtype": qual["dtype"],
+            "qual_enc": qual["enc"]}
     out = io.BytesIO()
     out.write(write_tlv(_TAG_META, json.dumps(meta).encode()))
     out.write(write_tlv(_TAG_SEQ, seq["blob"]))
@@ -426,10 +476,10 @@ def serialize_frozen(frozen: Dict) -> bytes:
 def deserialize_frozen(blob: bytes) -> Dict:
     sections = dict(iter_tlv(blob))
     meta = json.loads(sections[_TAG_META].decode())
-    seq = np.frombuffer(zlib.decompress(sections[_TAG_SEQ]),
-                        meta["seq_dtype"])
-    qual = np.frombuffer(zlib.decompress(sections[_TAG_QUAL]),
-                         meta["qual_dtype"])
+    seq = _unpack_counts(sections[_TAG_SEQ], meta["seq_dtype"],
+                         meta.get("seq_enc", "z"))
+    qual = _unpack_counts(sections[_TAG_QUAL], meta["qual_dtype"],
+                          meta.get("qual_enc", "z"))
     return {"qmax": meta["qmax"],
             "qvals": np.asarray(
                 meta.get("qvals", list(range(meta["qmax"] + 1))),

@@ -11,7 +11,7 @@ from fastqueeze_tpu.config import CodecParams
 from fastqueeze_tpu.io.fastq import parse_block
 from fastqueeze_tpu.pipeline.driver import compress_se, decompress
 from fastqueeze_tpu.pipeline.frozen import (
-    _pick_qctx, qual_ctx_flat, train_frozen)
+    _qctx_candidates, qual_ctx_flat, train_frozen)
 
 SMALL = dict(slevel=0, lanes_min=16, lanes_max=32, lane_target_symbols=512)
 
@@ -31,14 +31,51 @@ def _binned_fastq(rng, n, L=80, bins=(2, 12, 24, 37)):
     return "".join(recs).encode()
 
 
-def test_pick_qctx():
-    assert _pick_qctx(1) is None
-    assert _pick_qctx(4) == (4, 3)           # 4^4 = 256 rows
-    assert _pick_qctx(8) == (4, 3)           # 8^4 = 4096
-    assert _pick_qctx(16) == (4, 0)          # 16^4 = 64k; <<3 too big
-    assert _pick_qctx(40) == (3, 0)          # 40^3 = 64000; <<3 too big
-    assert _pick_qctx(50) == (2, 3)
-    assert _pick_qctx(300) is None
+def test_qctx_candidates():
+    assert _qctx_candidates(1) == []
+    assert _qctx_candidates(300) == []
+    c4 = _qctx_candidates(4)                 # 4^4 = 256 rows
+    assert (4, 3, 0) in c4 and (4, 0, 3) in c4 and (4, 3, 3) in c4
+    c36 = _qctx_candidates(36)               # 36^3 = 46656 rows
+    assert c36[0] == (3, 0, 0)
+    assert (3, 0, 3) in c36                  # pos variant fits 2^19 rows
+    assert all(k <= 4 for k, _, _ in c36)
+    c50 = _qctx_candidates(50)               # 50^2 = 2500 rows
+    assert c50[0] == (2, 3, 0)
+
+
+def test_pack_counts_roundtrip():
+    """Byte-plane (p9) and plain packings must round-trip exactly."""
+    from fastqueeze_tpu.pipeline.frozen import _pack_counts, _unpack_counts
+    rng = np.random.default_rng(31)
+    for hi in (200, 9000):                   # u8 and u16 regimes
+        a = rng.integers(0, hi, (257, 12)).astype(np.int32)
+        pk = _pack_counts(a)
+        back = _unpack_counts(pk["blob"], pk["dtype"], pk["enc"])
+        assert np.array_equal(back.reshape(pk["shape"]), a)
+
+
+def test_big_table_gate():
+    """Candidates whose dense table exceeds _BIG_TABLE entries are only
+    admitted when the projected stream amortizes the device upload."""
+    from fastqueeze_tpu.pipeline.frozen import (
+        _BIG_TABLE, _BIG_TABLE_MIN_SYMS)
+    rng = np.random.default_rng(37)
+    raw = _binned_fastq(rng, 600, bins=tuple(range(2, 38)))  # A = 36
+    block = parse_block(raw, True)
+    small = CodecParams(use_model=1, **SMALL)
+    train_frozen(small, block, est_total_syms=10 << 20)
+    assert small.qctx_pos_bits == 0          # big pos-table gated out
+    # with the projection large enough the pos variant is at least
+    # *considered*; whichever wins must round-trip through serialization
+    from fastqueeze_tpu.pipeline.frozen import (
+        deserialize_frozen, serialize_frozen)
+    big = CodecParams(use_model=1, **SMALL)
+    f = train_frozen(big, block, est_total_syms=_BIG_TABLE_MIN_SYMS * 2)
+    back = deserialize_frozen(serialize_frozen(f))
+    assert np.array_equal(np.asarray(back["qual_counts"]),
+                          np.asarray(f["qual_counts"]))
+    assert _BIG_TABLE < _BIG_TABLE_MIN_SYMS
 
 
 def test_native_qctx_hist_matches_host_mirror():
