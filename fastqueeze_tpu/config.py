@@ -71,6 +71,13 @@ class CodecParams:
     qctx_base: int = 0              # rank base B the chain is packed in
     qctx_drop_bits: int = 0         # low bits: min(drops>>3, 2^b - 1)
     qctx_pos_bits: int = 0          # low bits: min(pos>>4, 2^b - 1)
+    qctx_hash_bits: int = 0         # >0: Knuth-hash the chain to 2^b rows
+                                    # (uint32 wrap, identical on device/C)
+    qctx_init: int = 0              # frozen qual-table pseudo-count
+                                    # (0 = inherit qual_init); the train-
+                                    # time selection tunes this too
+    qctx_inc: int = 0               # frozen qual-table count weight
+                                    # (0 = inherit qual_inc)
 
     # --- generic byte / flag models ---
     byte_init: int = 1
@@ -160,10 +167,18 @@ class CodecParams:
     def seq_ctx_mask(self) -> int:
         return self.seq_nctx() - 1
 
+    def qctx_eff_init(self) -> int:
+        """Pseudo-count used to train/pad the frozen qual table."""
+        return self.qctx_init or self.qual_init
+
+    def qctx_eff_inc(self) -> int:
+        return self.qctx_inc or self.qual_inc
+
     def qual_nctx(self) -> int:
         if self.qctx_k >= 2:
-            return (self.qctx_base ** self.qctx_k
-                    << (self.qctx_drop_bits + self.qctx_pos_bits))
+            rows = ((1 << self.qctx_hash_bits) if self.qctx_hash_bits
+                    else self.qctx_base ** self.qctx_k)
+            return rows << (self.qctx_drop_bits + self.qctx_pos_bits)
         return (1 << 20) if self.qlevel >= 3 else (1 << 16)
 
     def qual_alphabet(self) -> int:

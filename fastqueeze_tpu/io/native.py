@@ -51,7 +51,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_qctx_hist"):   # newest required symbol
+    if not hasattr(lib, "fq_qctx_hist2"):   # newest required symbol
         # stale .so from before a symbol was added: rebuild and reload
         if not _build():
             return None
@@ -59,7 +59,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_qctx_hist"):
+        if not hasattr(lib, "fq_qctx_hist2"):
             return None
     lib.fq_record_boundary.restype = ctypes.c_int64
     lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]
@@ -95,10 +95,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fq_train_prefix.argtypes = [_U8P, _U8P, _I64P, ctypes.c_int64,
                                     ctypes.c_int64, _i32, ctypes.c_uint32,
                                     _i32, _i32, _i32, _U8P, _i32p, _i32p]
-    lib.fq_qctx_hist.restype = None
-    lib.fq_qctx_hist.argtypes = [_U8P, _I64P, ctypes.c_int64,
-                                 ctypes.c_int64, _U8P, _i32, _i32, _i32,
-                                 _i32, _i32, _i32, _i32p]
+    lib.fq_qctx_hist2.restype = None
+    lib.fq_qctx_hist2.argtypes = [_U8P, _I64P, ctypes.c_int64,
+                                  ctypes.c_int64, _U8P, _i32, _i32, _i32,
+                                  _i32, _i32, _i32, _i32, _i32p]
     lib.fq_render_dec.restype = ctypes.c_int64
     lib.fq_render_dec.argtypes = [_I64P, ctypes.c_int64, _U8P,
                                   ctypes.c_int64]
@@ -394,7 +394,8 @@ def train_prefix(seq_flat: np.ndarray, qual_flat: np.ndarray,
 
 def qctx_hist(qual: np.ndarray, lengths: np.ndarray, stride: int,
               qlut: np.ndarray, alphabet: int, k: int, cbase: int,
-              drop_bits: int, pos_bits: int, drop_init: int):
+              drop_bits: int, pos_bits: int, drop_init: int,
+              hash_bits: int = 0):
     """Rank-chain quality-context histogram (frozen-train candidate
     scheme); returns (n_ctx, alphabet) int32 or None (numpy fallback)."""
     lib = get_lib()
@@ -403,12 +404,13 @@ def qctx_hist(qual: np.ndarray, lengths: np.ndarray, stride: int,
     qual = np.ascontiguousarray(qual, np.uint8)
     lengths = np.ascontiguousarray(lengths, np.int64)
     qlut = np.ascontiguousarray(qlut, np.uint8)
-    n_ctx = cbase ** k << (drop_bits + pos_bits)
+    rows = (1 << hash_bits) if hash_bits else cbase ** k
+    n_ctx = rows << (drop_bits + pos_bits)
     hist = np.zeros(n_ctx * alphabet, np.int32)
     _p = ctypes.POINTER(ctypes.c_int32)
-    lib.fq_qctx_hist(_u8p(qual), _i64p(lengths), len(lengths), stride,
-                     _u8p(qlut), alphabet, k, cbase, drop_bits, pos_bits,
-                     drop_init, hist.ctypes.data_as(_p))
+    lib.fq_qctx_hist2(_u8p(qual), _i64p(lengths), len(lengths), stride,
+                      _u8p(qlut), alphabet, k, cbase, drop_bits, pos_bits,
+                      hash_bits, drop_init, hist.ctypes.data_as(_p))
     return hist.reshape(n_ctx, alphabet)
 
 

@@ -181,10 +181,13 @@ class QualModel(CtxModel):
     ctx_base: int = 0
     drop_bits: int = 0
     pos_bits: int = 0
+    hash_bits: int = 0              # >0: Knuth-hash the chain to 2^b rows
 
     def __post_init__(self):
         if self.k >= 2:
-            n = self.ctx_base ** self.k << (self.drop_bits + self.pos_bits)
+            rows = ((1 << self.hash_bits) if self.hash_bits
+                    else self.ctx_base ** self.k)
+            n = rows << (self.drop_bits + self.pos_bits)
         else:
             n = (1 << 20) if self.qlevel >= 3 else (1 << 16)
         object.__setattr__(self, "n_ctx", n)
@@ -230,6 +233,13 @@ class QualModel(CtxModel):
             ctx = jnp.minimum(qs[0], b - 1)
             for qj in qs[1:self.k]:
                 ctx = ctx * b + jnp.minimum(qj, b - 1)
+            if self.hash_bits:
+                # Knuth multiplicative hash on the wrapping uint32 ring,
+                # low bits kept (measured better than high bits on real
+                # quality data) — bit-identical in jnp (x64 off), numpy, C
+                h = (ctx.astype(jnp.uint32) * jnp.uint32(2654435761)
+                     ) & jnp.uint32((1 << self.hash_bits) - 1)
+                ctx = h.astype(jnp.int32)
             if self.drop_bits:
                 ctx = (ctx << self.drop_bits) | jnp.minimum(
                     drops >> 3, (1 << self.drop_bits) - 1)
@@ -284,7 +294,7 @@ def qual_model_for(p: CodecParams, alphabet: int) -> QualModel:
                      inc=p.qual_inc, cap=p.qual_cap, qlevel=p.qlevel,
                      drop_init=p.q_drop_init, k=p.qctx_k,
                      ctx_base=p.qctx_base, drop_bits=p.qctx_drop_bits,
-                     pos_bits=p.qctx_pos_bits)
+                     pos_bits=p.qctx_pos_bits, hash_bits=p.qctx_hash_bits)
 
 
 def byte_model(p: CodecParams, order1: bool = True) -> CtxModel:

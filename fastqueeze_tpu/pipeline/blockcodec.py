@@ -344,7 +344,8 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     sc0 = qc0 = None
     if frozen is not None:
         from fastqueeze_tpu.pipeline.frozen import frozen_dev_tables
-        sc0, qc0 = frozen_dev_tables(frozen, qmodel.alphabet, p.qual_init)
+        sc0, qc0 = frozen_dev_tables(frozen, qmodel.alphabet,
+                                     p.qctx_eff_init())
     seq_job = encode_stream_job(
         seq_model, p, codes[~dege_mask & ~mapped_sym], seq_counts,
         counts0=sc0, adapt=adapt)
@@ -597,7 +598,8 @@ def decode_block(p: CodecParams, payload: bytes,
     sc0 = qc0 = None
     if frozen is not None:
         from fastqueeze_tpu.pipeline.frozen import frozen_dev_tables
-        sc0, qc0 = frozen_dev_tables(frozen, qmodel.alphabet, p.qual_init)
+        sc0, qc0 = frozen_dev_tables(frozen, qmodel.alphabet,
+                                     p.qctx_eff_init())
     seq_job = decode_stream_job(
         seq_model, p, sections[TAG_SEQ], seq_counts,
         counts0=sc0, adapt=adapt)

@@ -56,7 +56,7 @@ def train_frozen_prefix(params: CodecParams, in_path: str,
     from fastqueeze_tpu.pipeline.frozen import (_qual_alphabet,
                                                 frozen_dev_tables)
     frozen_dev_tables(frozen, _qual_alphabet(frozen["qmax"]),
-                      params.qual_init)
+                      params.qctx_eff_init())
     if dbg:
         dbg.add("train_s", time.time() - t0)
     return frozen, blob
@@ -119,7 +119,7 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
         # start the (~10 MB) table upload now, overlapping the first
         # block's host work (transfers are async)
         frozen_dev_tables(frozen, _qual_alphabet(frozen["qmax"]),
-                          params.qual_init)
+                          params.qctx_eff_init())
         dbg.add("train_s", time.time() - t0)
     idx = 0
     total_raw = 0

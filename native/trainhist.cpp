@@ -144,13 +144,15 @@ int32_t fq_train_prefix(const uint8_t* seq, const uint8_t* qual,
 // Rank-chain quality-context histogram (models/base.py QualModel k>=2,
 // frozen.py _select_qctx) over the same stride sample as fq_train_prefix.
 // qlut maps raw quality chars to dense ranks; conditioning ranks clamp to
-// cbase-1 (OOV ranks of later blocks).  hist: (cbase^k << (drop_bits +
-// pos_bits)) * alphabet int32, zeroed by the caller.
-void fq_qctx_hist(const uint8_t* qual, const int64_t* lengths,
-                  int64_t n_reads, int64_t stride, const uint8_t* qlut,
-                  int32_t alphabet, int32_t k, int32_t cbase,
-                  int32_t drop_bits, int32_t pos_bits, int32_t drop_init,
-                  int32_t* hist) {
+// cbase-1 (OOV ranks of later blocks).  hash_bits > 0 folds the chain
+// through the Knuth multiplicative hash on the uint32 ring (bit-identical
+// to the jnp/numpy mirrors).  hist: (rows << (drop_bits + pos_bits)) *
+// alphabet int32, zeroed by the caller.
+void fq_qctx_hist2(const uint8_t* qual, const int64_t* lengths,
+                   int64_t n_reads, int64_t stride, const uint8_t* qlut,
+                   int32_t alphabet, int32_t k, int32_t cbase,
+                   int32_t drop_bits, int32_t pos_bits, int32_t hash_bits,
+                   int32_t drop_init, int32_t* hist) {
     const int32_t qcap = cbase - 1;
     int64_t off = 0;
     for (int64_t r = 0; r < n_reads; ++r) {
@@ -164,6 +166,10 @@ void fq_qctx_hist(const uint8_t* qual, const int64_t* lengths,
             for (int32_t j = 1; j < k; ++j) {
                 const int32_t qc = q[j] < qcap ? q[j] : qcap;
                 ctx = ctx * cbase + qc;
+            }
+            if (hash_bits) {
+                ctx = (static_cast<uint32_t>(ctx) * 2654435761u)
+                      & ((1u << hash_bits) - 1);
             }
             if (drop_bits) {
                 const int32_t m = (1 << drop_bits) - 1;

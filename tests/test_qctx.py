@@ -35,13 +35,17 @@ def test_qctx_candidates():
     assert _qctx_candidates(1) == []
     assert _qctx_candidates(300) == []
     c4 = _qctx_candidates(4)                 # 4^4 = 256 rows
-    assert (4, 3, 0) in c4 and (4, 0, 3) in c4 and (4, 3, 3) in c4
+    assert ((4, 3, 0, 0) in c4 and (4, 0, 3, 0) in c4
+            and (4, 3, 3, 0) in c4)
     c36 = _qctx_candidates(36)               # 36^3 = 46656 rows
-    assert c36[0] == (3, 0, 0)
-    assert (3, 0, 3) in c36                  # pos variant fits 2^19 rows
-    assert all(k <= 4 for k, _, _ in c36)
+    assert c36[0] == (3, 0, 0, 0)
+    assert (3, 0, 3, 0) in c36               # pos variant fits 2^19 rows
+    assert (4, 0, 0, 17) in c36              # hashed deeper chain
+    assert all(k <= 4 for k, _, _, _ in c36)
     c50 = _qctx_candidates(50)               # 50^2 = 2500 rows
-    assert c50[0] == (2, 3, 0)
+    assert c50[0] == (2, 3, 0, 0)
+    c4 = _qctx_candidates(4)                 # 4^4 exact fits: no hashing
+    assert all(hb == 0 for _, _, _, hb in c4)
 
 
 def test_pack_counts_roundtrip():
@@ -61,11 +65,15 @@ def test_big_table_gate():
     from fastqueeze_tpu.pipeline.frozen import (
         _BIG_TABLE, _BIG_TABLE_MIN_SYMS)
     rng = np.random.default_rng(37)
-    raw = _binned_fastq(rng, 600, bins=tuple(range(2, 38)))  # A = 36
+    raw = _binned_fastq(rng, 600, bins=tuple(range(2, 38)))
     block = parse_block(raw, True)
     small = CodecParams(use_model=1, **SMALL)
     train_frozen(small, block, est_total_syms=10 << 20)
-    assert small.qctx_pos_bits == 0          # big pos-table gated out
+    # whatever scheme won at a small projection must respect the gate
+    if small.qctx_k >= 2:
+        from fastqueeze_tpu.pipeline.frozen import _qual_alphabet
+        a_trained = _qual_alphabet(int(block.qual_flat.max()) - 33)
+        assert small.qual_nctx() * a_trained <= _BIG_TABLE
     # with the projection large enough the pos variant is at least
     # *considered*; whichever wins must round-trip through serialization
     from fastqueeze_tpu.pipeline.frozen import (
@@ -94,14 +102,16 @@ def test_native_qctx_hist_matches_host_mirror():
     lut = np.zeros(256, np.uint8)
     lut[vals] = np.arange(len(vals))
     A = len(vals)
-    for k, drop_bits, pos_bits, stride in ((2, 0, 0, 1), (3, 3, 0, 1),
-                                           (4, 3, 2, 1), (3, 3, 0, 4)):
+    for k, drop_bits, pos_bits, hb, stride in (
+            (2, 0, 0, 0, 1), (3, 3, 0, 0, 1), (4, 3, 2, 0, 1),
+            (3, 3, 0, 0, 4), (4, 0, 0, 10, 1), (4, 2, 1, 9, 3)):
         nat = native.qctx_hist(raw, lengths, stride, lut, A, k, A,
-                               drop_bits, pos_bits, 5)
+                               drop_bits, pos_bits, 5, hash_bits=hb)
         if nat is None:
             pytest.skip("native library unavailable")
         qm = QualModel(alphabet=A, qlevel=2, drop_init=5, k=k, ctx_base=A,
-                       drop_bits=drop_bits, pos_bits=pos_bits)
+                       drop_bits=drop_bits, pos_bits=pos_bits,
+                       hash_bits=hb)
         if stride == 1:
             syms, lens = lut[raw], lengths
         else:
@@ -112,7 +122,8 @@ def test_native_qctx_hist_matches_host_mirror():
         ctx = qual_ctx_flat(qm, syms.astype(np.int32), lens)
         ref = np.bincount(ctx * A + syms,
                           minlength=qm.n_ctx * A).reshape(qm.n_ctx, A)
-        assert np.array_equal(nat, ref), (k, drop_bits, pos_bits, stride)
+        assert np.array_equal(nat, ref), (k, drop_bits, pos_bits, hb,
+                                          stride)
 
 
 def test_device_context_grids_match_host_flat():
@@ -126,14 +137,14 @@ def test_device_context_grids_match_host_flat():
     p = CodecParams(**SMALL)
     lengths = rng.integers(3, 50, 40)
     quals = rng.integers(0, 6, int(lengths.sum())).astype(np.uint8)
-    for k, drop_bits in ((2, 0), (3, 3), (4, 3)):
+    for k, drop_bits, hb in ((2, 0, 0), (3, 3, 0), (4, 3, 0), (4, 0, 8)):
         qm = QualModel(alphabet=8, init=p.qual_init, inc=p.qual_inc,
                        cap=p.qual_cap, qlevel=p.qlevel,
                        drop_init=p.q_drop_init, k=k, ctx_base=6,
-                       drop_bits=drop_bits)
+                       drop_bits=drop_bits, hash_bits=hb)
         host = _hist_counts(qm, qual_ctx_flat(qm, quals, lengths), quals)
         dev = np.asarray(train_counts(qm, p, quals, lengths))
-        assert np.array_equal(host, dev), (k, drop_bits)
+        assert np.array_equal(host, dev), (k, drop_bits, hb)
 
 
 def test_auto_qctx_selected_and_roundtrips(tmp_path):
@@ -176,6 +187,24 @@ def test_qctx_beats_fqz_formula_on_binned_data(tmp_path):
     assert p_off.qctx_k == 0
     import os
     assert os.path.getsize(a_on) <= os.path.getsize(a_off)
+
+
+def test_forced_hashed_scheme_roundtrips(tmp_path):
+    """Forcing a hashed big-table scheme (what auto-selection picks only
+    at >=64M projected symbols) must produce a valid archive: hashed
+    contexts walk identically on encode and decode."""
+    rng = np.random.default_rng(41)
+    raw = _binned_fastq(rng, 400) * 4
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    p = CodecParams(use_model=1, model_train_mb=1, qctx_k=4,
+                    qctx_hash_bits=14, qctx_init=1, qctx_inc=16, **SMALL)
+    p.block_size_mb = 1
+    arc = str(tmp_path / "out.fqz")
+    compress_se(p, str(src), arc)
+    assert p.qctx_hash_bits == 14            # forced scheme kept
+    outs = decompress(arc, str(tmp_path / "back"), force=True)
+    assert open(outs[0], "rb").read() == raw
 
 
 def test_qctx_off_when_disabled(tmp_path):
