@@ -55,3 +55,4 @@ def _enable_compile_cache() -> None:
 _enable_compile_cache()
 
 from fastqueeze_tpu.config import CodecParams  # noqa: F401
+from fastqueeze_tpu import api  # noqa: F401  (one-call library surface)

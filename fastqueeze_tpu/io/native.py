@@ -51,15 +51,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_qctx_hist2"):   # newest required symbol
-        # stale .so from before a symbol was added: rebuild and reload
+    if not hasattr(lib, "fq_sampling_version"):   # newest required symbol
+        # stale .so from before a symbol was added (or before the
+        # read-sampling rule, a C<->numpy contract, last changed):
+        # rebuild and reload
         if not _build():
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_qctx_hist2"):
+        if not hasattr(lib, "fq_sampling_version"):
             return None
     lib.fq_record_boundary.restype = ctypes.c_int64
     lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]

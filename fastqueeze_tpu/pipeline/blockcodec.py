@@ -553,6 +553,22 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
 def decode_block(p: CodecParams, payload: bytes,
                  frozen: Optional[Dict] = None,
                  ref_codes: Optional[np.ndarray] = None) -> FastqBlock:
+    """Decode one block payload.  Any structural damage a corrupt payload
+    can cause downstream (bad lengths -> out-of-range indexing, mangled
+    meta JSON, impossible stream sizes) is converted to ValueError — the
+    whole-block MD5 then reports it like every other corruption path."""
+    try:
+        return _decode_block_impl(p, payload, frozen, ref_codes)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, TypeError,
+            json.JSONDecodeError) as e:
+        raise ValueError(f"corrupt block payload: {e!r}") from e
+
+
+def _decode_block_impl(p: CodecParams, payload: bytes,
+                       frozen: Optional[Dict],
+                       ref_codes: Optional[np.ndarray]) -> FastqBlock:
     sections = dict(iter_tlv(payload))
     meta = json.loads(sections[TAG_META].decode())
     R = meta["R"]
@@ -570,6 +586,8 @@ def decode_block(p: CodecParams, payload: bytes,
         lengths = _decode_le(p, sections[TAG_LEN], R, meta.get("lenb", 2))
     else:
         lengths = np.zeros(0, np.int64)
+    if R and (lengths.min() < 0 or int(lengths.sum()) > (1 << 33)):
+        raise ValueError("corrupt block payload: implausible read lengths")
 
     # --- degenerate streams ---
     dege_cnt = np.zeros(R, np.int64)

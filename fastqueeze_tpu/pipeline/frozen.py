@@ -77,15 +77,27 @@ def decide_use_model(p: CodecParams, input_bytes: int) -> bool:
     return input_bytes > 2 * p.block_size_mb * (1 << 20)
 
 
+def _sample_keep(n_reads: int, stride: int) -> np.ndarray:
+    """Pseudo-random 1-in-stride read sample (hash of the read index).
+    A plain every-Nth sample aliases with periodic input structure
+    (replicated files, PE interleaving, tile ordering) and can exclude
+    part of the content from training entirely; hashing decorrelates the
+    sample from every period.  Bit-identical to native fq_keep_read."""
+    if stride <= 1:
+        return np.ones(n_reads, bool)
+    r = np.arange(n_reads, dtype=np.uint32)
+    return (r * np.uint32(2654435761)) <= np.uint32(0xFFFFFFFF // stride)
+
+
 def _subsample(block: FastqBlock, target_syms: int) -> FastqBlock:
-    """Every-Nth-read subsample: a histogram trainer needs representative
-    statistics, not every symbol — caps training cost on huge prefixes."""
+    """Hash-sampled read subsample: a histogram trainer needs
+    representative statistics, not every symbol — caps training cost on
+    huge prefixes."""
     total = int(block.lengths.sum())
     if total <= target_syms or block.n_reads < 4:
         return block
     stride = int(np.ceil(total / target_syms))
-    keep = np.zeros(block.n_reads, bool)
-    keep[::stride] = True
+    keep = _sample_keep(block.n_reads, stride)
     sym_keep = np.repeat(keep, block.lengths)
     return FastqBlock(
         n_reads=int(keep.sum()),
@@ -282,24 +294,69 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
     sample = int(qhist.sum())
     scale = max(est_total_syms, sample) / max(sample, 1)
     proj_syms = sample * scale
+    # When the table will code substantially more data than it was
+    # trained on (prefix training and/or stride sampling), in-sample NLL
+    # rewards overfit (sharp pseudo-counts, many rows) — score on a
+    # held-out half instead: table from even-parity sampled reads,
+    # NLL weighted by the odd half, both projected to the full input.
+    holdout = proj_syms > 1.5 * sample
+    qsyms_cache = hold_mask = None
 
-    def score(model, hist):
+    def sampled():
+        nonlocal qsyms_cache, hold_mask
+        if qsyms_cache is None:
+            qsyms_cache = qsyms_fn().astype(np.int32)
+            # hash-parity split: plain index parity aliases with PE
+            # interleaving (mate1/mate2 alternate) and any other
+            # period-2 structure
+            ridx = np.arange(len(lengths), dtype=np.uint32)
+            odd = ((ridx * np.uint32(2654435761)) >> np.uint32(16)) & 1
+            hold_mask = np.repeat(odd.astype(bool), lengths)
+        return qsyms_cache, hold_mask
+
+    def model_hists(model, full_hist):
+        """(train_hist, eval_hist): full/full in-sample, A/B on holdout."""
+        if not holdout:
+            return full_hist, full_hist, 1.0
+        qs, mB = sampled()
+        ctx = qual_ctx_flat(model, qs, lengths)
+        n = model.n_ctx * model.alphabet
+        key = ctx * model.alphabet + qs
+        hB = np.bincount(key[mB], minlength=n)[:n].reshape(
+            model.n_ctx, model.alphabet)
+        if full_hist is not None:
+            # the host mirror and the native trainer walk identical
+            # contexts (cross-checked in tests); clip is belt-and-braces
+            hA = np.maximum(full_hist - hB, 0)
+        else:
+            hA = np.bincount(key[~mB], minlength=n)[:n].reshape(
+                model.n_ctx, model.alphabet)
+        nB = int(hB.sum())
+        return hA, hB, proj_syms / max(nB, 1)
+
+    def score(model, train_hist, eval_hist, eval_scale, ship_hist):
         counts = _narrow_np(
-            _cap_rescale(model, np.array(hist, np.int32)), model.cap)
-        return (_hist_nll_bits(counts, hist) / 8.0 * scale
-                + len(_pack_counts(counts)["blob"]), counts)
+            _cap_rescale(model, np.array(train_hist, np.int32)),
+            model.cap)
+        ship = counts if ship_hist is train_hist else _narrow_np(
+            _cap_rescale(model, np.array(ship_hist, np.int32)), model.cap)
+        return (_hist_nll_bits(counts, eval_hist) / 8.0 * eval_scale
+                + len(_pack_counts(ship)["blob"]), ship)
 
     best = None
     if not forced:
+        bprobe = QualModel(alphabet=qmodel.alphabet, qlevel=p.qlevel,
+                           drop_init=p.q_drop_init)
+        hA, hB, esc = model_hists(bprobe, np.asarray(qhist))
         for a in alphas:
             bm = QualModel(alphabet=qmodel.alphabet,
                            init=a[0] or p.qual_init,
                            inc=a[1] or p.qual_inc, cap=qmodel.cap,
                            qlevel=p.qlevel, drop_init=p.q_drop_init)
-            cost, counts = score(bm, qhist)
+            cost, counts = score(bm, hA, hB, esc if holdout else scale,
+                                 np.asarray(qhist))
             if best is None or cost < best[0]:
                 best = (cost, None, a, counts)
-    qsyms_cache = None
     for (k, db, pb, hb) in cands:
         probe = QualModel(alphabet=qmodel.alphabet, qlevel=p.qlevel,
                           drop_init=p.q_drop_init, k=k, ctx_base=base,
@@ -314,13 +371,13 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
                                      probe.alphabet, k, base, db, pb,
                                      probe.drop_init, hash_bits=hb)
         if chist is None:
-            if qsyms_cache is None:
-                qsyms_cache = qsyms_fn()
-            ctx = qual_ctx_flat(probe, qsyms_cache, lengths)
+            qs, _ = sampled()
+            ctx = qual_ctx_flat(probe, qs, lengths)
             n = probe.n_ctx * probe.alphabet
             chist = np.bincount(
-                ctx * probe.alphabet + qsyms_cache.astype(np.int64),
+                ctx * probe.alphabet + qs.astype(np.int64),
                 minlength=n)[:n].reshape(probe.n_ctx, probe.alphabet)
+        hA, hB, esc = model_hists(probe, chist)
         for a in alphas:
             cand = QualModel(alphabet=qmodel.alphabet,
                              init=a[0] or p.qual_init,
@@ -328,7 +385,8 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
                              qlevel=p.qlevel, drop_init=p.q_drop_init,
                              k=k, ctx_base=base, drop_bits=db,
                              pos_bits=pb, hash_bits=hb)
-            cost, counts = score(cand, chist)
+            cost, counts = score(cand, hA, hB, esc if holdout else scale,
+                                 chist)
             if best is None or cost < best[0]:
                 best = (cost, (k, db, pb, hb), a, counts)
     _, scheme, alpha, counts = best
@@ -411,11 +469,11 @@ def _train_frozen_impl(p: CodecParams, block: FastqBlock,
         def sampled_qsyms():
             if stride == 1:
                 return lut[block.qual_flat]
-            keep = np.zeros(block.n_reads, bool)
-            keep[::stride] = True
+            keep = _sample_keep(block.n_reads, stride)
             return lut[block.qual_flat[np.repeat(keep, block.lengths)]]
 
-        lens_s = block.lengths if stride == 1 else block.lengths[::stride]
+        lens_s = (block.lengths if stride == 1
+                  else block.lengths[_sample_keep(block.n_reads, stride)])
         qual_counts = _select_qctx(
             p, qmodel, qhist, sampled_qsyms, lens_s, est_total_syms,
             len(qvals),

@@ -84,11 +84,27 @@ void fq_cap_rescale(int32_t* hist, int64_t n_rows, int32_t alphabet,
     }
 }
 
+// Pseudo-random 1-in-stride read sampling (frozen.py _sample_keep must
+// stay bit-identical).  A plain (r % stride) sample aliases with any
+// periodic structure in the input — replicated files, PE interleaving,
+// tile/lane ordering — and can systematically exclude part of the
+// content from training; hashing the read index decorrelates the sample
+// from all such periods.
+static inline int fq_keep_read(int64_t r, int64_t stride) {
+    if (stride <= 1) return 1;
+    return (uint32_t)((uint32_t)r * 2654435761u)
+           <= (uint32_t)(0xFFFFFFFFu / (uint32_t)stride);
+}
+
+// Marker the loader uses to reject .so builds from before the sampling
+// rule changed (the rule is a C <-> numpy contract).
+int32_t fq_sampling_version(void) { return 2; }
+
 // Fused one-pass frozen-model trainer over the RAW ASCII streams
 // (fastqueeze_tpu/pipeline/frozen.py train_frozen fast path).  Replaces
 // the python glue — read-stride subsample, base mapping, degenerate strip,
 // phred conversion — that otherwise costs seconds of numpy copies on the
-// training prefix.  Reads with (r % stride != 0) are skipped entirely;
+// training prefix.  Reads not picked by fq_keep_read are skipped entirely;
 // non-ACGT bases are skipped in the seq-context walk (the numpy path
 // strips them before building contexts — same compacted stream).
 // seq_hist: (1<<2*order)*4 int32, zeroed (or accumulating) by the caller.
@@ -111,7 +127,7 @@ int32_t fq_train_prefix(const uint8_t* seq, const uint8_t* qual,
     int64_t off = 0;
     for (int64_t r = 0; r < n_reads; ++r) {
         const int64_t len = lengths[r];
-        if (r % stride != 0) { off += len; continue; }
+        if (!fq_keep_read(r, stride)) { off += len; continue; }
         uint32_t ctx = magic & mask;
         int32_t q1 = 0, q2 = 0, drops = drop_init;
         for (int64_t i = 0; i < len; ++i) {
@@ -157,7 +173,7 @@ void fq_qctx_hist2(const uint8_t* qual, const int64_t* lengths,
     int64_t off = 0;
     for (int64_t r = 0; r < n_reads; ++r) {
         const int64_t len = lengths[r];
-        if (stride > 1 && r % stride != 0) { off += len; continue; }
+        if (!fq_keep_read(r, stride)) { off += len; continue; }
         int32_t q[4] = {0, 0, 0, 0};        // q[0] = q1 (most recent)
         int32_t drops = drop_init;
         for (int64_t i = 0; i < len; ++i) {

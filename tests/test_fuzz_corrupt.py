@@ -1,0 +1,58 @@
+"""Corruption fuzz: every mangled archive must be rejected with a clean
+error (ValueError family), never an unhandled IndexError/segfault and
+never silent wrong output.  (Failure-detection hardening, SURVEY.md §5;
+deterministic seeds so failures reproduce.)"""
+
+import random
+
+import numpy as np
+import pytest
+
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.pipeline.driver import compress_se, decompress
+
+SMALL = dict(slevel=0, lanes_min=16, lanes_max=32, lane_target_symbols=512)
+
+
+@pytest.fixture(scope="module")
+def arc_and_raw(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("fuzz")
+    rng = np.random.default_rng(7)
+    recs = []
+    for i in range(150):
+        L = int(rng.integers(20, 60))
+        seq = "".join(rng.choice(list("ACGTN"), L))
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 40, L))
+        recs.append(f"@fz.{i} x\n{seq}\n+\n{qual}\n")
+    raw = "".join(recs).encode()
+    src = tmp / "in.fq"
+    src.write_bytes(raw)
+    arc = tmp / "a.fqz"
+    compress_se(CodecParams(**SMALL), str(src), str(arc))
+    return arc.read_bytes(), raw, tmp
+
+
+def test_corrupt_archives_fail_cleanly(arc_and_raw):
+    arc, raw, tmp = arc_and_raw
+    random.seed(11)
+    for trial in range(24):
+        mode = trial % 3
+        b = bytearray(arc)
+        if mode == 0:                       # flip one byte
+            i = random.randrange(len(b))
+            b[i] ^= random.randrange(1, 256)
+        elif mode == 1:                     # truncate
+            b = b[:random.randrange(1, len(b))]
+        else:                               # zero a 16-byte span
+            i = random.randrange(len(b))
+            b[i:i + 16] = b"\x00" * 16
+        bad = tmp / "bad.fqz"
+        bad.write_bytes(bytes(b))
+        try:
+            outs = decompress(str(bad), str(tmp / "out"), force=True)
+        except (ValueError, KeyError, EOFError, OSError):
+            continue                        # clean rejection
+        # decode "succeeded": only acceptable if the mutation landed in
+        # dead bytes and the output is still exact
+        assert open(outs[0], "rb").read() == raw, \
+            f"silent corruption (trial {trial}, mode {mode})"

@@ -115,10 +115,10 @@ def test_native_qctx_hist_matches_host_mirror():
         if stride == 1:
             syms, lens = lut[raw], lengths
         else:
-            keep = np.zeros(len(lengths), bool)
-            keep[::stride] = True
+            from fastqueeze_tpu.pipeline.frozen import _sample_keep
+            keep = _sample_keep(len(lengths), stride)
             syms = lut[raw[np.repeat(keep, lengths)]]
-            lens = lengths[::stride]
+            lens = lengths[keep]
         ctx = qual_ctx_flat(qm, syms.astype(np.int32), lens)
         ref = np.bincount(ctx * A + syms,
                           minlength=qm.n_ctx * A).reshape(qm.n_ctx, A)

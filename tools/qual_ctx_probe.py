@@ -106,7 +106,13 @@ def main():
 
 def frozen_eval(ctx, sym, A, n_rows, init=8, inc=8, cap=0xFFE0):
     """Frozen-mode cost: train dense table on the stream, cap-rescale like
-    the engine, report static NLL + zlib'd table (MODEL section) size."""
+    the engine, report static NLL + zlib'd table (MODEL section) size.
+
+    CAUTION: this is an APPROXIMATION of pipeline/frozen.py — the real
+    _cap_rescale / _pack_counts differ in detail (measured a few percent
+    better), and in-sample NLL here rewards overfit when the real
+    pipeline would train on a sample.  Rank candidates with this, but
+    confirm winners through _select_qctx / a real compress run."""
     import zlib
     flat = ctx.astype(np.int64) * A + sym
     hist = np.bincount(flat, minlength=n_rows * A)[:n_rows * A] \
