@@ -737,8 +737,13 @@ class Aligner:
             # aligner is equally short-read-only)
             sel = np.flatnonzero(lengths <= cap)
             lp = self._lp_bucket(int(lengths[sel].max()) if len(sel) else 32)
+            gp = gl = None
+            if self.params.max_indel > 0:
+                gp = np.zeros(R, np.int32)
+                gl = np.zeros(R, np.int32)
             res = AlignResult(np.zeros(R, bool), np.zeros(R, np.int64),
-                              np.zeros(R, bool), np.zeros((R, lp), bool))
+                              np.zeros(R, bool), np.zeros((R, lp), bool),
+                              gp, gl)
             if len(sel):
                 off = np.cumsum(lengths) - lengths
                 idx = (np.repeat(off[sel], lengths[sel])
@@ -749,6 +754,12 @@ class Aligner:
                 res.pos[sel] = sub.pos
                 res.is_rev[sel] = sub.is_rev
                 res.mis_mask[sel] = sub.mis_mask
+                if gp is not None and sub.gap_pos is not None:
+                    # indel reads' mis_mask is in spliced-window coords;
+                    # dropping the gap fields would code them as gapless
+                    # and corrupt the block (caught only by decode MD5)
+                    res.gap_pos[sel] = sub.gap_pos
+                    res.gap_len[sel] = sub.gap_len
             return res
         lp = self._lp_bucket(max_len)
         p = self.params
@@ -828,6 +839,9 @@ class Aligner:
                 arrs = self._arrays()
                 jobs = []
                 B = 512
+                # a gap wider than the lane is meaningless and would make
+                # the split-scoring slices negative-width
+                G_eff = min(p.max_indel, lp - 1)
                 for s in range(0, len(todo), B):
                     sel = todo[s:s + B]
                     n = len(sel)
@@ -836,7 +850,7 @@ class Aligner:
                     lb = np.zeros(B, np.int32)
                     cb[:n], db[:n] = codes[sel], dege[sel]
                     lb[:n] = lengths[sel]
-                    out = _indel_batch(cfg3, p.max_indel, *arrs,
+                    out = _indel_batch(cfg3, G_eff, *arrs,
                                        jnp.int32(self.ref_len),
                                        jnp.asarray(cb), jnp.asarray(db),
                                        jnp.asarray(lb))

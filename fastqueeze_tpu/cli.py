@@ -124,6 +124,10 @@ def main(argv=None) -> int:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
+        # package import enabled the persistent XLA cache for the
+        # accelerator backend; XLA:CPU cache entries are host-ISA AOT
+        # code (see __init__._enable_compile_cache) — disable it here
+        jax.config.update("jax_enable_compilation_cache", False)
     t_start = time.time()
     dbg = DebugInfo()
     prof = None

@@ -316,6 +316,11 @@ def _py_decode_names(data, R, total_len, init, inc, cap):
                     if s == _NAME_TERM:
                         break
                     cur.append(s)
+                    # per-char bound (the native decoder checks written
+                    # >= total_len each char): a corrupt stream that
+                    # never emits the terminator must fail, not spin
+                    if len(out) + len(cur) > total_len:
+                        raise ValueError("corrupt name stream")
             if len(out) + len(cur) > total_len:
                 raise ValueError("corrupt name stream")
             t += 1

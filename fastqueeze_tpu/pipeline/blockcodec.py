@@ -546,7 +546,9 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
         sections.append((TAG_ACIGF, _code_flags(p, has)))
         sections.append((TAG_ACIGS, _code_le(p, s_m[has], mposb)))
         zz = np.where(g_m[has] >= 0, 2 * g_m[has], -2 * g_m[has] - 1)
-        sections.append((TAG_ACIGL, _code_le(p, zz, 1)))
+        # zigzag range is 2*max_indel; 1 byte only holds max_indel <= 127
+        sections.append((TAG_ACIGL,
+                         _code_le(p, zz, 1 if p.max_indel <= 127 else 2)))
     return sections
 
 
@@ -734,7 +736,8 @@ def _decode_align_streams(p: CodecParams, sections: Dict, meta: Dict,
         nidl = int(has.sum())
         if nidl:
             s_r[has] = _decode_le(p, sections[TAG_ACIGS], nidl, mposb)
-            zz = _decode_le(p, sections[TAG_ACIGL], nidl, 1)
+            zz = _decode_le(p, sections[TAG_ACIGL], nidl,
+                            1 if p.max_indel <= 127 else 2)
             g_r[has] = np.where(zz % 2 == 0, zz // 2, -((zz + 1) // 2))
         g_sym, s_sym = g_r[sym_read], s_r[sym_read]
         shift = np.where(intra >= s_sym, g_sym, 0)

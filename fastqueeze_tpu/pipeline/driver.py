@@ -226,7 +226,7 @@ def decompress(arc_path: str, out_prefix: Optional[str],
                 from fastqueeze_tpu.pipeline.frozen import deserialize_frozen
                 frozen_m = deserialize_frozen(reader.model_blob)
             return _decompress_multi(reader, out_prefix, dbg, frozen_m,
-                                     ref_codes, force)
+                                     ref_codes, force, devices)
         out_name = _se_out_name(arc_path, out_prefix, reader.file_list)
         if indir:
             out_name = os.path.join(os.path.dirname(os.path.abspath(arc_path)),
@@ -421,7 +421,7 @@ def compress_multi(params: CodecParams, in_paths: List[str], out_path: str,
 
 def _decompress_multi(reader: ArcReader, out_prefix: Optional[str],
                       dbg: DebugInfo, frozen, ref_codes,
-                      force: bool) -> List[str]:
+                      force: bool, devices=None) -> List[str]:
     params = reader.params
     names = []
     for i, orig in enumerate(reader.file_list):
@@ -432,21 +432,40 @@ def _decompress_multi(reader: ArcReader, out_prefix: Optional[str],
     for n in names:
         if os.path.exists(n) and not force:
             raise ValueError(f"{n} exists (use -f to overwrite)")
+
+    def decode_one(i, payload):
+        block = decode_block(params, payload, frozen=frozen,
+                             ref_codes=ref_codes)
+        raw = assemble_block(block)
+        if hashlib.md5(raw).digest() != reader.blocks[i].md5:
+            raise ValueError(f"block {i}: MD5 mismatch (corrupt archive)")
+        return raw
+
+    from fastqueeze_tpu.parallel.mesh import device_cycled
+    decode_one = device_cycled(devices, decode_one)
     outs = [open(n, "wb") for n in names]
     md5s = [hashlib.md5() for _ in names]
+    t0 = time.time()
     try:
-        for i, binfo in enumerate(reader.blocks):
-            payload = reader.read_block(i)
-            block = decode_block(params, payload, frozen=frozen,
-                                 ref_codes=ref_codes)
-            raw = assemble_block(block)
-            if hashlib.md5(raw).digest() != binfo.md5:
-                raise ValueError(f"block {i}: MD5 mismatch (corrupt archive)")
-            outs[binfo.file_id].write(raw)
-            md5s[binfo.file_id].update(raw)
+        if params.threads > 1:
+            from fastqueeze_tpu.pipeline.parallel_host import (
+                ordered_parallel)
+            payloads = (reader.read_block(i)
+                        for i in range(len(reader.blocks)))
+            for i, raw in ordered_parallel(payloads, decode_one,
+                                           params.threads):
+                fid = reader.blocks[i].file_id
+                outs[fid].write(raw)
+                md5s[fid].update(raw)
+        else:
+            for i, binfo in enumerate(reader.blocks):
+                raw = decode_one(i, reader.read_block(i))
+                outs[binfo.file_id].write(raw)
+                md5s[binfo.file_id].update(raw)
     finally:
         for o in outs:
             o.close()
+    dbg.add("decode_s", time.time() - t0)
     for i, m in enumerate(md5s):
         if i < len(reader.input_md5s) and m.digest() != reader.input_md5s[i]:
             raise ValueError(f"file {i}: whole-input MD5 mismatch")

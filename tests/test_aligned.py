@@ -402,3 +402,42 @@ def test_indel_aligned_pe_roundtrip(ref_env, tmp_path):
     outs = decompress(arc, str(tmp_path / "back"), ref=fa, force=True)
     assert open(outs[0], "rb").read() == raw1
     assert open(outs[1], "rb").read() == raw2
+
+
+def test_indel_with_overlong_read_roundtrip(ref_env, tmp_path):
+    """A block mixing indel reads with one read longer than align_max_len
+    takes the long-read fallback inside Aligner.align(); the recursive
+    result must keep the gap streams (a dropped gap_len codes indel reads
+    as gapless with spliced-coords masks -> MD5 mismatch on decode)."""
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    from fastqueeze_tpu.pipeline.driver import decompress
+    fa, ref_codes, rng = ref_env
+    raw_i, _ = _indel_reads(rng, ref_codes, 40)
+    long_seq = "".join(rng.choice(list("ACGT"), 700))
+    long_q = "".join(chr(33 + int(q)) for q in rng.integers(2, 40, 700))
+    raw = raw_i + f"@long.0\n{long_seq}\n+\n{long_q}\n".encode()
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    p = CodecParams(**SMALL, max_indel=3)
+    p.align_max_len = 512            # force the fallback split
+    arc = str(tmp_path / "out.fqz")
+    stats = compress_se_aligned(p, fa, str(src), arc)
+    assert stats["mapped"] >= 30     # indel reads still map via rescue
+    outs = decompress(arc, str(tmp_path / "back"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw
+
+
+def test_wide_indel_gap_width(ref_env, tmp_path):
+    """max_indel > 127 needs 2-byte zigzag gap coding (1 byte silently
+    truncated it); archives round-trip either way."""
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    from fastqueeze_tpu.pipeline.driver import decompress
+    fa, ref_codes, rng = ref_env
+    raw_i, _ = _indel_reads(rng, ref_codes, 30)
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw_i)
+    p = CodecParams(**SMALL, max_indel=200)
+    arc = str(tmp_path / "out.fqz")
+    compress_se_aligned(p, fa, str(src), arc)
+    outs = decompress(arc, str(tmp_path / "back"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw_i
