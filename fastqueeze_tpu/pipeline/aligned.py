@@ -102,15 +102,12 @@ def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
         dbg.add("encode_s", time.time() - t0)
         return raw, payload, block.n_reads, n_mapped, align is not None
 
-    from fastqueeze_tpu.pipeline.driver import _block_dp_devices
-    from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
-    devices = _block_dp_devices(p)
-    if devices:
-        from fastqueeze_tpu.parallel.mesh import device_cycled
-        work = device_cycled(devices, work)
+    from fastqueeze_tpu.pipeline.parallel_host import (
+        block_dp_devices, device_parallel)
+    devices = block_dp_devices(p)
     for i, (raw, payload, n_reads, n_mapped, was_aligned) in \
-            ordered_parallel(read_blocks(in_path, block_size), work,
-                             max(1, p.threads)):
+            device_parallel(read_blocks(in_path, block_size), work,
+                            devices, p.threads):
         whole_md5.update(raw)
         writer.add_block(i, payload, BlockInfo(
             payload_len=len(payload), n_reads=n_reads, raw_len1=len(raw),
@@ -193,15 +190,12 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
         return (raw1, raw2, payload, b1.n_reads, merged.n_reads, n_mapped,
                 align is not None)
 
-    from fastqueeze_tpu.pipeline.driver import _block_dp_devices
-    from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
-    devices = _block_dp_devices(p)
-    if devices:
-        from fastqueeze_tpu.parallel.mesh import device_cycled
-        work = device_cycled(devices, work)
+    from fastqueeze_tpu.pipeline.parallel_host import (
+        block_dp_devices, device_parallel)
+    devices = block_dp_devices(p)
     for i, (raw1, raw2, payload, n_pairs, n_merged, n_mapped,
-            was_aligned) in ordered_parallel(items(), work,
-                                             max(1, p.threads)):
+            was_aligned) in device_parallel(items(), work, devices,
+                                            p.threads):
         md5_1.update(raw1)
         md5_2.update(raw2)
         flags = FLAG_PE | (FLAG_ALIGNED if was_aligned else 0)

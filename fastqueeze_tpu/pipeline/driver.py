@@ -23,6 +23,8 @@ from fastqueeze_tpu.container.arcfile import (
     ArcReader, ArcWriter, BlockInfo)
 from fastqueeze_tpu.io.fastq import assemble_block, parse_block, read_blocks
 from fastqueeze_tpu.pipeline.blockcodec import decode_block, encode_block
+from fastqueeze_tpu.pipeline.parallel_host import (
+    block_dp_devices as _block_dp_devices, device_parallel)
 from fastqueeze_tpu.utils.log import info
 from fastqueeze_tpu.utils.metrics import DebugInfo
 
@@ -67,18 +69,6 @@ def _gate_bytes(in_path: str) -> int:
     reference's heuristic, doCheckSetEncodeOpt @0x408298)."""
     sz = os.path.getsize(in_path)
     return sz * 5 if in_path.endswith(".gz") else sz
-
-
-def _block_dp_devices(params: CodecParams):
-    """Resolve block-DP mesh devices and widen the host pipeline to cover
-    them (each in-flight block needs a feeding thread)."""
-    if not params.mesh_n:
-        return None
-    from fastqueeze_tpu.parallel.mesh import block_devices
-    devices = block_devices(params.mesh_n)
-    if devices and params.threads < len(devices):
-        params.threads = len(devices)
-    return devices
 
 
 def compress_se(params: CodecParams, in_path: str, out_path: str,
@@ -131,8 +121,6 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             yield (raw, final_nl, None)
 
     if params.threads > 1:
-        from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
-
         def work(i, item):
             raw, final_nl, block = item
             if block is None:
@@ -142,12 +130,9 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             payload = encode_block(params, block, frozen=frozen, dbg=dbg)
             return raw, payload, block.n_reads
 
-        if devices:
-            from fastqueeze_tpu.parallel.mesh import device_cycled
-            work = device_cycled(devices, work)
         t_all = time.time()
-        for i, (raw, payload, n_reads) in ordered_parallel(
-                items(), work, params.threads):
+        for i, (raw, payload, n_reads) in device_parallel(
+                items(), work, devices, params.threads):
             whole_md5.update(raw)
             writer.add_block(i, payload, BlockInfo(
                 payload_len=len(payload), n_reads=n_reads,
@@ -209,7 +194,7 @@ def decompress(arc_path: str, out_prefix: Optional[str],
             params.threads = threads
         if mesh:               # decode-side --mesh overrides the encoder's;
             params.mesh_n = mesh   # either way clamped to visible devices
-        from fastqueeze_tpu.parallel.mesh import block_devices, device_cycled
+        from fastqueeze_tpu.parallel.mesh import block_devices
         devices = block_devices(params.mesh_n, clamp=True)
         if devices and params.threads < len(devices):
             params.threads = len(devices)
@@ -251,29 +236,16 @@ def decompress(arc_path: str, out_prefix: Optional[str],
                     f"block {i}: MD5 mismatch (corrupt archive)")
             return raw
 
-        decode_one = device_cycled(devices, decode_one)
-
         with (open(out_name, "wb") if out_name
               else contextlib.nullcontext(sys.stdout.buffer)) as out:
-            if params.threads > 1:
-                from fastqueeze_tpu.pipeline.parallel_host import (
-                    ordered_parallel)
-                payloads = (reader.read_block(i)
-                            for i in range(len(reader.blocks)))
-                t0 = time.time()
-                for i, raw in ordered_parallel(payloads, decode_one,
-                                               params.threads):
-                    whole_md5.update(raw)
-                    out.write(raw)
-                dbg.add("decode_s", time.time() - t0)
-            else:
-                for i in range(len(reader.blocks)):
-                    payload = reader.read_block(i)
-                    t0 = time.time()
-                    raw = decode_one(i, payload)
-                    dbg.add("decode_s", time.time() - t0)
-                    whole_md5.update(raw)
-                    out.write(raw)
+            payloads = (reader.read_block(i)
+                        for i in range(len(reader.blocks)))
+            t0 = time.time()
+            for i, raw in device_parallel(payloads, decode_one, devices,
+                                          params.threads):
+                whole_md5.update(raw)
+                out.write(raw)
+            dbg.add("decode_s", time.time() - t0)
         if reader.input_md5s and whole_md5.digest() != reader.input_md5s[0]:
             raise ValueError("whole-input MD5 mismatch")
         return [out_name] if out_name else []
@@ -398,12 +370,8 @@ def compress_multi(params: CodecParams, in_paths: List[str], out_path: str,
         payload = encode_block(params, block, frozen=frozen)
         return fid, raw, payload, block.n_reads
 
-    if devices:
-        from fastqueeze_tpu.parallel.mesh import device_cycled
-        work = device_cycled(devices, work)
-    from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
-    for i, (fid, raw, payload, n_reads) in ordered_parallel(
-            items(), work, max(1, params.threads)):
+    for i, (fid, raw, payload, n_reads) in device_parallel(
+            items(), work, devices, params.threads):
         md5s[fid].update(raw)       # blocks arrive in order, fids monotone
         writer.add_block(i, payload, BlockInfo(
             payload_len=len(payload), n_reads=n_reads,
@@ -441,27 +409,17 @@ def _decompress_multi(reader: ArcReader, out_prefix: Optional[str],
             raise ValueError(f"block {i}: MD5 mismatch (corrupt archive)")
         return raw
 
-    from fastqueeze_tpu.parallel.mesh import device_cycled
-    decode_one = device_cycled(devices, decode_one)
     outs = [open(n, "wb") for n in names]
     md5s = [hashlib.md5() for _ in names]
     t0 = time.time()
     try:
-        if params.threads > 1:
-            from fastqueeze_tpu.pipeline.parallel_host import (
-                ordered_parallel)
-            payloads = (reader.read_block(i)
-                        for i in range(len(reader.blocks)))
-            for i, raw in ordered_parallel(payloads, decode_one,
-                                           params.threads):
-                fid = reader.blocks[i].file_id
-                outs[fid].write(raw)
-                md5s[fid].update(raw)
-        else:
-            for i, binfo in enumerate(reader.blocks):
-                raw = decode_one(i, reader.read_block(i))
-                outs[binfo.file_id].write(raw)
-                md5s[binfo.file_id].update(raw)
+        payloads = (reader.read_block(i)
+                    for i in range(len(reader.blocks)))
+        for i, raw in device_parallel(payloads, decode_one, devices,
+                                      params.threads):
+            fid = reader.blocks[i].file_id
+            outs[fid].write(raw)
+            md5s[fid].update(raw)
     finally:
         for o in outs:
             o.close()

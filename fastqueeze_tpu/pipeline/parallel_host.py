@@ -17,6 +17,30 @@ T = TypeVar("T")
 R = TypeVar("R")
 
 
+def block_dp_devices(params):
+    """Resolve the block-DP device set from ``params.mesh_n`` and widen the
+    host pipeline so every in-flight device has a feeding thread.  Returns
+    None when no mesh is requested (plain host threading)."""
+    if not params.mesh_n:
+        return None
+    from fastqueeze_tpu.parallel.mesh import block_devices
+    devices = block_devices(params.mesh_n)
+    if devices and params.threads < len(devices):
+        params.threads = len(devices)
+    return devices
+
+
+def device_parallel(items: Iterable[T], fn: Callable[[int, T], R],
+                    devices, workers: int) -> Iterator[Tuple[int, R]]:
+    """``ordered_parallel`` with ``fn`` round-robined over ``devices``
+    (block-DP: whole blocks per device; payloads stay byte-identical to the
+    single-device run).  ``devices=None`` degrades to plain host threads."""
+    if devices:
+        from fastqueeze_tpu.parallel.mesh import device_cycled
+        fn = device_cycled(devices, fn)
+    return ordered_parallel(items, fn, max(1, workers))
+
+
 def ordered_parallel(items: Iterable[T], fn: Callable[[int, T], R],
                      workers: int) -> Iterator[Tuple[int, R]]:
     """Run ``fn(idx, item)`` over items with ``workers`` threads, yielding

@@ -170,14 +170,11 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
         dbg.add("encode_s", time.time() - t0)
         return raw1, raw2, payload, b1.n_reads
 
-    from fastqueeze_tpu.pipeline.driver import _block_dp_devices
-    from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
-    devices = _block_dp_devices(p)
-    if devices:
-        from fastqueeze_tpu.parallel.mesh import device_cycled
-        work = device_cycled(devices, work)
-    for i, (raw1, raw2, payload, n_reads) in ordered_parallel(
-            items(), work, max(1, p.threads)):
+    from fastqueeze_tpu.pipeline.parallel_host import (
+        block_dp_devices, device_parallel)
+    devices = block_dp_devices(p)
+    for i, (raw1, raw2, payload, n_reads) in device_parallel(
+            items(), work, devices, p.threads):
         md5_1.update(raw1)
         md5_2.update(raw2)
         info = BlockInfo(payload_len=len(payload), n_reads=n_reads,
@@ -311,14 +308,11 @@ def decompress_pe_blocks(reader: ArcReader, out_prefix: Optional[str],
         return decode_pe_payload(p, payload, _frozen_of(reader, p),
                                  ref_codes, reader.blocks[i].md5, i)
 
-    if devices:
-        from fastqueeze_tpu.parallel.mesh import device_cycled
-        decode_one = device_cycled(devices, decode_one)
     try:
-        from fastqueeze_tpu.pipeline.parallel_host import ordered_parallel
+        from fastqueeze_tpu.pipeline.parallel_host import device_parallel
         payloads = (reader.read_block(i) for i in range(len(reader.blocks)))
-        for i, (b1, b2, raw1, raw2) in ordered_parallel(
-                payloads, decode_one, max(1, p.threads)):
+        for i, (b1, b2, raw1, raw2) in device_parallel(
+                payloads, decode_one, devices, p.threads):
             md5_1.update(raw1)
             md5_2.update(raw2)
             if pipeout == 3:

@@ -43,6 +43,27 @@ def test_multi_file_roundtrip(tmp_path):
         assert os.path.basename(name).startswith("back_m")
 
 
+def test_multi_file_threaded_decode(tmp_path):
+    """Multi-file decode honours -t N (it used to fall into a strictly
+    serial loop that ignored both -t and --mesh); outputs must be
+    byte-identical to the serial path, blocks interleaved across files."""
+    rng = np.random.default_rng(6)
+    raws = [_mk_fastq(rng, 120, tag=f"g{i}") for i in range(2)]
+    paths = []
+    for i, raw in enumerate(raws):
+        pth = tmp_path / f"tin{i}.fq"
+        pth.write_bytes(raw)
+        paths.append(str(pth))
+    p = CodecParams(**SMALL, block_bytes=4096)   # several blocks per file
+    arc = str(tmp_path / "multi_t.fqz")
+    stats = compress_multi(p, paths, arc)
+    assert stats["blocks"] > 2
+    outs = decompress(arc, str(tmp_path / "tback"), force=True, threads=3)
+    assert len(outs) == 2
+    for raw, name in zip(raws, outs):
+        assert open(name, "rb").read() == raw
+
+
 def test_config_file_roundtrip(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     p = CodecParams()
