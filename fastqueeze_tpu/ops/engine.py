@@ -238,6 +238,59 @@ def _pack4_dev(grid):
     return g[:, :, 0] | (g[:, :, 1] << 4)
 
 
+# --- mode 15: 4-bit nibbles + exception sidecar (encode h2d only) ---
+# Dense-rank qual streams are heavily skewed: on typical data the 15
+# most frequent ranks carry >= 95% of the symbols, so shipping nibbles
+# (nibble k = k-th most frequent symbol of this grid, sentinel 15 = "in
+# the sidecar") cuts the qual h2d volume ~28% vs the flat 6-bit pack.
+# The tunnel link (~14 MB/s h2d) is the encode bottleneck, so transfer
+# bytes ~ wall time.  The sidecar array is [perm(16B) | exceptions]: a
+# per-grid frequency permutation (ranks are VALUE-sorted, so the
+# frequent symbols are not the low ranks) followed by the raw values of
+# every symbol outside the top 15, in grid scan order.  This is purely a
+# transfer-layer representation: the unpacked grid (and the archive
+# bitstream) is bit-identical to the 6-bit path, and decode d2h is
+# untouched (a device-side exception count would cost an extra sync
+# round-trip, which at ~36 ms RTT outweighs the byte savings).
+_EXC_SYM = 15
+_EXC_FRAC_MAX = 0.15      # above this, plain 6-bit is smaller
+_EXC_NONE = np.zeros(1, np.uint8)
+
+
+def _exc_bucket(n: int) -> int:
+    """Pad the sidecar to coarse pow-4 buckets so the fused kernels
+    compile once per bucket, not once per exception count."""
+    cap = 4096
+    while cap < n:
+        cap <<= 2
+    return cap
+
+
+def _pack15_host(grid: np.ndarray, top: np.ndarray):
+    """top: the (<=15) grid symbols mapped to nibbles 0..14, most
+    frequent first.  Returns (packed nibbles, [perm | exceptions])."""
+    flat = grid.reshape(-1)
+    lut = np.full(64, _EXC_SYM, np.uint8)
+    lut[top] = np.arange(len(top), dtype=np.uint8)
+    nib = lut[flat]
+    exc = flat[nib == _EXC_SYM]
+    side = np.zeros(16 + _exc_bucket(len(exc)), np.uint8)
+    side[:len(top)] = top
+    side[16:16 + len(exc)] = exc
+    return _pack4_host(nib.reshape(grid.shape)), side
+
+
+@jax.jit
+def _unpack15_dev(packed, side):
+    nib = _unpack4_dev(packed)
+    flat = nib.reshape(-1)
+    mask = flat == _EXC_SYM
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    vals = side[16 + jnp.clip(idx, 0, side.shape[0] - 17)]
+    top = side[jnp.minimum(flat, _EXC_SYM)]   # perm gather (16-entry)
+    return jnp.where(mask, vals, top).reshape(nib.shape)
+
+
 def _pack6_host(grid: np.ndarray) -> np.ndarray:
     """(T, L) 6-bit symbols -> (T, 3L/4) bytes (4 syms per 24 bits)."""
     from fastqueeze_tpu.io import native
@@ -310,14 +363,31 @@ def _pack_host(grid: np.ndarray, mode: int) -> np.ndarray:
     return grid
 
 
-def _unpack_dev(grid, mode: int):
+def _unpack_dev(grid, mode: int, exc=None):
     if mode == 2:
         return _unpack2_dev(grid)
     if mode == 4:
         return _unpack4_dev(grid)
     if mode == 6:
         return _unpack6_dev(grid)
+    if mode == 15:
+        return _unpack15_dev(grid, exc)
     return grid
+
+
+def _pack_for_upload(grid: np.ndarray, pmode: int):
+    """Encode-side h2d pack: upgrade 6-bit grids to mode 15 when the
+    top-15 symbol mass makes nibbles+sidecar smaller.  Returns
+    (effective pmode, packed grid, sidecar array)."""
+    if pmode == 6 and _EXC_FRAC_MAX > 0:
+        cnt = np.bincount(grid.reshape(-1), minlength=64)[:64]
+        top = np.argsort(-cnt, kind="stable")[:_EXC_SYM]
+        top = top[cnt[top] > 0].astype(np.uint8)
+        frac = 1.0 - float(cnt[top].sum()) / max(grid.size, 1)
+        if frac <= _EXC_FRAC_MAX:
+            packed, side = _pack15_host(grid, top)
+            return 15, packed, side
+    return pmode, _pack_host(grid, pmode), _EXC_NONE
 
 
 def _pack_dev(grid, mode: int):
@@ -754,13 +824,13 @@ def _make_grids(model, params, flat_syms, counts_per_read, extra_aux,
                    static_argnames=("model", "n_halve", "T", "pmode",
                                     "chunk"))
 def _encode_fused_adapt(model: CtxModel, n_halve: int, T: int,
-                        pmode: int, c0, syms_in, counts_grid,
+                        pmode: int, c0, syms_in, counts_grid, exc,
                         chunk: int = 0):
     """Single-dispatch encode: aux grids + context build + adaptive model
     walk + rANS + compaction, all fused under one jit.  chunk > 0 uses the
     semi-adaptive walk (snapshot requantized every `chunk` waves)."""
     valid, aux = _device_aux(T, counts_grid)
-    syms = _unpack_dev(syms_in, pmode)
+    syms = _unpack_dev(syms_in, pmode, exc)
     ctx = model.context_grids(syms, aux)
     if chunk:
         start, freq, counts_out = _pass1_semi(model, n_halve, chunk, c0,
@@ -775,9 +845,9 @@ def _encode_fused_adapt(model: CtxModel, n_halve: int, T: int,
 
 @functools.partial(jax.jit, static_argnames=("model", "T", "pmode"))
 def _encode_fused_frozen(model: CtxModel, T: int, pmode: int,
-                         counts0, syms_in, counts_grid):
+                         counts0, syms_in, counts_grid, exc):
     valid, aux = _device_aux(T, counts_grid)
-    syms = _unpack_dev(syms_in, pmode)
+    syms = _unpack_dev(syms_in, pmode, exc)
     ctx = model.context_grids(syms, aux)
     start, freq = _pass1_frozen(model.alphabet, counts0, ctx, syms)
     start = jnp.where(valid, start, 0)
@@ -866,21 +936,22 @@ def encode_stream_job(model: CtxModel, params: CodecParams,
         # fused single-dispatch path: aux grids computed on device
         layout = make_layout(counts_per_read, L)
         syms = to_grid(layout, np.asarray(flat_syms, np.uint8))
-        pmode = _pack_mode(model, L)
-        syms = _pack_host(syms, pmode)
+        pmode, syms, exc = _pack_for_upload(syms, _pack_mode(model, L))
         cg = jnp.asarray(_counts_grid(counts_per_read, L))
         syms_dev = jnp.asarray(syms)
+        exc_dev = jnp.asarray(exc)
         if adapt:
             c0 = counts0 if counts0 is not None else init_counts(model)
             chunk = _chunk_of(params, model, layout.T)
             nh = (_n_halve_chunk(model, L, chunk) if chunk
                   else _n_halve(model, L))
             wp, nw, xf, counts_out = _encode_fused_adapt(
-                model, nh, layout.T, pmode, c0, syms_dev, cg, chunk)
+                model, nh, layout.T, pmode, c0, syms_dev, cg, exc_dev,
+                chunk)
         else:
             assert counts0 is not None, "frozen encode needs counts0"
             wp, nw, xf = _encode_fused_frozen(
-                model, layout.T, pmode, counts0, syms_dev, cg)
+                model, layout.T, pmode, counts0, syms_dev, cg, exc_dev)
             counts_out = counts0
         return EncodeJob(layout.T, L, nsym, wp, nw, xf, counts_out)
 
@@ -1033,9 +1104,10 @@ def _dev_aux(aux: Dict[str, np.ndarray]):
 
 
 @functools.partial(jax.jit, static_argnames=("model", "T", "pmode"))
-def _train_fused(model: CtxModel, T: int, pmode: int, syms_in, counts_grid):
+def _train_fused(model: CtxModel, T: int, pmode: int, syms_in, counts_grid,
+                 exc):
     valid, aux = _device_aux(T, counts_grid)
-    syms = _unpack_dev(syms_in, pmode)
+    syms = _unpack_dev(syms_in, pmode, exc)
     return _train_counts(model, syms, valid, aux)
 
 
@@ -1050,11 +1122,12 @@ def train_counts(model: CtxModel, params: CodecParams,
         nsym = int(counts_per_read.sum())
         L = n_lanes or params.n_lanes(nsym)
         layout = make_layout(counts_per_read, L)
-        pmode = _pack_mode(model, L)
-        syms = _pack_host(to_grid(layout, np.asarray(flat_syms, np.uint8)),
-                          pmode)
+        pmode, syms, exc = _pack_for_upload(
+            to_grid(layout, np.asarray(flat_syms, np.uint8)),
+            _pack_mode(model, L))
         cg = jnp.asarray(_counts_grid(counts_per_read, L))
-        return _train_fused(model, layout.T, pmode, jnp.asarray(syms), cg)
+        return _train_fused(model, layout.T, pmode, jnp.asarray(syms), cg,
+                            jnp.asarray(exc))
     layout, _, L, valid_dev, aux_dev = _make_grids(
         model, params, flat_syms, counts_per_read, extra_aux, n_lanes)
     syms = to_grid(layout, np.asarray(flat_syms, np.uint8))

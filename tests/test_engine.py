@@ -72,6 +72,28 @@ def test_qual_model():
     _roundtrip(model, flat, counts)
 
 
+def test_mode15_transfer_pack_payload_identical(monkeypatch):
+    """Skewed dense-rank data rides the 4-bit+exceptions h2d pack (mode
+    15); it is a transfer-layer representation only, so the payload must
+    be byte-identical to the plain 6-bit pack and round-trip exactly."""
+    import fastqueeze_tpu.ops.engine as E
+    rng = np.random.default_rng(11)
+    counts = np.full(300, 100)
+    n = int(counts.sum())
+    # real qual ranks are VALUE-sorted, so the frequent symbols sit at
+    # HIGH ranks — the pack must pick them by frequency, not position
+    flat = np.where(rng.random(n) < 0.94, rng.integers(28, 40, n),
+                    rng.integers(0, 28, n)).astype(np.uint8)
+    model = QualModel(alphabet=40, init=1, inc=8, cap=8192, qlevel=2)
+    # confirm the pack-mode selector actually fires on this data
+    grid = flat[:4096].reshape(64, 64)
+    assert E._pack_for_upload(grid, 6)[0] == 15
+    payload15 = _roundtrip(model, flat, counts)
+    monkeypatch.setattr(E, "_EXC_FRAC_MAX", -1.0)   # force plain 6-bit
+    payload6 = _roundtrip(model, flat, counts)
+    assert payload15 == payload6
+
+
 def test_qual_model_qlevel3_pos_aux():
     rng = np.random.default_rng(5)
     counts = rng.integers(1, 150, size=100)
