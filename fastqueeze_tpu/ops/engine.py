@@ -266,29 +266,41 @@ def _exc_bucket(n: int) -> int:
     return cap
 
 
-def _pack15_host(grid: np.ndarray, top: np.ndarray):
-    """top: the (<=15) grid symbols mapped to nibbles 0..14, most
-    frequent first.  Returns (packed nibbles, [perm | exceptions])."""
+def _pack_sent_host(grid: np.ndarray, top: np.ndarray, sent: int, packer):
+    """top: the (< sent) grid symbols mapped to codes 0..sent-1, most
+    frequent first; code `sent` = "value is in the sidecar".  Returns
+    (packed codes, [perm(16B) | exceptions])."""
     flat = grid.reshape(-1)
-    lut = np.full(64, _EXC_SYM, np.uint8)
+    lut = np.full(64, sent, np.uint8)
     lut[top] = np.arange(len(top), dtype=np.uint8)
     nib = lut[flat]
-    exc = flat[nib == _EXC_SYM]
+    exc = flat[nib == sent]
     side = np.zeros(16 + _exc_bucket(len(exc)), np.uint8)
     side[:len(top)] = top
     side[16:16 + len(exc)] = exc
-    return _pack4_host(nib.reshape(grid.shape)), side
+    return packer(nib.reshape(grid.shape)), side
+
+
+def _unpack_sent_dev(flat, side, sent):
+    mask = flat == sent
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    vals = side[16 + jnp.clip(idx, 0, side.shape[0] - 17)]
+    top = side[jnp.minimum(flat, sent)]   # perm gather (16-entry)
+    return jnp.where(mask, vals, top)
 
 
 @jax.jit
 def _unpack15_dev(packed, side):
     nib = _unpack4_dev(packed)
-    flat = nib.reshape(-1)
-    mask = flat == _EXC_SYM
-    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    vals = side[16 + jnp.clip(idx, 0, side.shape[0] - 17)]
-    top = side[jnp.minimum(flat, _EXC_SYM)]   # perm gather (16-entry)
-    return jnp.where(mask, vals, top).reshape(nib.shape)
+    return _unpack_sent_dev(nib.reshape(-1), side, _EXC_SYM).reshape(
+        nib.shape)
+
+
+@jax.jit
+def _unpack23_dev(packed, side):
+    cr = _unpack2_dev(packed)
+    return _unpack_sent_dev(cr.reshape(-1).astype(jnp.uint8), side,
+                            3).reshape(cr.shape)
 
 
 def _pack6_host(grid: np.ndarray) -> np.ndarray:
@@ -372,21 +384,31 @@ def _unpack_dev(grid, mode: int, exc=None):
         return _unpack6_dev(grid)
     if mode == 15:
         return _unpack15_dev(grid, exc)
+    if mode == 23:
+        return _unpack23_dev(grid, exc)
     return grid
 
 
 def _pack_for_upload(grid: np.ndarray, pmode: int):
-    """Encode-side h2d pack: upgrade 6-bit grids to mode 15 when the
-    top-15 symbol mass makes nibbles+sidecar smaller.  Returns
-    (effective pmode, packed grid, sidecar array)."""
-    if pmode == 6 and _EXC_FRAC_MAX > 0:
+    """Encode-side h2d pack: upgrade 4/6-bit grids to a sentinel-coded
+    variant (mode 23 = 2-bit + sidecar, mode 15 = 4-bit + sidecar) when
+    the grid's top-symbol mass makes that smaller.  Returns (effective
+    pmode, packed grid, sidecar array)."""
+    if pmode in (4, 6) and _EXC_FRAC_MAX > 0 and grid.size:
         cnt = np.bincount(grid.reshape(-1), minlength=64)[:64]
-        top = np.argsort(-cnt, kind="stable")[:_EXC_SYM]
-        top = top[cnt[top] > 0].astype(np.uint8)
-        frac = 1.0 - float(cnt[top].sum()) / max(grid.size, 1)
-        if frac <= _EXC_FRAC_MAX:
-            packed, side = _pack15_host(grid, top)
-            return 15, packed, side
+        order = np.argsort(-cnt, kind="stable")
+        mass = np.cumsum(cnt[order]) / grid.size
+        base = 0.75 if pmode == 6 else 0.5           # bytes/symbol
+        c23 = 0.25 + (1.0 - float(mass[2]))
+        c15 = 0.5 + (1.0 - float(mass[14])) if pmode == 6 else base
+        best = min(base, c15, c23)
+        if best < base - 0.01:                       # margin: ties keep flat
+            sent, nb = (3, 2) if c23 <= c15 else (_EXC_SYM, 4)
+            top = order[:sent]
+            top = top[cnt[top] > 0].astype(np.uint8)
+            packed, side = _pack_sent_host(
+                grid, top, sent, _pack2_host if nb == 2 else _pack4_host)
+            return (23 if nb == 2 else 15), packed, side
     return pmode, _pack_host(grid, pmode), _EXC_NONE
 
 
@@ -891,6 +913,21 @@ def _chunk_of(params: CodecParams, model: CtxModel, T: int) -> int:
     return c if (c and T % c == 0) else 0
 
 
+# last observed n_words per stream shape (alphabet, n_ctx, T, L): blocks
+# of one input are statistically alike, so the previous block's count
+# predicts this one's within a few percent.  Used only to choose how
+# much to fetch speculatively — payload bytes never depend on it.
+_NWORDS_EST: Dict = {}
+
+
+def _wbucket(n: int, cap: int) -> int:
+    """Coarse (32k-word) fetch bucket: an exact-length slice is a fresh
+    XLA program per distinct stream length (remote-compiled through the
+    tunnel on every block); bucketing reuses a handful of programs and
+    wastes <= 64 KB of transfer."""
+    return min(-(-max(n, 1) // 32768) * 32768, cap)
+
+
 class EncodeJob:
     """Dispatched-but-unfinalized device encode: all device work is queued
     asynchronously; :meth:`finalize` syncs and serializes.  Callers dispatch
@@ -898,23 +935,42 @@ class EncodeJob:
     tunnel round-trip once per stream."""
 
     def __init__(self, T: int, L: int, nsym: int, wpacked, n_words_dev,
-                 x_final, counts_out):
+                 x_final, counts_out, est_key=None):
         self._T, self._L, self._nsym = T, L, nsym
         self._wpacked = wpacked
         self._n_words = n_words_dev
         self._x_final = x_final
+        self._est_key = est_key
         self.counts_out = counts_out
 
     def finalize(self) -> bytes:
-        n_words = int(self._n_words)
-        # slice at a coarse (32k-word) bucket boundary: an exact-length
-        # slice is a fresh XLA program per distinct stream length (remote-
-        # compiled through the tunnel on every block); bucketing reuses a
-        # handful of programs and wastes <= 64 KB of transfer
         cap = self._wpacked.shape[0]
-        bucket = min(-(-max(n_words, 1) // 32768) * 32768, cap)
-        words_dev = self._wpacked[:bucket] if bucket < cap else self._wpacked
-        words_host, xf = jax.device_get((words_dev, self._x_final))
+        est = _NWORDS_EST.get(self._est_key)
+        if est is not None:
+            # speculative single-round-trip fetch: ship the count, the
+            # final states and (an estimate-sized slice of) the words in
+            # one device_get instead of a count sync followed by a fetch
+            # — at ~36 ms per synchronous round-trip that halves the
+            # per-stream collection latency.  15% headroom + bucket
+            # rounding make an under-fetch rare; when it happens we pay
+            # the old two-trip cost.
+            bucket = _wbucket(int(est * 1.15), cap)
+            wd = self._wpacked[:bucket] if bucket < cap else self._wpacked
+            nw, words_host, xf = jax.device_get(
+                (self._n_words, wd, self._x_final))
+            n_words = int(nw)
+            if n_words > bucket:
+                b2 = _wbucket(n_words, cap)
+                words_host = jax.device_get(
+                    self._wpacked[:b2] if b2 < cap else self._wpacked)
+        else:
+            n_words = int(self._n_words)
+            bucket = _wbucket(n_words, cap)
+            words_dev = (self._wpacked[:bucket] if bucket < cap
+                         else self._wpacked)
+            words_host, xf = jax.device_get((words_dev, self._x_final))
+        if self._est_key is not None:
+            _NWORDS_EST[self._est_key] = n_words
         return (_HDR.pack(self._T, self._L, n_words, self._nsym)
                 + np.asarray(xf).astype("<u4").tobytes()
                 + np.asarray(words_host[:n_words]).astype("<u2").tobytes())
@@ -953,7 +1009,9 @@ def encode_stream_job(model: CtxModel, params: CodecParams,
             wp, nw, xf = _encode_fused_frozen(
                 model, layout.T, pmode, counts0, syms_dev, cg, exc_dev)
             counts_out = counts0
-        return EncodeJob(layout.T, L, nsym, wp, nw, xf, counts_out)
+        est_key = (model.alphabet, model.n_ctx, layout.T, L)
+        return EncodeJob(layout.T, L, nsym, wp, nw, xf, counts_out,
+                         est_key=est_key)
 
     layout, nsym, L, valid_dev, aux_dev = _make_grids(
         model, params, flat_syms, counts_per_read, extra_aux, n_lanes)
@@ -975,7 +1033,8 @@ def encode_stream_job(model: CtxModel, params: CodecParams,
     words, emits, x_final = _pass2(start, freq, valid_dev)
     wpacked, n_words_dev = _compact_words(words, emits)
     return EncodeJob(layout.T, L, nsym, wpacked, n_words_dev, x_final,
-                     counts_out)
+                     counts_out,
+                     est_key=(model.alphabet, model.n_ctx, layout.T, L))
 
 
 def encode_stream(model: CtxModel, params: CodecParams,

@@ -94,6 +94,54 @@ def test_mode15_transfer_pack_payload_identical(monkeypatch):
     assert payload15 == payload6
 
 
+def test_mode23_transfer_pack_payload_identical(monkeypatch):
+    """Binned-qual-like data (few dominant symbols of a <=16 alphabet)
+    rides the 2-bit+sidecar pack (mode 23); payload must be byte-equal
+    to the plain 4-bit pack."""
+    import fastqueeze_tpu.ops.engine as E
+    rng = np.random.default_rng(12)
+    counts = np.full(200, 100)
+    n = int(counts.sum())
+    flat = np.where(rng.random(n) < 0.93,
+                    rng.choice([5, 7, 2], n, p=[0.5, 0.3, 0.2]),
+                    rng.integers(0, 12, n)).astype(np.uint8)
+    model = QualModel(alphabet=16, init=1, inc=8, cap=8192, qlevel=2)
+    grid = flat[:4096].reshape(64, 64)
+    assert E._pack_for_upload(grid, 4)[0] == 23
+    payload23 = _roundtrip(model, flat, counts)
+    monkeypatch.setattr(E, "_EXC_FRAC_MAX", -1.0)   # force plain 4-bit
+    payload4 = _roundtrip(model, flat, counts)
+    assert payload23 == payload4
+
+
+def test_speculative_words_fetch_identical(monkeypatch):
+    """finalize()'s single-round-trip speculative fetch (second block
+    onward, primed by _NWORDS_EST) and the deliberately-undersized
+    fallback path must serialize byte-identical payloads."""
+    import fastqueeze_tpu.ops.engine as E
+    rng = np.random.default_rng(13)
+    counts = np.full(200, 100)
+    flat = rng.integers(0, 40, size=int(counts.sum())).astype(np.uint8)
+    model = QualModel(alphabet=40, init=1, inc=8, cap=8192, qlevel=2)
+    E._NWORDS_EST.clear()
+    cold = encode_stream(model, P, flat, counts)     # no estimate yet
+    warm = encode_stream(model, P, flat, counts)     # speculative path
+    assert warm == cold
+    # poison the estimate (and shrink the bucket quantum so the 32k-word
+    # floor can't mask it): the speculative fetch under-shoots and the
+    # refetch fallback must run and still serialize identical bytes
+    monkeypatch.setattr(
+        E, "_wbucket",
+        lambda n, cap: min(-(-max(n, 1) // 256) * 256, cap))
+    key = next(iter(E._NWORDS_EST))
+    E._NWORDS_EST[key] = 1
+    short = encode_stream(model, P, flat, counts)
+    assert short == cold
+    np.testing.assert_array_equal(
+        decode_stream(model, P, short, counts), flat)
+    E._NWORDS_EST.clear()
+
+
 def test_qual_model_qlevel3_pos_aux():
     rng = np.random.default_rng(5)
     counts = rng.integers(1, 150, size=100)
