@@ -879,6 +879,45 @@ def _encode_fused_frozen(model: CtxModel, T: int, pmode: int,
     return wp, nw, x_final
 
 
+def _pack15_dev(syms, valid):
+    """Device-side mode-15 d2h pack of a decoded (T, L) grid: frequency
+    top-15 -> nibbles, rest -> exception buffer (cap = size/4, overflow
+    detected by the returned count).  Invalid (padding) slots are
+    rewritten to the most frequent symbol so they cost a nibble, never a
+    sidecar entry."""
+    counts = jnp.zeros(64, jnp.int32).at[
+        jnp.where(valid, syms, 0).astype(jnp.int32).reshape(-1)].add(
+        valid.astype(jnp.int32).reshape(-1))
+    _, top = lax.top_k(counts, _EXC_SYM)
+    top = top.astype(jnp.uint8)
+    filled = jnp.where(valid, syms.astype(jnp.uint8), top[0])
+    lut = jnp.full(64, _EXC_SYM, jnp.uint8).at[top].set(
+        jnp.arange(_EXC_SYM, dtype=jnp.uint8))
+    nib = lut[filled]
+    mask = (nib == _EXC_SYM).reshape(-1)
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    cap = syms.size // 4
+    scat = jnp.where(mask, jnp.minimum(idx, cap), cap)   # cap = dump slot
+    exc = jnp.zeros(cap + 1, jnp.uint8).at[scat].set(
+        filled.reshape(-1), mode="drop")
+    side = jnp.concatenate(
+        [jnp.zeros(16, jnp.uint8).at[:_EXC_SYM].set(top), exc[:cap]])
+    n_exc = jnp.sum(mask.astype(jnp.int32))
+    return _pack4_dev(nib), side, n_exc
+
+
+def _pack_dev_out(syms, valid, pmode: int):
+    """Decode d2h outputs: the plain pack always, plus the sentinel
+    variant for 6-bit grids (the host fetches whichever is cheaper —
+    XLA dead-code-eliminates nothing here, but the sentinel pack is a
+    few elementwise passes, negligible next to the decode scan)."""
+    plain = _pack_dev(syms, pmode)
+    if pmode != 6:
+        return plain, None, None
+    nib, side, n_exc = _pack15_dev(syms, valid)
+    return plain, (nib, side), n_exc
+
+
 @functools.partial(jax.jit,
                    static_argnames=("model", "n_halve", "T", "pmode",
                                     "chunk"))
@@ -892,7 +931,7 @@ def _decode_fused_adapt(model: CtxModel, n_halve: int, T: int,
     else:
         syms, counts_out, x = _decode(model, n_halve, c0, lane0, states,
                                       words, valid, aux)
-    return _pack_dev(syms, pmode), counts_out
+    return _pack_dev_out(syms, valid, pmode), counts_out
 
 
 @functools.partial(jax.jit, static_argnames=("model", "T", "pmode"))
@@ -901,7 +940,7 @@ def _decode_fused_frozen(model: CtxModel, T: int, pmode: int,
     valid, aux = _device_aux(T, counts_grid)
     syms, x = _decode_frozen(model, counts0, lane0, states, words, valid,
                              aux)
-    return _pack_dev(syms, pmode)
+    return _pack_dev_out(syms, valid, pmode)
 
 
 def _chunk_of(params: CodecParams, model: CtxModel, T: int) -> int:
@@ -1060,16 +1099,62 @@ def encode_stream(model: CtxModel, params: CodecParams,
     return payload
 
 
+# last observed sidecar size per decoded stream shape: sizes the
+# speculative d2h fetch of the sentinel-packed decode output.
+_DEXC_EST: Dict = {}
+_DFETCH_Q = 16384          # sidecar fetch-slice quantum (program reuse)
+
+
 class DecodeJob:
-    def __init__(self, layout, syms_dev, counts_out, pmode: int = 0):
+    def __init__(self, layout, syms_dev, counts_out, pmode: int = 0,
+                 sent=None, n_exc=None, est_key=None):
         self._layout = layout
         self._syms = syms_dev
         self._pmode = pmode
+        self._sent = sent              # (nibbles, side) device arrays
+        self._n_exc = n_exc
+        self._est_key = est_key
         self.counts_out = counts_out
 
     def finalize(self) -> np.ndarray:
+        if self._sent is not None:
+            return from_grid(self._layout, self._fetch_sentinel())
         grid = _unpack_host(np.asarray(self._syms), self._pmode)
         return from_grid(self._layout, grid)
+
+    def _fetch_sentinel(self) -> np.ndarray:
+        """d2h fetch of the decoded qual grid via the mode-15 sentinel
+        pack when the previous same-shape block says the sidecar is
+        small — ~28% less d2h than the plain 6-bit grid.  Cold blocks
+        (or dense data, sidecar overflow) fetch the plain pack; both
+        reconstruct the identical grid."""
+        nib_dev, side_dev = self._sent
+        cap = side_dev.shape[0] - 16
+        est = _DEXC_EST.get(self._est_key)
+        if est is None or est > cap * 0.9:
+            n_exc, grid = jax.device_get((self._n_exc, self._syms))
+            _DEXC_EST[self._est_key] = int(n_exc)
+            return _unpack_host(np.asarray(grid), self._pmode)
+        q = _DFETCH_Q
+        bucket = min(-(-int(est * 1.15) // q) * q, cap)
+        n_exc, nib, side = jax.device_get(
+            (self._n_exc, nib_dev, side_dev[:16 + bucket]))
+        n_exc = int(n_exc)
+        _DEXC_EST[self._est_key] = n_exc
+        if n_exc > cap:            # sidecar overflowed on device
+            return _unpack_host(
+                np.asarray(jax.device_get(self._syms)), self._pmode)
+        if n_exc > bucket:         # estimate under-shot: refetch sidecar
+            side = jax.device_get(
+                side_dev[:16 + min(-(-n_exc // q) * q, cap)])
+        side = np.asarray(side)
+        perm, exc = side[:16], side[16:]
+        nibg = _unpack4_host(np.asarray(nib))
+        flat = nibg.reshape(-1)
+        mask = flat == _EXC_SYM
+        out = perm[np.minimum(flat, _EXC_SYM)]
+        out[mask] = exc[np.cumsum(mask)[mask] - 1]
+        return out.reshape(nibg.shape)
 
 
 def decode_stream_job(model: CtxModel, params: CodecParams,
@@ -1112,16 +1197,18 @@ def decode_stream_job(model: CtxModel, params: CodecParams,
             chunk = _chunk_of(params, model, T)
             nh = (_n_halve_chunk(model, L, chunk) if chunk
                   else _n_halve(model, L))
-            syms, counts_out = _decode_fused_adapt(
+            (syms, sent, n_exc), counts_out = _decode_fused_adapt(
                 model, nh, T, pmode, c0,
                 model.lane_init(L), states_dev, words_dev, cg, chunk)
         else:
             assert counts0 is not None, "frozen decode needs counts0"
-            syms = _decode_fused_frozen(
+            syms, sent, n_exc = _decode_fused_frozen(
                 model, T, pmode, counts0, model.lane_init(L), states_dev,
                 words_dev, cg)
             counts_out = counts0
-        return DecodeJob(layout, syms, counts_out, pmode=pmode)
+        return DecodeJob(layout, syms, counts_out, pmode=pmode,
+                         sent=sent, n_exc=n_exc,
+                         est_key=(model.alphabet, model.n_ctx, T, L))
 
     layout, nsym2, L2, valid_dev, aux_dev = _make_grids(
         model, params, None, counts_per_read, extra_aux, L)

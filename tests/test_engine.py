@@ -142,6 +142,43 @@ def test_speculative_words_fetch_identical(monkeypatch):
     E._NWORDS_EST.clear()
 
 
+def test_sentinel_decode_fetch_identical():
+    """Decode d2h sentinel path: cold fetch (plain grid, primes the
+    sidecar estimate), warm speculative fetch, poisoned under-fetch and
+    dense-data overflow must all reconstruct identical symbols."""
+    import fastqueeze_tpu.ops.engine as E
+    rng = np.random.default_rng(14)
+    counts = np.full(200, 100)
+    n = int(counts.sum())
+    flat = np.where(rng.random(n) < 0.94, rng.integers(28, 40, n),
+                    rng.integers(0, 28, n)).astype(np.uint8)
+    model = QualModel(alphabet=40, init=1, inc=8, cap=8192, qlevel=2)
+    payload = encode_stream(model, P, flat, counts)
+    E._DEXC_EST.clear()
+    cold = decode_stream(model, P, payload, counts)    # plain, primes est
+    np.testing.assert_array_equal(cold, flat)
+    assert E._DEXC_EST, "estimate not primed"
+    warm = decode_stream(model, P, payload, counts)    # sentinel fetch
+    np.testing.assert_array_equal(warm, flat)
+    key = next(iter(E._DEXC_EST))
+    E._DEXC_EST[key] = 1                               # force under-fetch
+    old_q = E._DFETCH_Q
+    E._DFETCH_Q = 64       # keep the fetch quantum below the real count
+    try:
+        short = decode_stream(model, P, payload, counts)
+    finally:
+        E._DFETCH_Q = old_q
+    np.testing.assert_array_equal(short, flat)
+    # dense data: sidecar overflows its size/4 cap -> plain fallback
+    dense = rng.integers(0, 40, n).astype(np.uint8)
+    pd = encode_stream(model, P, dense, counts)
+    E._DEXC_EST.clear()
+    decode_stream(model, P, pd, counts)                # prime (big est)
+    back = decode_stream(model, P, pd, counts)
+    np.testing.assert_array_equal(back, dense)
+    E._DEXC_EST.clear()
+
+
 def test_qual_model_qlevel3_pos_aux():
     rng = np.random.default_rng(5)
     counts = rng.integers(1, 150, size=100)
