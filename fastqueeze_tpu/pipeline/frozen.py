@@ -66,15 +66,26 @@ def qual_lut(qvals: np.ndarray) -> np.ndarray:
     return lut
 
 
+# Measured frozen-vs-adaptive crossover on the bundled data (CPU, exact
+# archive sizes): adaptive wins at 9.5 MB (6.53x vs 6.40x), frozen wins
+# at 16.6 MB (6.91x vs 6.57x) and 23.7 MB (7.18x vs 6.56x) — the deep
+# qctx tables only pay once the projected stream amortizes them.
+_GATE_MIN_BYTES = 12 * (1 << 20)
+
+
 def decide_use_model(p: CodecParams, input_bytes: int) -> bool:
     """Reference gate (doCheckSetEncodeOpt @0x408298): scale + Qlevel <= 2.
-    Here: on when the input spans multiple blocks (that is when block
-    independence pays) unless forced either way."""
+    Here: on when the input spans multiple blocks (block independence
+    makes per-block adaptation restart from zero) OR is past the
+    measured single-block crossover, unless forced either way.  Near the
+    tie frozen is preferred — it is also the fast (scan-free encode)
+    path."""
     if p.use_model == 1:
         return True
     if p.use_model == -1 or p.qlevel > 2:
         return False
-    return input_bytes > 2 * p.block_size_mb * (1 << 20)
+    return input_bytes > min(2 * p.block_size_mb * (1 << 20),
+                             _GATE_MIN_BYTES)
 
 
 def _sample_keep(n_reads: int, stride: int) -> np.ndarray:

@@ -50,6 +50,15 @@ def test_decide_gate():
     assert not decide_use_model(p, 5 << 20)
 
 
+def test_decide_gate_big_single_block():
+    """A large input inside ONE default-sized block still gates frozen
+    on (measured crossover ~12 MB); small single-block inputs stay
+    adaptive."""
+    p = CodecParams()                 # 50 MB blocks
+    assert not decide_use_model(p, 9 << 20)
+    assert decide_use_model(p, 16 << 20)
+
+
 def test_fit_qual_alphabet():
     import jax.numpy as jnp
     t = jnp.ones((4, 8), jnp.int32)
