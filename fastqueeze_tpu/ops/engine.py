@@ -253,14 +253,20 @@ def _pack4_dev(grid):
 # untouched (a device-side exception count would cost an extra sync
 # round-trip, which at ~36 ms RTT outweighs the byte savings).
 _EXC_SYM = 15
-_EXC_FRAC_MAX = 0.15      # above this, plain 6-bit is smaller
+# Enable flag for the sentinel packs (tests / the A/B harness set it
+# <= 0 to force the flat packs).  Selection itself compares exact byte
+# counts in _pack_for_upload, including sidecar padding.
+_EXC_FRAC_MAX = 1.0
 _EXC_NONE = np.zeros(1, np.uint8)
 
 
 def _exc_bucket(n: int) -> int:
-    """Pad the sidecar to coarse pow-4 buckets so the fused kernels
-    compile once per bucket, not once per exception count."""
-    cap = 4096
+    """Pad the sidecar to coarse pow-4 buckets: its shape is an input
+    of the fused scan kernels, so every distinct size is a full kernel
+    recompile (expensive through the tunnel) — pow-4 keeps the variant
+    count tiny.  _pack_for_upload charges this padding when deciding
+    whether the sentinel pack is worth it."""
+    cap = 1024
     while cap < n:
         cap <<= 2
     return cap
@@ -392,18 +398,24 @@ def _unpack_dev(grid, mode: int, exc=None):
 def _pack_for_upload(grid: np.ndarray, pmode: int):
     """Encode-side h2d pack: upgrade 4/6-bit grids to a sentinel-coded
     variant (mode 23 = 2-bit + sidecar, mode 15 = 4-bit + sidecar) when
-    the grid's top-symbol mass makes that smaller.  Returns (effective
-    pmode, packed grid, sidecar array)."""
+    that ships fewer actual bytes — exact counts including the 16-byte
+    perm and the sidecar's pow-4 bucket padding, so a small grid or a
+    count just past a bucket edge can never pick a LARGER transfer.
+    Returns (effective pmode, packed grid, sidecar array)."""
     if pmode in (4, 6) and _EXC_FRAC_MAX > 0 and grid.size:
         cnt = np.bincount(grid.reshape(-1), minlength=64)[:64]
         order = np.argsort(-cnt, kind="stable")
-        mass = np.cumsum(cnt[order]) / grid.size
-        base = 0.75 if pmode == 6 else 0.5           # bytes/symbol
-        c23 = 0.25 + (1.0 - float(mass[2]))
-        c15 = 0.5 + (1.0 - float(mass[14])) if pmode == 6 else base
-        best = min(base, c15, c23)
-        if best < base - 0.01:                       # margin: ties keep flat
-            sent, nb = (3, 2) if c23 <= c15 else (_EXC_SYM, 4)
+        csum = np.cumsum(cnt[order])
+        base_b = grid.size * (3 if pmode == 6 else 2) // 4   # flat bytes
+        n23 = int(grid.size - csum[2])
+        b23 = grid.size // 4 + 16 + _exc_bucket(n23)
+        if pmode == 6:
+            n15 = int(grid.size - csum[14])
+            b15 = grid.size // 2 + 16 + _exc_bucket(n15)
+        else:
+            b15 = base_b
+        if min(b23, b15) < base_b:
+            sent, nb = (3, 2) if b23 <= b15 else (_EXC_SYM, 4)
             top = order[:sent]
             top = top[cnt[top] > 0].astype(np.uint8)
             packed, side = _pack_sent_host(
@@ -952,19 +964,30 @@ def _chunk_of(params: CodecParams, model: CtxModel, T: int) -> int:
     return c if (c and T % c == 0) else 0
 
 
-# last observed n_words per stream shape (alphabet, n_ctx, T, L): blocks
-# of one input are statistically alike, so the previous block's count
-# predicts this one's within a few percent.  Used only to choose how
-# much to fetch speculatively — payload bytes never depend on it.
+# Speculative-fetch estimates: last observed count per stream shape
+# (alphabet, n_ctx, T, L).  Blocks of one input are statistically
+# alike, so the previous count predicts the next within a few percent;
+# two same-shape streams with different entropy sharing a key would
+# otherwise ping-pong it into repeated under-fetches, so updates keep a
+# slowly-decaying maximum (up instantly, down 10% per block) — an
+# over-estimate costs a few spare KB, an under-estimate costs a whole
+# extra round-trip.  Used only to size fetches; payload bytes never
+# depend on it.
 _NWORDS_EST: Dict = {}
+_SPEC_HEADROOM = 1.15
 
 
-def _wbucket(n: int, cap: int) -> int:
-    """Coarse (32k-word) fetch bucket: an exact-length slice is a fresh
+def _est_update(store: Dict, key, n: int) -> None:
+    prev = store.get(key)
+    store[key] = n if prev is None else max(n, int(prev * 0.9))
+
+
+def _wbucket(n: int, cap: int, q: int = 32768) -> int:
+    """Ceil-to-quantum fetch bucket: an exact-length slice is a fresh
     XLA program per distinct stream length (remote-compiled through the
     tunnel on every block); bucketing reuses a handful of programs and
-    wastes <= 64 KB of transfer."""
-    return min(-(-max(n, 1) // 32768) * 32768, cap)
+    wastes at most q units of transfer."""
+    return min(-(-max(n, 1) // q) * q, cap)
 
 
 class EncodeJob:
@@ -993,7 +1016,7 @@ class EncodeJob:
             # per-stream collection latency.  15% headroom + bucket
             # rounding make an under-fetch rare; when it happens we pay
             # the old two-trip cost.
-            bucket = _wbucket(int(est * 1.15), cap)
+            bucket = _wbucket(int(est * _SPEC_HEADROOM), cap)
             wd = self._wpacked[:bucket] if bucket < cap else self._wpacked
             nw, words_host, xf = jax.device_get(
                 (self._n_words, wd, self._x_final))
@@ -1009,7 +1032,7 @@ class EncodeJob:
                          else self._wpacked)
             words_host, xf = jax.device_get((words_dev, self._x_final))
         if self._est_key is not None:
-            _NWORDS_EST[self._est_key] = n_words
+            _est_update(_NWORDS_EST, self._est_key, n_words)
         return (_HDR.pack(self._T, self._L, n_words, self._nsym)
                 + np.asarray(xf).astype("<u4").tobytes()
                 + np.asarray(words_host[:n_words]).astype("<u2").tobytes())
@@ -1133,20 +1156,19 @@ class DecodeJob:
         est = _DEXC_EST.get(self._est_key)
         if est is None or est > cap * 0.9:
             n_exc, grid = jax.device_get((self._n_exc, self._syms))
-            _DEXC_EST[self._est_key] = int(n_exc)
+            _est_update(_DEXC_EST, self._est_key, int(n_exc))
             return _unpack_host(np.asarray(grid), self._pmode)
-        q = _DFETCH_Q
-        bucket = min(-(-int(est * 1.15) // q) * q, cap)
+        bucket = _wbucket(int(est * _SPEC_HEADROOM), cap, _DFETCH_Q)
         n_exc, nib, side = jax.device_get(
             (self._n_exc, nib_dev, side_dev[:16 + bucket]))
         n_exc = int(n_exc)
-        _DEXC_EST[self._est_key] = n_exc
+        _est_update(_DEXC_EST, self._est_key, n_exc)
         if n_exc > cap:            # sidecar overflowed on device
             return _unpack_host(
                 np.asarray(jax.device_get(self._syms)), self._pmode)
         if n_exc > bucket:         # estimate under-shot: refetch sidecar
             side = jax.device_get(
-                side_dev[:16 + min(-(-n_exc // q) * q, cap)])
+                side_dev[:16 + _wbucket(n_exc, cap, _DFETCH_Q)])
         side = np.asarray(side)
         perm, exc = side[:16], side[16:]
         nibg = _unpack4_host(np.asarray(nib))

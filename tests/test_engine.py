@@ -85,6 +85,13 @@ def test_mode15_transfer_pack_payload_identical(monkeypatch):
     flat = np.where(rng.random(n) < 0.94, rng.integers(28, 40, n),
                     rng.integers(0, 28, n)).astype(np.uint8)
     model = QualModel(alphabet=40, init=1, inc=8, cap=8192, qlevel=2)
+    # honest byte accounting: on a tiny grid the pow-4 sidecar padding
+    # outweighs the nibble saving, so the selector must keep the flat
+    # pack (it used to pick a LARGER transfer here)
+    assert E._pack_for_upload(flat[:4096].reshape(64, 64), 6)[0] == 6
+    # shrink the bucket quantum to exercise the sentinel path
+    monkeypatch.setattr(
+        E, "_exc_bucket", lambda n: -(-max(n, 1) // 256) * 256)
     # confirm the pack-mode selector actually fires on this data
     grid = flat[:4096].reshape(64, 64)
     assert E._pack_for_upload(grid, 6)[0] == 15
@@ -106,6 +113,8 @@ def test_mode23_transfer_pack_payload_identical(monkeypatch):
                     rng.choice([5, 7, 2], n, p=[0.5, 0.3, 0.2]),
                     rng.integers(0, 12, n)).astype(np.uint8)
     model = QualModel(alphabet=16, init=1, inc=8, cap=8192, qlevel=2)
+    monkeypatch.setattr(
+        E, "_exc_bucket", lambda n: -(-max(n, 1) // 256) * 256)
     grid = flat[:4096].reshape(64, 64)
     assert E._pack_for_upload(grid, 4)[0] == 23
     payload23 = _roundtrip(model, flat, counts)
@@ -124,6 +133,7 @@ def test_speculative_words_fetch_identical(monkeypatch):
     flat = rng.integers(0, 40, size=int(counts.sum())).astype(np.uint8)
     model = QualModel(alphabet=40, init=1, inc=8, cap=8192, qlevel=2)
     E._NWORDS_EST.clear()
+    E._DEXC_EST.clear()
     cold = encode_stream(model, P, flat, counts)     # no estimate yet
     warm = encode_stream(model, P, flat, counts)     # speculative path
     assert warm == cold
@@ -132,7 +142,7 @@ def test_speculative_words_fetch_identical(monkeypatch):
     # refetch fallback must run and still serialize identical bytes
     monkeypatch.setattr(
         E, "_wbucket",
-        lambda n, cap: min(-(-max(n, 1) // 256) * 256, cap))
+        lambda n, cap, q=256: min(-(-max(n, 1) // 256) * 256, cap))
     key = next(iter(E._NWORDS_EST))
     E._NWORDS_EST[key] = 1
     short = encode_stream(model, P, flat, counts)

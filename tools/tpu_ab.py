@@ -77,7 +77,7 @@ def main():
     with open(src, "wb") as fh:
         for _ in range(reps):
             fh.write(raw)
-    n_reads = 10_000 * reps
+    n_reads = (raw.count(b"\n") // 4) * reps
     runs = 2 if quick else 4
     budget = 120 if quick else 240
 
