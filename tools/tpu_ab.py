@@ -63,7 +63,15 @@ def main():
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
     quick = "--quick" in sys.argv
-    if not _sync_probe():
+    if "--cpu" in sys.argv:
+        # validation mode: exercises every config on the CPU backend with
+        # a small input (numbers meaningless; catches harness bugs so the
+        # real run can't die mid-sweep)
+        os.environ["FASTQUEEZE_NO_COMPILE_CACHE"] = "1"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        reps, quick = 1, True
+    elif not _sync_probe():
         print(json.dumps({"error": "tunnel dead"}))
         return
 
