@@ -655,9 +655,15 @@ def _decode_frozen(model: CtxModel, counts0, lane_state0,
     """Frozen-model decode: the scan walks only the lane context state and
     the rANS arithmetic; the model table is static (prequantized).
 
-    Symbol resolution is a fixed-step binary search over the row's
-    cumulative frequencies (flat gathers of ~log2(A) values per lane
-    instead of the whole (A+1) row — the scan is gather-bound)."""
+    Symbol resolution is a fixed-step search over the row's cumulative
+    frequencies — the scan is gather-bound, so the variant with the
+    fewest fetches per symbol wins.  Preferred: ternary descent over an
+    implicit complete 3-ary tree whose node words each pack the TWO
+    tercile-boundary cumfreqs of that node's (static) symbol range —
+    one u32 gather yields a 3-way branch, so ceil(log3 A) fetches vs
+    the pair search's ceil(log2(A/2+1)): 5->4 at A=40, 3->2 at A=8,
+    6->5 at A=96.  The tree is a decoder-internal relayout of the same
+    quantized table; the bitstream is untouched."""
     A = model.alphabet
     Fq = _quant_full(counts0)
     steps = max(1, math.ceil(math.log2(A)))
@@ -668,7 +674,27 @@ def _decode_frozen(model: CtxModel, counts0, lane_state0,
     # fewer gather whenever A is not a power of two (the qual alphabets
     # are multiples of 8: 40/48/56/88/96 all win a step)
     use_pairs = (A % 2 == 0) and pair_steps < steps
-    if use_pairs:
+    tern_d = 1
+    while 3 ** tern_d < A:
+        tern_d += 1
+    use_tern = tern_d < (pair_steps if use_pairs else steps)
+    if use_tern:
+        # heap-numbered complete ternary tree over the padded leaf space
+        # [0, 3^d): node j at level k covers [j*w, (j+1)*w), w=3^(d-k);
+        # its word holds (F[lo+w/3], F[lo+2w/3]) with indices clamped to
+        # A (F[A] = M, so padded terciles can never win a comparison)
+        a_idx, b_idx = [], []
+        for k in range(tern_d):
+            w = 3 ** (tern_d - k)
+            for j in range(3 ** k):
+                lo0 = j * w
+                a_idx.append(min(lo0 + w // 3, A))
+                b_idx.append(min(lo0 + 2 * (w // 3), A))
+        n_nodes = len(a_idx)          # (3^d - 1) / 2
+        T_flat = (Fq[:, np.array(a_idx)].astype(_U32)
+                  | (Fq[:, np.array(b_idx)].astype(_U32) << 16)
+                  ).reshape(-1)
+    elif use_pairs:
         P_flat = (Fq[:, 1::2].astype(_U32)
                   | (Fq[:, 2::2].astype(_U32) << 16)).reshape(-1)
     else:
@@ -681,10 +707,32 @@ def _decode_frozen(model: CtxModel, counts0, lane_state0,
         ctx = model.context(st, aux_t)
         low = (x & _MASK_M).astype(jnp.int32)
         # sym = largest s in [0, A-1] with F[s] <= low (F[0] = 0 <= low
-        # always holds).  Both variants carry the cumfreq values at their
+        # always holds).  All variants carry the cumfreq values at their
         # bounds so start/freq need no post-search gather — the scan is
         # gather-bound, every fetch per symbol matters.
-        if use_pairs:
+        if use_tern:
+            base = ctx.astype(jnp.int32) * n_nodes
+            t = jnp.zeros_like(low)
+            sym0 = jnp.zeros_like(low)
+            flo = jnp.zeros_like(low)
+            fhi = jnp.full_like(low, RANS_M)   # F[A] == RANS_M by _quant
+            for k in range(tern_d):
+                w3 = 3 ** (tern_d - k) // 3
+                v = T_flat[base + t]
+                va = (v & 0xFFFF).astype(jnp.int32)
+                vb = (v >> 16).astype(jnp.int32)
+                right = low >= vb              # answer in [b, hi)
+                midb = (~right) & (low >= va)  # answer in [a, b)
+                sym0 = sym0 + jnp.where(right, 2 * w3,
+                                        jnp.where(midb, w3, 0))
+                flo = jnp.where(right, vb, jnp.where(midb, va, flo))
+                fhi = jnp.where(right, fhi, jnp.where(midb, vb, va))
+                t = 3 * t + 1 + jnp.where(right, 2,
+                                          jnp.where(midb, 1, 0))
+            sym = jnp.clip(sym0, 0, A - 1)
+            start = flo.astype(_U32)
+            f = (fhi - flo).astype(_U32)
+        elif use_pairs:
             # search pair index k in [-1, H-1] for the largest with
             # F[2k+1] <= low; the winning fetch holds F[2k+1], F[2k+2]
             # and the failing bound carries fhi = F[2(hi+1)+1]

@@ -189,6 +189,28 @@ def test_sentinel_decode_fetch_identical():
     E._DEXC_EST.clear()
 
 
+def test_frozen_ternary_search_roundtrip():
+    """Frozen decode resolves symbols by the ternary-tree descent for
+    every alphabet where it saves gathers (A=5/8/40/96 cover the
+    un-padded, binned-qual, classic-qual and wide-qual shapes, plus
+    clamped padding terciles and zero-frequency tail ranks)."""
+    from fastqueeze_tpu.ops.engine import train_counts
+    rng = np.random.default_rng(21)
+    for A in (5, 8, 40, 96):
+        counts = np.full(150, 100)
+        n = int(counts.sum())
+        flat = np.where(rng.random(n) < 0.9,
+                        rng.integers(max(0, A - 12), A, n),
+                        rng.integers(0, A, n)).astype(np.uint8)
+        model = QualModel(alphabet=A, init=1, inc=8, cap=8192, qlevel=2)
+        c0 = train_counts(model, P, flat, counts)
+        pay = encode_stream(model, P, flat, counts, counts0=c0,
+                            adapt=False)
+        back = decode_stream(model, P, pay, counts, counts0=c0,
+                             adapt=False)
+        np.testing.assert_array_equal(back, flat)
+
+
 def test_qual_model_qlevel3_pos_aux():
     rng = np.random.default_rng(5)
     counts = rng.integers(1, 150, size=100)
