@@ -641,11 +641,14 @@ def _pass1_frozen(alphabet: int, counts0, ctx_grid, syms):
     """Frozen-model encode walk: no adaptation, so (start, freq) is a pure
     gather from the prequantized table — no wave scan at all.  This is the
     reference's usemodel semantics (SURVEY.md §2.1): blocks are coded
-    against the trained snapshot."""
-    flat = _quant_full(counts0).reshape(-1)
-    base = ctx_grid.astype(jnp.int32) * (alphabet + 1) + syms.astype(jnp.int32)
-    start = flat[base]
-    end = flat[base + 1]
+    against the trained snapshot.  Rows are relaid as (F[s] | F[s+1]<<16)
+    words so each symbol costs ONE gather, not two adjacent ones."""
+    Fq = _quant_full(counts0)
+    P = (Fq[:, :-1].astype(_U32)
+         | (Fq[:, 1:].astype(_U32) << 16)).reshape(-1)
+    v = P[ctx_grid.astype(jnp.int32) * alphabet + syms.astype(jnp.int32)]
+    start = v & 0xFFFF
+    end = v >> 16
     return start.astype(jnp.uint16), (end - start).astype(jnp.uint16)
 
 
