@@ -612,18 +612,25 @@ def serialize_frozen(frozen: Dict) -> bytes:
 
 
 def deserialize_frozen(blob: bytes) -> Dict:
-    sections = dict(iter_tlv(blob))
-    meta = json.loads(sections[_TAG_META].decode())
-    seq = _unpack_counts(sections[_TAG_SEQ], meta["seq_dtype"],
-                         meta.get("seq_enc", "z"))
-    qual = _unpack_counts(sections[_TAG_QUAL], meta["qual_dtype"],
-                          meta.get("qual_enc", "z"))
-    return {"qmax": meta["qmax"],
-            "qvals": np.asarray(
-                meta.get("qvals", list(range(meta["qmax"] + 1))),
-                np.uint8),
-            "seq_counts": seq.reshape(meta["seq_shape"]),
-            "qual_counts": qual.reshape(meta["qual_shape"])}
+    import zlib
+    try:
+        sections = dict(iter_tlv(blob))
+        meta = json.loads(sections[_TAG_META].decode())
+        seq = _unpack_counts(sections[_TAG_SEQ], meta["seq_dtype"],
+                             meta.get("seq_enc", "z"))
+        qual = _unpack_counts(sections[_TAG_QUAL], meta["qual_dtype"],
+                              meta.get("qual_enc", "z"))
+        return {"qmax": meta["qmax"],
+                "qvals": np.asarray(
+                    meta.get("qvals", list(range(meta["qmax"] + 1))),
+                    np.uint8),
+                "seq_counts": seq.reshape(meta["seq_shape"]),
+                "qual_counts": qual.reshape(meta["qual_shape"])}
+    except (zlib.error, json.JSONDecodeError, KeyError, TypeError,
+            UnicodeDecodeError) as e:
+        # corruption in the MODEL section must surface like every other
+        # corrupt-archive path (the fuzz tests enforce ValueError family)
+        raise ValueError(f"corrupt MODEL section: {e}") from e
 
 
 # Process-wide device-table cache keyed by table content, so repeated

@@ -56,3 +56,41 @@ def test_corrupt_archives_fail_cleanly(arc_and_raw):
         # dead bytes and the output is still exact
         assert open(outs[0], "rb").read() == raw, \
             f"silent corruption (trial {trial}, mode {mode})"
+
+
+def test_corrupt_frozen_archives_fail_cleanly(tmp_path):
+    """Same sweep against a usemodel archive: the MODEL section, frozen
+    ternary decode and the sentinel d2h fetch all sit on this path."""
+    rng = np.random.default_rng(8)
+    recs = []
+    for i in range(150):
+        L = int(rng.integers(20, 60))
+        seq = "".join(rng.choice(list("ACGTN"), L))
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 40, L))
+        recs.append(f"@fz.{i} x\n{seq}\n+\n{qual}\n")
+    raw = "".join(recs).encode()
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    arc_p = tmp_path / "a.fqz"
+    compress_se(CodecParams(**SMALL, use_model=1), str(src), str(arc_p))
+    arc = arc_p.read_bytes()
+    random.seed(12)
+    for trial in range(18):
+        mode = trial % 3
+        b = bytearray(arc)
+        if mode == 0:
+            i = random.randrange(len(b))
+            b[i] ^= random.randrange(1, 256)
+        elif mode == 1:
+            b = b[:random.randrange(1, len(b))]
+        else:
+            i = random.randrange(len(b))
+            b[i:i + 16] = b"\x00" * 16
+        bad = tmp_path / "bad.fqz"
+        bad.write_bytes(bytes(b))
+        try:
+            outs = decompress(str(bad), str(tmp_path / "out"), force=True)
+        except (ValueError, KeyError, EOFError, OSError):
+            continue
+        assert open(outs[0], "rb").read() == raw, \
+            f"silent corruption (trial {trial}, mode {mode})"
