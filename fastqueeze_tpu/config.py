@@ -136,6 +136,15 @@ class CodecParams:
     #     tunnel round-trip); big streams use the device wave-rANS ---
     host_stream_max: int = 1 << 20
 
+    # --- frozen-coder execution backend (never shapes the bitstream: the
+    #     native host coder in native/frozenwave.cpp is bit-identical to
+    #     the device kernels).  0 = auto (host unless an explicit --mesh
+    #     asks for device block-DP; a tunnel-attached chip loses to the
+    #     serial host pass on transfer cost alone), 1 = force host,
+    #     2 = force device.  Env FASTQUEEZE_FROZEN_EXEC=host|device
+    #     overrides (the A/B harness uses it). ---
+    frozen_exec: int = 0
+
     # --- semi-adaptive chunking (TPU engine; no reference equivalent):
     #     adaptive streams requantize their tables every adapt_chunk waves,
     #     making the per-symbol walk one packed gather (frozen-path cost)

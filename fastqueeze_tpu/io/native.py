@@ -51,7 +51,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_sampling_version"):   # newest required symbol
+    if not hasattr(lib, "fq_frozen_decode"):      # newest required symbol
         # stale .so from before a symbol was added (or before the
         # read-sampling rule, a C<->numpy contract, last changed):
         # rebuild and reload
@@ -61,7 +61,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_sampling_version"):
+        if not hasattr(lib, "fq_frozen_decode"):
             return None
     lib.fq_record_boundary.restype = ctypes.c_int64
     lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]
@@ -122,6 +122,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.rc_decode_o1.restype = ctypes.c_int64
     lib.rc_decode_o1.argtypes = [_U8P, ctypes.c_int64, ctypes.c_int64, _i32,
                                  _i32, _i32, _i32, _U8P]
+    _u16p = ctypes.POINTER(ctypes.c_uint16)
+    _u32p2 = ctypes.POINTER(ctypes.c_uint32)
+    lib.fq_quant_table.restype = None
+    lib.fq_quant_table.argtypes = [_i32p, ctypes.c_int64, _i32, _u16p]
+    lib.fq_frozen_encode.restype = ctypes.c_int64
+    lib.fq_frozen_encode.argtypes = [_u16p, _i32, _U8P, _I64P,
+                                     ctypes.c_int64, ctypes.c_int64, _i32,
+                                     _I64P, _u16p, ctypes.c_int64, _u32p2]
+    lib.fq_frozen_decode.restype = ctypes.c_int64
+    lib.fq_frozen_decode.argtypes = [_u16p, _i32, _u32p2, _u16p,
+                                     ctypes.c_int64, _I64P, ctypes.c_int64,
+                                     ctypes.c_int64, _i32, _I64P, _U8P]
     lib.rc_encode_names.restype = ctypes.c_int64
     lib.rc_encode_names.argtypes = [_U8P, _i32p, ctypes.c_int64, _i32, _i32,
                                     _i32, _U8P, ctypes.c_int64]
@@ -464,6 +476,70 @@ def grid_gather(grid: np.ndarray, counts: np.ndarray, start_t: np.ndarray,
                        _i64p(c), _i64p(s), _i64p(ln), len(c),
                        g.shape[1], flat.ctypes.data_as(_U8P))
     return True
+
+
+_U16P = ctypes.POINTER(ctypes.c_uint16)
+_U32P = ctypes.POINTER(ctypes.c_uint32)
+
+
+def quant_table(counts: np.ndarray) -> Optional[np.ndarray]:
+    """(n_ctx, A) int32 counts -> (n_ctx, A+1) u16 cumfreqs summing to 2^14
+    (bit-identical to engine._quant).  None -> native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, np.int32)
+    n_ctx, A = counts.shape
+    cum = np.empty((n_ctx, A + 1), np.uint16)
+    lib.fq_quant_table(counts.ctypes.data_as(_I32P), n_ctx, A,
+                       cum.ctypes.data_as(_U16P))
+    return cum
+
+
+def frozen_encode(cum: np.ndarray, A: int, syms: np.ndarray,
+                  counts: np.ndarray, L: int, kind: int, spec: np.ndarray):
+    """Host-native frozen wave-rANS encode (bit-identical to the device
+    engine).  Returns (words u16, states u32) or None (unavailable)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cum = np.ascontiguousarray(cum, np.uint16)
+    syms = np.ascontiguousarray(syms, np.uint8)
+    counts = np.ascontiguousarray(counts, np.int64)
+    spec = np.ascontiguousarray(spec, np.int64)
+    cap = len(syms) + 8
+    words = np.empty(cap, np.uint16)
+    states = np.empty(L, np.uint32)
+    n = lib.fq_frozen_encode(cum.ctypes.data_as(_U16P), A, _u8p(syms),
+                             _i64p(counts), len(counts), L, kind,
+                             _i64p(spec), words.ctypes.data_as(_U16P), cap,
+                             states.ctypes.data_as(_U32P))
+    if n < 0:
+        return None
+    return words[:n], states
+
+
+def frozen_decode(cum: np.ndarray, A: int, states: np.ndarray,
+                  words: np.ndarray, counts: np.ndarray, L: int, kind: int,
+                  spec: np.ndarray, nsym: int) -> Optional[np.ndarray]:
+    """Inverse of frozen_encode -> read-major flat symbols, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cum = np.ascontiguousarray(cum, np.uint16)
+    states = np.ascontiguousarray(states, np.uint32)
+    words = np.ascontiguousarray(words, np.uint16)
+    counts = np.ascontiguousarray(counts, np.int64)
+    spec = np.ascontiguousarray(spec, np.int64)
+    out = np.empty(max(nsym, 1), np.uint8)
+    r = lib.fq_frozen_decode(cum.ctypes.data_as(_U16P), A,
+                             states.ctypes.data_as(_U32P),
+                             words.ctypes.data_as(_U16P), len(words),
+                             _i64p(counts), len(counts), L, kind,
+                             _i64p(spec), _u8p(out))
+    if r < 0:
+        return None
+    return out[:nsym]
 
 
 def id_tokenize(buf: np.ndarray, offs: np.ndarray, cap: int):

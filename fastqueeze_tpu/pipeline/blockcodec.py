@@ -341,16 +341,36 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     seq_counts = (lengths - dege_cnt)[~mapped]
     seq_model = seq_model_from_params(p)
     qmodel = qual_model_for(p, _qual_alphabet(qmax))
-    sc0 = qc0 = None
-    if frozen is not None:
-        from fastqueeze_tpu.pipeline.frozen import frozen_dev_tables
-        sc0, qc0 = frozen_dev_tables(frozen, qmodel.alphabet,
-                                     p.qctx_eff_init())
-    seq_job = encode_stream_job(
-        seq_model, p, codes[~dege_mask & ~mapped_sym], seq_counts,
-        counts0=sc0, adapt=adapt)
-    qual_job = encode_stream_job(
-        qmodel, p, qsyms, lengths, counts0=qc0, adapt=adapt)
+    seq_syms = codes[~dege_mask & ~mapped_sym]
+    seq_job = qual_job = None
+    if frozen is not None and not adapt:
+        # host-native frozen coder (bit-identical bitstream; routing is an
+        # execution choice — see ops/host_frozen.py)
+        from fastqueeze_tpu.ops import host_frozen
+        route_s = host_frozen.route(p, seq_model)
+        route_q = host_frozen.route(p, qmodel)
+        if route_s or route_q:
+            from fastqueeze_tpu.pipeline.frozen import frozen_host_cums
+            sc_cum, qc_cum = frozen_host_cums(frozen, qmodel.alphabet,
+                                              p.qctx_eff_init())
+            if route_s:
+                seq_job = host_frozen.encode_job(seq_model, p, seq_syms,
+                                                 seq_counts, sc_cum)
+            if route_q:
+                qual_job = host_frozen.encode_job(qmodel, p, qsyms,
+                                                  lengths, qc_cum)
+    if seq_job is None or qual_job is None:
+        sc0 = qc0 = None
+        if frozen is not None:
+            from fastqueeze_tpu.pipeline.frozen import frozen_dev_tables
+            sc0, qc0 = frozen_dev_tables(frozen, qmodel.alphabet,
+                                         p.qctx_eff_init())
+        if seq_job is None:
+            seq_job = encode_stream_job(seq_model, p, seq_syms, seq_counts,
+                                        counts0=sc0, adapt=adapt)
+        if qual_job is None:
+            qual_job = encode_stream_job(qmodel, p, qsyms, lengths,
+                                         counts0=qc0, adapt=adapt)
 
     # --- lengths (reference: encode_len_short/encode_len_long, SURVEY.md
     #     §2.1 — variable-width tiers; long reads (ONT/PacBio) take the
@@ -615,16 +635,34 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
     seq_counts = (lengths - dege_cnt)[~mapped]
     seq_model = seq_model_from_params(p)
     qmodel = qual_model_for(p, _qual_alphabet(qmax))
-    sc0 = qc0 = None
-    if frozen is not None:
-        from fastqueeze_tpu.pipeline.frozen import frozen_dev_tables
-        sc0, qc0 = frozen_dev_tables(frozen, qmodel.alphabet,
-                                     p.qctx_eff_init())
-    seq_job = decode_stream_job(
-        seq_model, p, sections[TAG_SEQ], seq_counts,
-        counts0=sc0, adapt=adapt)
-    qual_job = decode_stream_job(qmodel, p, sections[TAG_QUAL], lengths,
-                                 counts0=qc0, adapt=adapt)
+    seq_job = qual_job = None
+    if frozen is not None and not adapt:
+        from fastqueeze_tpu.ops import host_frozen
+        route_s = host_frozen.route(p, seq_model)
+        route_q = host_frozen.route(p, qmodel)
+        if route_s or route_q:
+            from fastqueeze_tpu.pipeline.frozen import frozen_host_cums
+            sc_cum, qc_cum = frozen_host_cums(frozen, qmodel.alphabet,
+                                              p.qctx_eff_init())
+            if route_s:
+                seq_job = host_frozen.decode_job(
+                    seq_model, p, sections[TAG_SEQ], seq_counts, sc_cum)
+            if route_q:
+                qual_job = host_frozen.decode_job(
+                    qmodel, p, sections[TAG_QUAL], lengths, qc_cum)
+    if seq_job is None or qual_job is None:
+        sc0 = qc0 = None
+        if frozen is not None:
+            from fastqueeze_tpu.pipeline.frozen import frozen_dev_tables
+            sc0, qc0 = frozen_dev_tables(frozen, qmodel.alphabet,
+                                         p.qctx_eff_init())
+        if seq_job is None:
+            seq_job = decode_stream_job(
+                seq_model, p, sections[TAG_SEQ], seq_counts,
+                counts0=sc0, adapt=adapt)
+        if qual_job is None:
+            qual_job = decode_stream_job(qmodel, p, sections[TAG_QUAL],
+                                         lengths, counts0=qc0, adapt=adapt)
 
     # --- sequence assembly (host) ---
     seq_flat = np.empty(int(lengths.sum()), np.uint8)

@@ -686,6 +686,36 @@ def frozen_dev_tables(frozen: Dict, qual_alphabet: int, init: int):
     return cache[skey], cache[qkey]
 
 
+def frozen_host_cums(frozen: Dict, qual_alphabet: int, init: int):
+    """Host-resident quantized cumfreq tables for the native frozen coder
+    (ops/host_frozen.py) — the host twin of frozen_dev_tables.  Quantized
+    once per archive open and cached in the frozen dict; no device upload
+    happens on this path at all."""
+    from fastqueeze_tpu.ops import host_frozen
+    cache = frozen.setdefault("_hostq", {})
+    if "seq" not in cache:
+        cache["seq"] = host_frozen.quantize(
+            np.asarray(frozen["seq_counts"], np.int32))
+    qkey = ("qual", qual_alphabet, init)
+    if qkey not in cache:
+        cache[qkey] = host_frozen.quantize(np.asarray(
+            fit_qual_alphabet_np(np.asarray(frozen["qual_counts"]),
+                                 qual_alphabet, init), np.int32))
+    return cache["seq"], cache[qkey]
+
+
+def fit_qual_alphabet_np(counts: np.ndarray, alphabet: int,
+                         init: int) -> np.ndarray:
+    """Numpy twin of fit_qual_alphabet (host coder path)."""
+    have = counts.shape[1]
+    if have == alphabet:
+        return counts
+    if have > alphabet:
+        raise ValueError("frozen qual table wider than block alphabet")
+    pad = np.full((counts.shape[0], alphabet - have), init, counts.dtype)
+    return np.concatenate([counts, pad], axis=1)
+
+
 def fit_qual_alphabet(counts, alphabet: int, init: int):
     """Pad/passthrough the frozen qual table to a block's alphabet (a later
     block may contain higher quality symbols than the training prefix)."""

@@ -1,0 +1,336 @@
+// Host-native execution backend for the frozen wave-rANS engine.
+//
+// Mirrors fastqueeze_tpu/ops/engine.py's frozen (usemodel) coding path
+// BIT-IDENTICALLY: the payload bytes produced/consumed here are exactly the
+// device kernels' (_encode_fused_frozen / _decode_fused_frozen over the
+// round-robin lane layout of ops/lanes.py).  Which backend runs a stream is
+// a pure execution choice (ops/host_frozen.py routes on link economics: a
+// tunnel-attached TPU pays ~14 MB/s h2d + ~36 ms per dispatch, which this
+// serial pass beats severalfold); the archive cannot tell them apart.
+//
+// Coding scheme recap (ops/engine.py module docstring): L interleaved rANS
+// lanes, 32-bit states, 16-bit renorm words, 14-bit frequencies; lane l
+// codes the concatenated symbols of reads l, l+L, l+2L, ...; emitted words
+// from all lanes interleave in canonical (wave, lane) order; the serialized
+// stream is [T|L|n_words|n_symbols, L x u32 final states, words].  Frozen
+// tables are quantized to cumulative frequencies summing to exactly 2^14
+// with floor(cum * M / C) — f >= 1 for every count >= 1 when the row total
+// is capped at <= M (the router enforces cap <= M).
+//
+// Model context walks mirror models/base.py SeqModel / QualModel (the same
+// formulas as the trainer in trainhist.cpp).
+
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t kRansL = 1u << 16;
+constexpr uint32_t kProbBits = 14;
+constexpr uint32_t kRansM = 1u << kProbBits;
+constexpr uint32_t kMaskM = kRansM - 1;
+
+// --- model walks (reset at every read start; ctx needs pos for qual) ---
+
+struct SeqM {
+    uint32_t mask, magic;
+    struct State { uint32_t h; };
+    inline void reset(State& s) const { s.h = magic & mask; }
+    inline int64_t ctx(const State& s, int64_t) const {
+        return static_cast<int64_t>(s.h);
+    }
+    inline void update(State& s, int32_t sym) const {
+        s.h = ((s.h << 2) | static_cast<uint32_t>(sym)) & mask;
+    }
+};
+
+struct QualM {
+    int32_t k, base, hash_bits, drop_bits, pos_bits, qlevel, drop_init;
+    struct State { int32_t q[8]; int32_t drops; };
+    inline void reset(State& s) const {
+        for (int j = 0; j < 8; ++j) s.q[j] = 0;
+        s.drops = drop_init;
+    }
+    inline int64_t ctx(const State& s, int64_t pos) const {
+        if (k >= 2) {
+            const int32_t qcap = base - 1;
+            int64_t c = s.q[0] < qcap ? s.q[0] : qcap;
+            for (int32_t j = 1; j < k; ++j) {
+                const int32_t qc = s.q[j] < qcap ? s.q[j] : qcap;
+                c = c * base + qc;
+            }
+            if (hash_bits)
+                c = (static_cast<uint32_t>(c) * 2654435761u)
+                    & ((1u << hash_bits) - 1);
+            if (drop_bits) {
+                const int32_t m = (1 << drop_bits) - 1;
+                const int32_t d = s.drops >> 3;
+                c = (c << drop_bits) | (d < m ? d : m);
+            }
+            if (pos_bits) {
+                const int32_t m = (1 << pos_bits) - 1;
+                const int32_t pp = static_cast<int32_t>(pos >> 4);
+                c = (c << pos_bits) | (pp < m ? pp : m);
+            }
+            return c;
+        }
+        const int32_t q1 = s.q[0], q2 = s.q[1];
+        int64_t c = (((q1 > q2 ? q1 : q2) << 6) + q1) & 0xFFF;
+        if (qlevel >= 2) {
+            if (q1 == q2) c += 0x1000;
+            c += ((s.drops < 56 ? s.drops : 56) & ~7) << 10;
+        }
+        if (qlevel >= 3) {
+            const int32_t p3 = static_cast<int32_t>(pos >> 3);
+            c += static_cast<int64_t>(p3 < 15 ? p3 : 15) << 16;
+        }
+        return c;
+    }
+    inline void update(State& s, int32_t sym) const {
+        s.drops += (s.q[0] > sym) ? (s.q[0] - sym) : 0;
+        for (int j = 7; j > 0; --j) s.q[j] = s.q[j - 1];
+        s.q[0] = sym;
+    }
+};
+
+// --- encode: per lane, forward (start, freq) walk then reverse rANS;
+//     words merged into canonical (wave asc, lane asc) order ---
+
+template <class Model>
+int64_t encode_impl(const uint16_t* cum, int32_t A, const uint8_t* syms,
+                    const int64_t* counts, int64_t R, int64_t L,
+                    const Model& m, uint16_t* words_out, int64_t words_cap,
+                    uint32_t* states_out) {
+    std::vector<int64_t> roff(R);
+    std::vector<int64_t> lane_len(L, 0);
+    int64_t off = 0, tmax = 0;
+    for (int64_t r = 0; r < R; ++r) {
+        roff[r] = off;
+        off += counts[r];
+        lane_len[r % L] += counts[r];
+    }
+    for (int64_t l = 0; l < L; ++l)
+        if (lane_len[l] > tmax) tmax = lane_len[l];
+
+    std::vector<uint16_t> ts(tmax), tf(tmax);
+    std::vector<int32_t> wv_t;     // wave index per emitted word, lane-major
+    std::vector<uint16_t> wv_w;
+    std::vector<int64_t> lane_w0(L + 1, 0);
+    std::vector<int64_t> wcnt(tmax + 1, 0);
+    wv_t.reserve(off / 2 + 16);
+    wv_w.reserve(off / 2 + 16);
+
+    for (int64_t l = 0; l < L; ++l) {
+        // forward model walk over the lane's reads -> (start, freq)
+        int64_t n = 0;
+        for (int64_t r = l; r < R; r += L) {
+            const int64_t len = counts[r];
+            const uint8_t* s = syms + roff[r];
+            typename Model::State st;
+            m.reset(st);
+            for (int64_t i = 0; i < len; ++i) {
+                const int32_t sym = s[i];
+                const uint16_t* row = cum + m.ctx(st, i) * (A + 1);
+                ts[n] = row[sym];
+                tf[n] = static_cast<uint16_t>(row[sym + 1] - row[sym]);
+                m.update(st, sym);
+                ++n;
+            }
+        }
+        // reverse rANS (engine._pass2: emit one 16-bit word when
+        // (x >> 18) >= f, then x = (x/f) << 14 + x%f + start)
+        uint32_t x = kRansL;
+        for (int64_t i = n - 1; i >= 0; --i) {
+            const uint32_t f = tf[i];
+            if ((x >> 18) >= f) {
+                wv_t.push_back(static_cast<int32_t>(i));
+                wv_w.push_back(static_cast<uint16_t>(x & 0xFFFF));
+                ++wcnt[i];
+                x >>= 16;
+            }
+            const uint32_t fs = f ? f : 1;   // engine pass2's f_safe
+            const uint32_t q = x / fs;
+            x = (q << kProbBits) + (x - q * fs) + ts[i];
+        }
+        states_out[l] = x;
+        lane_w0[l + 1] = static_cast<int64_t>(wv_w.size());
+    }
+
+    const int64_t W = static_cast<int64_t>(wv_w.size());
+    if (W > words_cap) return -1;
+    // counting sort by wave; iterating lanes ascending keeps lanes
+    // ascending within a wave (a lane emits at most one word per wave)
+    std::vector<int64_t> cur(tmax + 1, 0);
+    int64_t acc = 0;
+    for (int64_t t = 0; t < tmax; ++t) {
+        cur[t] = acc;
+        acc += wcnt[t];
+    }
+    for (int64_t l = 0; l < L; ++l)
+        for (int64_t kk = lane_w0[l]; kk < lane_w0[l + 1]; ++kk)
+            words_out[cur[wv_t[kk]]++] = wv_w[kk];
+    return W;
+}
+
+// --- decode: wave-major forward pass across lanes (the word stream is
+//     consumed in exactly the order encode laid it down) ---
+
+template <class Model>
+void decode_impl(const uint16_t* cum, int32_t A, const uint32_t* states,
+                 const uint16_t* words, int64_t n_words,
+                 const int64_t* counts, int64_t R, int64_t L,
+                 const Model& m, uint8_t* out) {
+    struct LaneSt {
+        typename Model::State st;
+        uint32_t x;
+        int64_t cur;      // current read (global index); < 0 = before first
+        int64_t pos;      // position within the current read
+        int64_t len;      // current read's length
+        int64_t off;      // output offset of the current read
+    };
+    std::vector<int64_t> roff(R);
+    std::vector<int64_t> lane_len(L, 0);
+    int64_t off = 0, tmax = 0;
+    for (int64_t r = 0; r < R; ++r) {
+        roff[r] = off;
+        off += counts[r];
+        lane_len[r % L] += counts[r];
+    }
+    for (int64_t l = 0; l < L; ++l)
+        if (lane_len[l] > tmax) tmax = lane_len[l];
+
+    std::vector<LaneSt> ls(L);
+    for (int64_t l = 0; l < L; ++l) {
+        ls[l].x = states[l];
+        ls[l].cur = -1;
+        ls[l].pos = 0;
+        ls[l].len = 0;
+        ls[l].off = 0;
+        m.reset(ls[l].st);
+    }
+    int64_t wp = 0;
+    for (int64_t t = 0; t < tmax; ++t) {
+        for (int64_t l = 0; l < L; ++l) {
+            if (t >= lane_len[l]) continue;
+            LaneSt& s = ls[l];
+            if (s.pos == s.len) {   // advance to the next non-empty read
+                int64_t r = s.cur < 0 ? l : s.cur + L;
+                while (r < R && counts[r] == 0) r += L;
+                s.cur = r;
+                s.len = counts[r];
+                s.off = roff[r];
+                s.pos = 0;
+                m.reset(s.st);
+            }
+            const uint16_t* row = cum + m.ctx(s.st, s.pos) * (A + 1);
+            const uint32_t low = s.x & kMaskM;
+            // largest sym with row[sym] <= low (row strictly increasing
+            // when every count >= 1 and the row total is <= M)
+            int32_t lo = 0, hi = A - 1;
+            while (lo < hi) {
+                const int32_t mid = (lo + hi + 1) >> 1;
+                if (row[mid] <= low) lo = mid; else hi = mid - 1;
+            }
+            const uint32_t start = row[lo];
+            const uint32_t f = row[lo + 1] - start;
+            uint32_t xn = f * (s.x >> kProbBits) + low - start;
+            if (xn < kRansL) {
+                // past-the-end reads mirror the device's zero padding
+                // (only reachable on corrupt streams; MD5 reports those)
+                const uint32_t w = wp < n_words ? words[wp] : 0;
+                xn = (xn << 16) | w;
+                ++wp;
+            }
+            s.x = xn;
+            out[s.off + s.pos] = static_cast<uint8_t>(lo);
+            m.update(s.st, lo);
+            ++s.pos;
+        }
+    }
+}
+
+inline bool make_seq(const int64_t* spec, SeqM* m) {
+    m->mask = static_cast<uint32_t>(spec[0]);
+    m->magic = static_cast<uint32_t>(spec[1]);
+    return true;
+}
+
+inline bool make_qual(const int64_t* spec, QualM* m) {
+    m->k = static_cast<int32_t>(spec[0]);
+    m->base = static_cast<int32_t>(spec[1]);
+    m->hash_bits = static_cast<int32_t>(spec[2]);
+    m->drop_bits = static_cast<int32_t>(spec[3]);
+    m->pos_bits = static_cast<int32_t>(spec[4]);
+    m->qlevel = static_cast<int32_t>(spec[5]);
+    m->drop_init = static_cast<int32_t>(spec[6]);
+    return m->k <= 8 && (m->k < 2 || m->base >= 2);
+}
+
+}  // namespace
+
+extern "C" {
+
+// (n_ctx, A) int32 counts -> (n_ctx, A+1) u16 cumulative freqs summing to
+// 2^14 (engine._quant: F_i = floor(cum_i * M / C), F_0 = 0, F_A = M).
+void fq_quant_table(const int32_t* counts, int64_t n_ctx, int32_t A,
+                    uint16_t* cum) {
+    for (int64_t r = 0; r < n_ctx; ++r) {
+        const int32_t* row = counts + r * A;
+        uint16_t* o = cum + r * (A + 1);
+        int64_t c = 0;
+        for (int32_t a = 0; a < A; ++a) c += row[a];
+        if (c <= 0) c = 1;      // unreachable for trained tables (init >= 1)
+        int64_t acc = 0;
+        o[0] = 0;
+        for (int32_t a = 0; a < A; ++a) {
+            acc += row[a];
+            o[a + 1] = static_cast<uint16_t>((acc * kRansM) / c);
+        }
+    }
+}
+
+// Returns n_words, or -1 (bad kind/spec or words_cap overflow).
+// kind 0 = seq (spec: mask, magic); kind 1 = qual (spec: k, base,
+// hash_bits, drop_bits, pos_bits, qlevel, drop_init).
+int64_t fq_frozen_encode(const uint16_t* cum, int32_t A, const uint8_t* syms,
+                         const int64_t* counts, int64_t R, int64_t L,
+                         int32_t kind, const int64_t* spec,
+                         uint16_t* words_out, int64_t words_cap,
+                         uint32_t* states_out) {
+    if (kind == 0) {
+        SeqM m;
+        if (!make_seq(spec, &m)) return -1;
+        return encode_impl(cum, A, syms, counts, R, L, m, words_out,
+                           words_cap, states_out);
+    }
+    if (kind == 1) {
+        QualM m;
+        if (!make_qual(spec, &m)) return -1;
+        return encode_impl(cum, A, syms, counts, R, L, m, words_out,
+                           words_cap, states_out);
+    }
+    return -1;
+}
+
+// Returns 0, or -1 (bad kind/spec).
+int64_t fq_frozen_decode(const uint16_t* cum, int32_t A,
+                         const uint32_t* states, const uint16_t* words,
+                         int64_t n_words, const int64_t* counts, int64_t R,
+                         int64_t L, int32_t kind, const int64_t* spec,
+                         uint8_t* out) {
+    if (kind == 0) {
+        SeqM m;
+        if (!make_seq(spec, &m)) return -1;
+        decode_impl(cum, A, states, words, n_words, counts, R, L, m, out);
+        return 0;
+    }
+    if (kind == 1) {
+        QualM m;
+        if (!make_qual(spec, &m)) return -1;
+        decode_impl(cum, A, states, words, n_words, counts, R, L, m, out);
+        return 0;
+    }
+    return -1;
+}
+
+}  // extern "C"
