@@ -95,10 +95,11 @@ def main() -> None:
         if good == 0:       # only wait out a BAD probe; healthy probes
             time.sleep(15)  # run back-to-back
 
-    # threads=3: reader/parse, device dispatch, and finalize stages overlap
-    # (the reference runs a dedicated reader thread + workers, SURVEY.md C5;
-    # measured best on this host: 3 > 2 ~ 4)
-    p = CodecParams(block_size_mb=8, threads=3)
+    # threads=1: since the frozen coder went host-native (ops/host_frozen),
+    # nothing overlaps a device round-trip any more and extra threads are
+    # pure contention on this 1-vCPU host (measured: t1 0.70s, t2 0.98s,
+    # t3 0.96s warm)
+    p = CodecParams(block_size_mb=8, threads=1)
 
     # warm-up: one full untimed pass compiles every (model, shape) pair
     # (compilations persist in the on-disk XLA cache for later runs)
@@ -127,7 +128,7 @@ def main() -> None:
     for k in range(10):
         t0 = time.time()
         outs = decompress(os.path.join(tmp, "out.fqz"),
-                          os.path.join(tmp, "back"), force=True, threads=2)
+                          os.path.join(tmp, "back"), force=True, threads=1)
         d = time.time() - t0
         dec_dt = d if dec_dt is None else min(dec_dt, d)
         if (k >= 2 and dec_dt < 1.4) or time.time() > budget:

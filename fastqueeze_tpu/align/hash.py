@@ -385,7 +385,14 @@ def _one_strand(cfg: AlignConfig, keys, offsets, positions, packed, l1,
         pmis = jnp.where(cand_ok, pmis, _BIG)
         _, sel = lax.top_k(-pmis, K)
         cand = jnp.take_along_axis(cand, sel, axis=1)
-        cand_ok = jnp.take_along_axis(cand_ok, sel, axis=1)
+        # probe words are a subset of the full window, so a candidate
+        # with > max_mis probe mismatches can never verify: drop it now.
+        # Cannot change which reads map or where; only the (unused)
+        # argmin position of unmapped reads.  The host mirror
+        # (native/alignhost.cpp) prunes identically.
+        cand_ok = (jnp.take_along_axis(cand_ok, sel, axis=1)
+                   & (jnp.take_along_axis(pmis, sel, axis=1)
+                      <= cfg.max_mis))
     mis = _mis_aligned(packed, cand, rw, mw)
     mis = jnp.where(cand_ok, mis, _BIG)
 
@@ -690,6 +697,19 @@ class Aligner:
         self._l1 = jnp.asarray(l1)
         max_bucket = int(np.diff(l1).max()) if len(l1) > 1 else 1
         self._search_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
+        # host-native mirror (native/alignhost.cpp): keep numpy copies of
+        # the index so the gapless tiers can run on the host CPU — on a
+        # tunnel-attached chip the gather-bound device pass loses to the
+        # serial host loop by >10x.  Narrow keys only; wide (-q) and
+        # sharded tiers stay on device.  Mapping decisions are mirrored
+        # bit-identically (tests/test_alignhost.py).
+        self._h_keys = None
+        if not self.wide:
+            self._h_keys = keys.astype(np.uint32)
+            self._h_offsets = offs
+            self._h_positions = pos
+            self._h_packed = idx.packed.astype(np.uint32)
+            self._h_l1 = l1
         # per-device replicas for block-DP over a mesh (the reference's
         # POSIX-shm index sharing mapped to a pod slice, SURVEY.md §2.3):
         # each block device gets the index arrays once, not per batch
@@ -919,10 +939,47 @@ class Aligner:
         return AlignResult(mapped, pos, is_rev, mis_mask,
                            res.gap_pos, res.gap_len)
 
+    def _use_host(self, cfg: AlignConfig) -> bool:
+        """Route a gapless tier to the host-native mirror?  Execution-only
+        choice (mapping decisions are bit-identical either way)."""
+        if self._h_keys is None or cfg.wide or cfg.shard_axis:
+            return False
+        from fastqueeze_tpu.io import native
+        if native.get_lib() is None or not hasattr(
+                native.get_lib(), "fq_align_batch"):
+            return False
+        import os
+        mode = os.environ.get("FASTQUEEZE_ALIGN_EXEC", "")
+        if mode == "host":
+            return True
+        if mode == "device":
+            return False
+        # auto: an explicit device mesh keeps the device path (block-DP
+        # runs want the chips doing the work); plain runs take the host
+        return not self.params.mesh_n
+
     def _run_tier(self, cfg: AlignConfig, codes, dege, lengths, rows,
                   mapped, pos, is_rev, mis_mask, batch: int) -> None:
         """Dispatch every batch asynchronously, then collect — one tunnel
         round-trip for the whole tier instead of one per batch."""
+        if self._use_host(cfg):
+            from fastqueeze_tpu.io import native
+            sm = {"fwd": 0, "rc": 1, "both": 2}[cfg.strand]
+            out = native.align_batch(
+                self._h_keys, self._h_offsets, self._h_positions,
+                self._h_packed, self._h_l1, self._l1_shift,
+                self._search_steps, self.ref_len,
+                codes[rows], dege[rows], lengths[rows],
+                cfg.k, cfg.stride, cfg.n_cand, cfg.max_mis,
+                cfg.n_seeds, cfg.excl_bp, cfg.probe_k, sm,
+                int(cfg.both_strands))
+            if out is not None:
+                m, p_, r, mm = out
+                mapped[rows] = m
+                pos[rows] = p_
+                is_rev[rows] = r
+                mis_mask[rows] = mm
+                return
         lp = codes.shape[1]
         B = batch
         jobs = []

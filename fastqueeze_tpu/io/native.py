@@ -51,7 +51,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_frozen_decode"):      # newest required symbol
+    if not hasattr(lib, "fq_align_batch"):        # newest required symbol
         # stale .so from before a symbol was added (or before the
         # read-sampling rule, a C<->numpy contract, last changed):
         # rebuild and reload
@@ -61,7 +61,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_frozen_decode"):
+        if not hasattr(lib, "fq_align_batch"):
             return None
     lib.fq_record_boundary.restype = ctypes.c_int64
     lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]
@@ -134,6 +134,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fq_frozen_decode.argtypes = [_u16p, _i32, _u32p2, _u16p,
                                      ctypes.c_int64, _I64P, ctypes.c_int64,
                                      ctypes.c_int64, _i32, _I64P, _U8P]
+    lib.fq_align_batch.restype = None
+    lib.fq_align_batch.argtypes = [
+        _u32p2, ctypes.c_int64, _i32p,            # keys, nk, offsets
+        _i32p, ctypes.c_int64,                    # positions, npos
+        _u32p2, ctypes.c_int64,                   # packed, nw
+        _i32p, _i32, _i32,                        # l1, l1_shift, steps
+        _i32,                                     # ref_len
+        _U8P, _U8P, _i32p,                        # codes, dege, lengths
+        ctypes.c_int64, _i32,                     # R, lp
+        _i32, _i32, _i32, _i32,                   # k, stride, n_cand, max_mis
+        _i32, _i32, _i32,                         # n_seeds, excl_bp, probe_k
+        _i32, _i32,                               # strand_mode, both_strands
+        _U8P, _i32p, _U8P, _U8P]                  # mapped, pos, rev, mis_mask
     lib.rc_encode_names.restype = ctypes.c_int64
     lib.rc_encode_names.argtypes = [_U8P, _i32p, ctypes.c_int64, _i32, _i32,
                                     _i32, _U8P, ctypes.c_int64]
@@ -558,3 +571,43 @@ def id_tokenize(buf: np.ndarray, offs: np.ndarray, cap: int):
     if m < 0:
         return None
     return ntok, tstart[:m], tend[:m]
+
+
+def align_batch(keys: np.ndarray, offsets: np.ndarray,
+                positions: np.ndarray, packed: np.ndarray, l1: np.ndarray,
+                l1_shift: int, search_steps: int, ref_len: int,
+                codes: np.ndarray, dege: np.ndarray, lengths: np.ndarray,
+                k: int, stride: int, n_cand: int, max_mis: int,
+                n_seeds: int, excl_bp: int, probe_k: int,
+                strand_mode: int, both_strands: int):
+    """Host-native gapless aligner (native/alignhost.cpp) — a decision-
+    for-decision mirror of align/hash.py _align_batch (narrow keys,
+    local index).  codes/dege are (R, lp) grids; returns
+    (mapped bool, pos int32, is_rev bool, mis_mask bool) or None."""
+    lib = get_lib()
+    if lib is None or keys.dtype != np.uint32:
+        return None
+    R, lp = codes.shape
+    keys = np.ascontiguousarray(keys, np.uint32)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    positions = np.ascontiguousarray(positions, np.int32)
+    packed = np.ascontiguousarray(packed, np.uint32)
+    l1 = np.ascontiguousarray(l1, np.int32)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    dege = np.ascontiguousarray(dege.astype(np.uint8))
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    mapped = np.empty(R, np.uint8)
+    pos = np.empty(R, np.int32)
+    rev = np.empty(R, np.uint8)
+    mm = np.empty((R, lp), np.uint8)
+    lib.fq_align_batch(
+        keys.ctypes.data_as(_U32P), len(keys),
+        offsets.ctypes.data_as(_I32P),
+        positions.ctypes.data_as(_I32P), len(positions),
+        packed.ctypes.data_as(_U32P), len(packed),
+        l1.ctypes.data_as(_I32P), l1_shift, search_steps, ref_len,
+        _u8p(codes), _u8p(dege), lengths.ctypes.data_as(_I32P),
+        R, lp, k, stride, n_cand, max_mis, n_seeds, excl_bp, probe_k,
+        strand_mode, both_strands,
+        _u8p(mapped), pos.ctypes.data_as(_I32P), _u8p(rev), _u8p(mm))
+    return mapped.astype(bool), pos, rev.astype(bool), mm.astype(bool)
