@@ -8,13 +8,28 @@
 // work is a few hundred ms of tight scalar code on the host (the
 // reference binary's HashAlignment runs host-side at ~40k reads/s,
 // SURVEY.md §2.2).  Which backend aligns a block is a free execution
-// choice ONLY because this mirror reproduces the device pass BIT-
-// IDENTICALLY: same sampled seed set, same fixed-step bucket binary
-// search, same first-occurrence argmin tie-breaks, same probe-prefilter
-// ordering (stable by (mismatches, index)), same candidate bounds
-// quirks (clipped CSR pointers, BIG-occ fallthrough).  tests/
-// test_alignhost.py cross-checks every output array against the jitted
-// kernels on the CPU backend.
+// choice ONLY because this mirror reproduces every BITSTREAM-RELEVANT
+// device output exactly: the mapped flags, and pos / is_rev / mis_mask
+// for the mapped reads (unmapped reads' pos never reaches the archive —
+// they are coded entropy-only).  tests/test_alignhost.py cross-checks
+// host vs device on the CPU backend.
+//
+// The mirror preserves the device's first-occurrence argmin over the
+// candidate list exactly, while skipping work the argmin provably cannot
+// observe:
+//   * invalid candidates (out-of-range / beyond the occ list) are never
+//     probed or verified — on device they carry mis = BIG and can only
+//     win when no valid candidate exists, i.e. when the read is unmapped;
+//   * a candidate whose probe-word mismatches already exceed the current
+//     best full count cannot strictly improve the argmin (probe words
+//     are a subset of the window, so pmis <= mis); the prefiltered scan
+//     is ordered by (pmis, index), so the first such candidate ends the
+//     scan (branch-and-bound);
+//   * duplicate positions (different seeds emitting the same window)
+//     have identical mis; only the first occurrence can win a strict <,
+//     so later duplicates are skipped via a per-read hash set, and their
+//     probe counts are copied from the first occurrence;
+//   * a running best of 0 mismatches cannot be strictly improved.
 //
 // Anything this mirror does not cover (wide keys k > 15, the sharded
 // index, the one-indel tier) stays on the device path.
@@ -79,31 +94,106 @@ static inline int mis_aligned(const Index& ix, uint32_t cand,
     return mis;
 }
 
+// Per-call scratch: one allocation set reused across every read and
+// strand (the old per-read std::vectors were ~20 mallocs per read).
+struct Workspace {
+    std::vector<uint32_t> kv;     // rolling k-mer at every window start
+    std::vector<int32_t> cs;      // degenerate prefix sums (lp + 1)
+    std::vector<int64_t> ii;      // per-sample CSR key index
+    std::vector<int32_t> occ;     // per-sample occurrence count (or BIG)
+    std::vector<int32_t> psv;     // per-sample read offset
+    std::vector<uint32_t> cand;   // C * NS candidate windows
+    std::vector<int32_t> vc;      // compacted indices of valid candidates
+    std::vector<int32_t> pmis;    // probe mismatches per candidate
+    std::vector<int32_t> sel;     // prefilter survivors (candidate idx)
+    std::vector<uint32_t> rw, mw; // packed read + validity words
+    std::vector<uint8_t> rc, rdege;
+    // open-address hash over candidate values: probe-count cache +
+    // verified-position set, reset per (read, strand) by epoch stamping
+    std::vector<uint32_t> hkey;
+    std::vector<int32_t> hval;    // cached pmis | VERIFIED flag
+    std::vector<uint32_t> hep;
+    uint32_t epoch = 0;
+    uint32_t hmask = 0;
+
+    void init(const Cfg& cfg) {
+        const int P = cfg.lp - cfg.k + 1;
+        const int S = (P + cfg.stride - 1) / cfg.stride;
+        const size_t total = (size_t)cfg.n_cand * cfg.n_seeds;
+        kv.resize(P);
+        cs.resize(cfg.lp + 1);
+        ii.resize(S);
+        occ.resize(S);
+        psv.resize(S);
+        cand.resize(total);
+        vc.reserve(total);
+        pmis.resize(total);
+        sel.reserve(total);
+        rw.resize(cfg.n_words());
+        mw.resize(cfg.n_words());
+        rc.resize(cfg.lp);
+        rdege.resize(cfg.lp);
+        uint32_t cap = 64;
+        while (cap < 2 * total) cap <<= 1;
+        if (cap != hkey.size()) {
+            hkey.assign(cap, 0);
+            hval.assign(cap, 0);
+            hep.assign(cap, 0);
+            epoch = 0;
+        }
+        hmask = cap - 1;
+    }
+    // returns slot for key; fresh slots have hep[slot] != epoch
+    inline uint32_t slot(uint32_t key) {
+        uint32_t h = (key * 2654435761u) & hmask;
+        while (hep[h] == epoch && hkey[h] != key) h = (h + 1) & hmask;
+        return h;
+    }
+};
+
+constexpr int32_t VERIFIED = 1 << 20;
+
+// perf counters (debugging aid, no effect on results):
+// [0] strand calls, [1] sampled-seed searches, [2] valid candidates,
+// [3] probes computed, [4] probe dup hits, [5] sel size after cap,
+// [6] full verifies, [7] verify dup skips, [8] verify words scanned,
+// [9] b&b breaks
+static int64_t g_stat[12] = {0};
+
 // one_strand: per-read candidate search + verify on an effective-strand
 // row.  Mirrors hash.py _one_strand (narrow, l1-bucketed fixed-step
-// search).  Returns (mis_best, pos_best).
-static void one_strand(const Index& ix, const Cfg& cfg,
+// search).  Returns (mis_best, pos_best); pos_best matches the device
+// argmin whenever the read can map (mis_best <= max_mis).
+static void one_strand(const Index& ix, const Cfg& cfg, Workspace& ws,
                        const uint8_t* row, const uint8_t* drow,
                        int32_t len, int32_t* mis_out, int32_t* pos_out) {
     const int lp = cfg.lp, k = cfg.k, W = cfg.n_words();
     const int P = lp - k + 1;
     const int S = (P + cfg.stride - 1) / cfg.stride;
+    ws.epoch++;
+    g_stat[0]++;
+    g_stat[1] += S;
 
-    // rolling k-mers + window validity at the sampled positions
-    std::vector<uint32_t> kv(S);
-    std::vector<int64_t> ii(S);
-    std::vector<int32_t> occ(S);
-    std::vector<int32_t> psv(S);
-    // degenerate prefix sum over the padded row
-    std::vector<int32_t> cs(lp + 1, 0);
-    for (int i = 0; i < lp; i++) cs[i + 1] = cs[i] + (drow[i] ? 1 : 0);
+    // rolling k-mer at every window start (O(lp), not O(S * k)) and the
+    // degenerate prefix sums, one fused pass
+    const uint32_t kmask = (k >= 16) ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1);
+    {
+        uint32_t v = 0;
+        int32_t c = 0;
+        ws.cs[0] = 0;
+        for (int i = 0; i < lp; i++) {
+            v = ((v << 2) | row[i]) & kmask;
+            c += drow[i] ? 1 : 0;
+            ws.cs[i + 1] = c;
+            if (i >= k - 1) ws.kv[i - k + 1] = v;
+        }
+    }
+
     for (int s = 0; s < S; s++) {
         int q = s * cfg.stride;
-        psv[s] = q;
-        uint32_t v = 0;
-        for (int j = 0; j < k; j++) v = (v << 2) | row[q + j];
-        kv[s] = v;
-        bool ok_s = (q <= len - k) && (cs[q + k] - cs[q]) == 0;
+        ws.psv[s] = q;
+        const uint32_t v = ws.kv[q];
+        bool ok_s = (q <= len - k) && (ws.cs[q + k] - ws.cs[q]) == 0;
         // bucket-bounded lower_bound, fixed search_steps (exact mirror)
         int64_t bq = (int64_t)(v >> ix.l1_shift);
         int64_t lo = ix.l1[bq], hi = ix.l1[bq + 1];
@@ -117,56 +207,72 @@ static void one_strand(const Index& ix, const Cfg& cfg,
             if (active && !less) hi = mid;
         }
         int64_t i2 = lo < ix.nk - 1 ? lo : ix.nk - 1;
-        ii[s] = i2;
+        ws.ii[s] = i2;
         bool found = (ix.keys[i2] == v) && (lo < hi0) && ok_s;
-        occ[s] = found ? (ix.offsets[i2 + 1] - ix.offsets[i2]) : BIG;
+        ws.occ[s] = found ? (ix.offsets[i2 + 1] - ix.offsets[i2]) : BIG;
     }
 
-    // candidates from the n_seeds least-frequent sampled seeds
+    // candidates from the n_seeds least-frequent sampled seeds; valid
+    // ones are compacted into ws.vc (the device carries invalid slots as
+    // mis = BIG, which can only win when the read is unmapped)
     const int C = cfg.n_cand;
     const int NS = cfg.n_seeds;
-    std::vector<uint32_t> cand((size_t)C * NS);
-    std::vector<uint8_t> cok((size_t)C * NS);
+    int32_t* occv = ws.occ.data();
+    ws.vc.clear();
     for (int it = 0; it < NS; it++) {
         int jb = 0;
-        for (int s = 1; s < S; s++) if (occ[s] < occ[jb]) jb = s;
-        int32_t occ_best = occ[jb];
-        int32_t pb = psv[jb];
+        for (int s = 1; s < S; s++) if (occv[s] < occv[jb]) jb = s;
+        int32_t occ_best = occv[jb];
+        int32_t pb = ws.psv[jb];
         if (cfg.excl_bp > 0) {
             for (int s = 0; s < S; s++)
-                if (std::abs(psv[s] - pb) <= cfg.excl_bp) occ[s] = BIG;
+                if (std::abs(ws.psv[s] - pb) <= cfg.excl_bp) occv[s] = BIG;
         } else {
-            occ[jb] = BIG;
+            occv[jb] = BIG;
         }
-        int32_t base = ix.offsets[ii[jb]];
+        int32_t base = ix.offsets[ws.ii[jb]];
         int32_t lim = occ_best < C ? occ_best : C;
-        for (int cj = 0; cj < C; cj++) {
+        if (lim < 0) lim = 0;
+        // only the first `lim` slots of this seed's range can be valid
+        // on the device (in_range = cj < min(occ_best, C)); the slots
+        // past lim carry mis = BIG there and are only observable through
+        // an unmapped read's (unused) fallback position
+        for (int cj = 0; cj < lim; cj++) {
             int64_t ptr = (int64_t)base + cj;
             if (ptr < 0) ptr = 0;
             if (ptr > ix.npos - 1) ptr = ix.npos - 1;
             int32_t cp = ix.positions[ptr] - pb;    // int32 frame, like device
-            bool ok = (cj < lim) && cp >= 0 && cp + len <= ix.ref_len;
-            cand[(size_t)it * C + cj] = (uint32_t)cp;
-            cok[(size_t)it * C + cj] = ok ? 1 : 0;
+            bool ok = cp >= 0 && cp + len <= ix.ref_len;
+            const int c = it * C + cj;
+            ws.cand[c] = (uint32_t)cp;
+            if (ok) { ws.vc.push_back(c); g_stat[2]++; }
         }
+    }
+    const int total = C * NS;
+    if (ws.vc.empty()) {
+        // no candidate can map: the read is unmapped on this strand and
+        // its position never reaches the bitstream
+        *mis_out = BIG;
+        *pos_out = 0;
+        return;
     }
 
     // pack the read row into MSB-first u32 words + validity mask words
-    std::vector<uint32_t> rw(W, 0), mw(W, 0);
-    for (int i = 0; i < lp; i++) {
+    std::fill(ws.rw.begin(), ws.rw.end(), 0u);
+    std::fill(ws.mw.begin(), ws.mw.end(), 0u);
+    for (int i = 0; i < len; i++) {
         uint32_t shv = 2u * (15 - (i & 15));
-        if (i < len) {
-            rw[i >> 4] |= ((uint32_t)row[i]) << shv;
-            mw[i >> 4] |= 3u << shv;
-        }
+        ws.rw[i >> 4] |= ((uint32_t)row[i]) << shv;
+        ws.mw[i >> 4] |= 3u << shv;
     }
+    const uint32_t* rw = ws.rw.data();
+    const uint32_t* mw = ws.mw.data();
 
-    int total = C * NS;
-    std::vector<int> sel;
-    sel.reserve(total);
+    ws.sel.clear();
     int32_t best_mis = BIG;
     uint32_t best_pos = 0;
     bool have_best = false;
+    bool prefiltered = false;
     // two-probe-word prefilter (device: lax.top_k(-pmis, K) then mask
     // pmis > max_mis, stable — smaller pmis first, ties by lower index).
     // A candidate whose two probe words already mismatch > max_mis can
@@ -176,60 +282,102 @@ static void one_strand(const Index& ix, const Cfg& cfg,
     // first-occurrence argmin below still mirrors the device argmin.
     int K = cfg.probe_k;
     if (K > 0 && total > 2 * K && W > 3) {
-        int probes[2] = {1, W / 2};
-        std::vector<int32_t> pmis(total);
+        prefiltered = true;
+        int probe1[1] = {1}, probe2[1] = {W / 2};
         int pm_min = BIG, pm_arg = 0;
-        for (int c = 0; c < total; c++) {
-            int32_t pm = cok[c]
-                ? mis_aligned(ix, cand[c], rw.data(), mw.data(), W,
-                              probes, 2)
-                : BIG;
-            pmis[c] = pm;
+        for (size_t t = 0; t < ws.vc.size(); t++) {
+            const int c = ws.vc[t];
+            const uint32_t cp = ws.cand[c];
+            const uint32_t h = ws.slot(cp);
+            int32_t pm;
+            if (ws.hep[h] == ws.epoch) {
+                pm = ws.hval[h] & ~VERIFIED;   // duplicate: copy probe count
+                g_stat[4]++;
+            } else {
+                g_stat[3]++;
+                // first probe word alone excludes most junk candidates
+                // (> max_mis in 16 bases).  The exact two-word count is
+                // only observable for candidates that reach sel (it
+                // orders sel and feeds the branch-and-bound); an
+                // already-excluded candidate's pm only needs to stay
+                // > max_mis — its precise value can reach the output
+                // solely through the all-pruned fallback position of an
+                // UNMAPPED read, which never enters the bitstream.
+                pm = mis_aligned(ix, cp, rw, mw, W, probe1, 1);
+                if (pm <= cfg.max_mis)
+                    pm += mis_aligned(ix, cp, rw, mw, W, probe2, 1);
+                else
+                    pm += 8;   // keep > max_mis without the second fetch
+                ws.hep[h] = ws.epoch;
+                ws.hkey[h] = cp;
+                ws.hval[h] = pm;
+            }
+            ws.pmis[c] = pm;
             if (pm < pm_min) { pm_min = pm; pm_arg = c; }
-            if (pm <= cfg.max_mis) sel.push_back(c);
+            if (pm <= cfg.max_mis) ws.sel.push_back(c);
         }
-        std::sort(sel.begin(), sel.end(), [&](int a, int b) {
-            return pmis[a] != pmis[b] ? pmis[a] < pmis[b] : a < b;
+        std::sort(ws.sel.begin(), ws.sel.end(), [&](int a, int b) {
+            return ws.pmis[a] != ws.pmis[b] ? ws.pmis[a] < ws.pmis[b]
+                                            : a < b;
         });
-        if ((int)sel.size() > K) sel.resize(K);
-        if (sel.empty()) {
+        if ((int)ws.sel.size() > K) ws.sel.resize(K);
+        g_stat[5] += ws.sel.size();
+        if (ws.sel.empty()) {
             // all candidates pruned: the device argmin over an all-BIG
             // row returns its first selected candidate = min (pmis, idx)
             *mis_out = BIG;
-            *pos_out = (int32_t)cand[pm_arg];
+            *pos_out = (int32_t)ws.cand[pm_arg];
             return;
         }
     } else {
-        for (int c = 0; c < total; c++) sel.push_back(c);
+        ws.sel = ws.vc;
     }
 
-    for (size_t t = 0; t < sel.size(); t++) {
-        int c = sel[t];
-        int32_t m;
-        if (!cok[c]) {
-            m = BIG;
+    for (size_t t = 0; t < ws.sel.size(); t++) {
+        const int c = ws.sel[t];
+        const uint32_t cp = ws.cand[c];
+        if (prefiltered) {
+            // branch-and-bound: sel is ordered by (pmis, idx) and
+            // pmis <= mis, so once pmis reaches the best full count no
+            // later candidate can strictly improve the argmin
+            if (have_best && ws.pmis[c] >= best_mis) { g_stat[9]++; break; }
+        }
+        const uint32_t h = ws.slot(cp);
+        const bool fresh = ws.hep[h] != ws.epoch;
+        if (!fresh && (ws.hval[h] & VERIFIED)) {
+            // duplicate position: identical mis, cannot strictly improve
+            g_stat[7]++;
+            continue;
+        }
+        g_stat[6]++;
+        if (fresh) {
+            ws.hep[h] = ws.epoch;
+            ws.hkey[h] = cp;
+            ws.hval[h] = VERIFIED;
         } else {
-            // early-exit: once the running count reaches the current
-            // best, this candidate can no longer become the strict
-            // minimum — the argmin outcome is unchanged
-            int64_t w0 = (int64_t)(cand[c] >> 4);
-            uint32_t sh = 2u * (cand[c] & 15u);
-            m = 0;
-            int32_t bound = have_best ? best_mis : BIG;
-            for (int j = 0; j <= W && m < bound; j++) {
-                int64_t wi = w0 + j;
-                if (wi < 0) wi = 0;
-                if (wi > ix.nw - 1) wi = ix.nw - 1;
-                uint32_t refw = ix.packed[wi];
-                uint32_t rsel = frame_word(rw.data(), W, j, sh);
-                uint32_t msel = frame_word(mw.data(), W, j, sh);
-                m += mis2bit((rsel ^ refw) & msel);
-            }
+            ws.hval[h] |= VERIFIED;
+        }
+        // early-exit: once the running count reaches the current best,
+        // this candidate can no longer become the strict minimum
+        int64_t w0 = (int64_t)(cp >> 4);
+        uint32_t sh = 2u * (cp & 15u);
+        int32_t m = 0;
+        const int32_t bound = have_best ? best_mis : BIG;
+        for (int j = 0; j <= W && m < bound; j++) {
+            g_stat[8]++;
+            int64_t wi = w0 + j;
+            if (wi < 0) wi = 0;
+            if (wi > ix.nw - 1) wi = ix.nw - 1;
+            uint32_t refw = ix.packed[wi];
+            uint32_t rsel = frame_word(rw, W, j, sh);
+            uint32_t msel = frame_word(mw, W, j, sh);
+            m += mis2bit((rsel ^ refw) & msel);
         }
         if (!have_best || m < best_mis) {      // first-occurrence argmin
             best_mis = m;
-            best_pos = cand[c];
+            best_pos = cp;
             have_best = true;
+            if (best_mis == 0) break;          // 0 cannot be improved
         }
     }
     *mis_out = best_mis;
@@ -237,6 +385,11 @@ static void one_strand(const Index& ix, const Cfg& cfg,
 }
 
 }  // namespace
+
+extern "C" void fq_align_stats(int64_t* out, int32_t reset) {
+    for (int i = 0; i < 12; i++) out[i] = g_stat[i];
+    if (reset) for (int i = 0; i < 12; i++) g_stat[i] = 0;
+}
 
 // strand_mode: 0 = fwd only, 1 = rc only (fallback acceptance),
 // 2 = both (use_rev by both_strands rule).  Mirrors _align_batch.
@@ -256,7 +409,8 @@ extern "C" void fq_align_batch(
     Index ix{keys, nk, offsets, positions, npos, packed, nw,
              l1, l1_shift, search_steps, ref_len};
     Cfg cfg{k, stride, n_cand, max_mis, n_seeds, excl_bp, probe_k, lp};
-    std::vector<uint8_t> rc(lp), rdege(lp);
+    Workspace ws;
+    ws.init(cfg);
     for (int64_t r = 0; r < R; r++) {
         const uint8_t* row = codes + r * lp;
         const uint8_t* drow = dege + r * lp;
@@ -266,7 +420,7 @@ extern "C" void fq_align_batch(
 
         int32_t mis_f = BIG, pos_f = 0, mis_r = BIG, pos_r = 0;
         if (strand_mode != 1)
-            one_strand(ix, cfg, row, drow, len, &mis_f, &pos_f);
+            one_strand(ix, cfg, ws, row, drow, len, &mis_f, &pos_f);
         // RC is a *fallback* in the non-both-strands rule (use_rev =
         // mis_f > max_mis): when forward already mapped, the RC result
         // is provably unused — skip the whole RC search (the vectorized
@@ -276,10 +430,10 @@ extern "C" void fq_align_batch(
             !(strand_mode == 2 && !both_strands && mis_f <= max_mis);
         if (need_rc) {
             for (int i = 0; i < lp; i++) {
-                rc[i] = i < len ? (uint8_t)(3 - row[len - 1 - i]) : 0;
-                rdege[i] = i < len ? drow[len - 1 - i] : 0;
+                ws.rc[i] = i < len ? (uint8_t)(3 - row[len - 1 - i]) : 0;
+                ws.rdege[i] = i < len ? drow[len - 1 - i] : 0;
             }
-            one_strand(ix, cfg, rc.data(), rdege.data(), len,
+            one_strand(ix, cfg, ws, ws.rc.data(), ws.rdege.data(), len,
                        &mis_r, &pos_r);
         }
         bool use_rev;
@@ -306,7 +460,7 @@ extern "C" void fq_align_batch(
         if (is_mapped) {
             const uint8_t* eff =
                 (strand_mode == 1 || (strand_mode == 2 && use_rev))
-                    ? rc.data() : row;
+                    ? ws.rc.data() : row;
             for (int i = 0; i < len; i++) {
                 int64_t idx = (int64_t)(uint32_t)pos + i;
                 int64_t wi = idx >> 4;

@@ -1,0 +1,94 @@
+"""Host-native aligner mirror vs the device kernels.
+
+native/alignhost.cpp re-implements align/hash.py's gapless tiers as tight
+scalar code; which backend aligns a block is an execution choice, so every
+BITSTREAM-RELEVANT output must agree between them: the mapped flags, and
+pos / is_rev / mis_mask for the mapped reads (an unmapped read's position
+never reaches the archive — those reads are coded entropy-only, and only
+the AMAP flag stream records them).  Reference analogue: HashAlignment
+(SURVEY.md §2.2) has a single implementation; here the pair is kept honest
+by this cross-check.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from fastqueeze_tpu.align.index import build_from_ref
+from fastqueeze_tpu.align.ref import load_fasta
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.io import native
+
+_BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _mk_ref(rng, n):
+    return rng.integers(0, 4, n).astype(np.uint8)
+
+
+def _reads_from_ref(rng, ref, n_reads, length, err_rate=0.02, rc_frac=0.3):
+    """Reads sampled from ref with point errors; a fraction reverse-
+    complemented; plus pure-random (unmappable) reads mixed in."""
+    reads = []
+    for i in range(n_reads):
+        if i % 5 == 4:
+            reads.append(rng.integers(0, 4, length).astype(np.uint8))
+            continue
+        p = int(rng.integers(0, len(ref) - length))
+        r = ref[p:p + length].copy()
+        errs = rng.random(length) < err_rate
+        r[errs] = (r[errs] + rng.integers(1, 4, int(errs.sum()))) % 4
+        if rng.random() < rc_frac:
+            r = (3 - r)[::-1].copy()
+        reads.append(r)
+    return reads
+
+
+@pytest.mark.skipif(native.get_lib() is None
+                    or not hasattr(native.get_lib(), "fq_align_batch"),
+                    reason="native aligner unavailable")
+def test_host_mirror_matches_device(tmp_path):
+    from fastqueeze_tpu.align.hash import Aligner
+
+    rng = np.random.default_rng(7)
+    ref = _mk_ref(rng, 20000)
+    # inject a repeat family so deep candidate lists (the tier-2 rescue
+    # path, probe prefilter + top-K) are exercised
+    unit = ref[:60]
+    for j in range(40):
+        p = 8000 + j * 70
+        ref[p:p + 60] = unit
+    reads = _reads_from_ref(rng, ref, 160, 100)
+    # a few reads from inside the repeat region
+    for j in range(12):
+        p = 8000 + int(rng.integers(0, 35)) * 70 + int(rng.integers(0, 8))
+        reads.append(ref[p:p + 100].copy())
+    lengths = np.array([len(r) for r in reads], np.int64)
+    codes = np.concatenate(reads)
+    dege = np.zeros(len(codes), bool)
+
+    fa = tmp_path / "ref.fa"
+    fa.write_bytes(b">r\n" + _BASES[ref].tobytes() + b"\n")
+    p = CodecParams()
+    idx = build_from_ref(load_fasta(str(fa)), p)
+    p.aligned = 1
+    p.ref_len = len(ref)
+    p.seed_len = idx.k
+
+    results = {}
+    for mode in ("host", "device"):
+        os.environ["FASTQUEEZE_ALIGN_EXEC"] = mode
+        try:
+            al = Aligner(idx, p)
+            results[mode] = al.align(codes, dege, lengths)
+        finally:
+            del os.environ["FASTQUEEZE_ALIGN_EXEC"]
+
+    rh, rd = results["host"], results["device"]
+    assert rh.mapped.sum() > 100          # the fixture actually maps
+    np.testing.assert_array_equal(rh.mapped, rd.mapped)
+    m = rd.mapped
+    np.testing.assert_array_equal(rh.pos[m], rd.pos[m])
+    np.testing.assert_array_equal(rh.is_rev[m], rd.is_rev[m])
+    np.testing.assert_array_equal(rh.mis_mask[m], rd.mis_mask[m])
