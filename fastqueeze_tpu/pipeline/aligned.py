@@ -61,14 +61,40 @@ def _maybe_align(p: CodecParams, aligner: Aligner, block: FastqBlock,
     return res, n_mapped
 
 
+# (path, mtime, size, seed_len, shm) -> (Aligner, RefSeq).  The reference
+# binary amortizes its index with POSIX shm staging (`-s`, SURVEY.md §2.2);
+# in-process the same role is played by this cache: repeated compress/
+# decompress calls (servers, benchmarks, the multi-file driver) skip the
+# FASTA re-parse, index load and device re-upload.  Aligner.params is
+# re-stamped per call — alignment policy knobs are read at align() time.
+_REF_CACHE: Dict = {}
+_REF_CACHE_MAX = 4
+
+
 def prepare_ref(p: CodecParams, ref_path: str):
     """Load (or rebuild) the index, stamp ref identity into the params."""
-    idx, ref = load_index(ref_path, p)
+    try:
+        st = os.stat(ref_path)
+        key = (os.path.abspath(ref_path), st.st_mtime_ns, st.st_size,
+               p.seed_len, p.shm_index)
+    except OSError:
+        key = None
+    hit = _REF_CACHE.get(key) if key is not None else None
+    if hit is None:
+        idx, ref = load_index(ref_path, p)
+        aligner = Aligner(idx, p)
+        if key is not None:
+            if len(_REF_CACHE) >= _REF_CACHE_MAX:
+                _REF_CACHE.pop(next(iter(_REF_CACHE)))
+            _REF_CACHE[key] = (aligner, ref)
+    else:
+        aligner, ref = hit
+        aligner.params = p
     p.aligned = 1
     p.ref_md5 = ref.md5
     p.ref_len = ref.length
-    p.seed_len = idx.k
-    return Aligner(idx, p), ref
+    p.seed_len = aligner.k
+    return aligner, ref
 
 
 def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,

@@ -359,6 +359,15 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
             if route_q:
                 qual_job = host_frozen.encode_job(qmodel, p, qsyms,
                                                   lengths, qc_cum)
+    if (seq_job is None or qual_job is None) and adapt and frozen is None:
+        # host-native adaptive coder (bit-identical bitstream; routing is
+        # an execution choice — see ops/host_adapt.py)
+        from fastqueeze_tpu.ops import host_adapt
+        if seq_job is None and host_adapt.route(p, seq_model):
+            seq_job = host_adapt.encode_job(seq_model, p, seq_syms,
+                                            seq_counts)
+        if qual_job is None and host_adapt.route(p, qmodel):
+            qual_job = host_adapt.encode_job(qmodel, p, qsyms, lengths)
     if seq_job is None or qual_job is None:
         sc0 = qc0 = None
         if frozen is not None:
@@ -650,6 +659,14 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
             if route_q:
                 qual_job = host_frozen.decode_job(
                     qmodel, p, sections[TAG_QUAL], lengths, qc_cum)
+    if (seq_job is None or qual_job is None) and adapt and frozen is None:
+        from fastqueeze_tpu.ops import host_adapt
+        if seq_job is None and host_adapt.route(p, seq_model):
+            seq_job = host_adapt.decode_job(seq_model, p, sections[TAG_SEQ],
+                                            seq_counts)
+        if qual_job is None and host_adapt.route(p, qmodel):
+            qual_job = host_adapt.decode_job(qmodel, p, sections[TAG_QUAL],
+                                             lengths)
     if seq_job is None or qual_job is None:
         sc0 = qc0 = None
         if frozen is not None:

@@ -1,0 +1,363 @@
+// Host-native execution backend for the ADAPTIVE wave-rANS engine.
+//
+// Mirrors fastqueeze_tpu/ops/engine.py's per-wave adaptive coding path
+// BIT-IDENTICALLY: the payload bytes produced/consumed here are exactly
+// the device kernels' (_encode_fused_adapt / _decode_fused_adapt with
+// chunk = 0 over the round-robin lane layout of ops/lanes.py).  Which
+// backend runs a stream is a pure execution choice (ops/host_adapt.py
+// routes on link economics, like ops/host_frozen.py does for the frozen
+// path); the archive cannot tell them apart.
+//
+// Adaptive semantics recap (engine._pass1 / _decode):
+//   * wave t codes symbol t of every active lane; the count tables are
+//     SHARED across lanes — every lane's (start, freq) for wave t is
+//     quantized from the table state after wave t-1's update;
+//   * after each wave, counts[ctx][sym] += inc for every (valid) lane,
+//     duplicates accumulating additively; then every touched row whose
+//     total exceeds `cap` is halved elementwise ((v + 1) >> 1) until it
+//     fits (the device applies a fixed n_halve conditional passes, which
+//     converges to the same fixed point);
+//   * quantization is engine._quant: F_s = floor(cum_s * M / C), with
+//     M = 2^14; row totals stay <= cap <= M, so every count >= 1 keeps
+//     freq >= 1;
+//   * decode inverts the quantization without materializing F: the
+//     decoded symbol is the largest s with F[s] <= low, i.e. with
+//     cum_s <= floor(((low + 1) * C - 1) / M).
+//
+// The rANS arithmetic, lane layout, canonical (wave, lane) word order and
+// serialized stream layout are identical to frozenwave.cpp.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include "wavemodels.h"
+
+namespace {
+
+using fqwave::SeqM;
+using fqwave::QualM;
+using fqwave::make_seq;
+using fqwave::make_qual;
+
+constexpr uint32_t kRansL = 1u << 16;
+constexpr uint32_t kProbBits = 14;
+constexpr uint32_t kRansM = 1u << kProbBits;
+constexpr uint32_t kMaskM = kRansM - 1;
+
+// Shared adaptive count table + the per-wave update queue.
+struct Table {
+    std::vector<int32_t> counts;   // (n_ctx, A)
+    std::vector<int32_t> tot;      // row totals
+    std::vector<uint32_t> stamp;   // last wave that queued a fix per row
+    std::vector<int64_t> pend_ctx; // this wave's (ctx, sym) adds
+    std::vector<int32_t> pend_sym;
+    std::vector<int64_t> fix;      // distinct touched rows this wave
+    int64_t n_ctx;
+    int32_t A, inc, cap;
+
+    void init(int64_t n_ctx_, int32_t A_, int32_t init_, int32_t inc_,
+              int32_t cap_, int64_t L) {
+        n_ctx = n_ctx_; A = A_; inc = inc_; cap = cap_;
+        counts.assign(n_ctx * A, init_);
+        tot.assign(n_ctx, init_ * A);
+        stamp.assign(n_ctx, 0xFFFFFFFFu);
+        pend_ctx.reserve(L);
+        pend_sym.reserve(L);
+        fix.reserve(L);
+    }
+    inline void queue(int64_t ctx, int32_t sym, uint32_t wave) {
+        pend_ctx.push_back(ctx);
+        pend_sym.push_back(sym);
+        if (stamp[ctx] != wave) {
+            stamp[ctx] = wave;
+            fix.push_back(ctx);
+        }
+    }
+    // apply the wave's adds, then rescale over-cap touched rows
+    // (engine._wave_update_tot's fixed point)
+    inline void flush() {
+        for (size_t i = 0; i < pend_ctx.size(); ++i) {
+            counts[pend_ctx[i] * A + pend_sym[i]] += inc;
+            tot[pend_ctx[i]] += inc;
+        }
+        pend_ctx.clear();
+        pend_sym.clear();
+        for (int64_t ctx : fix) {
+            int32_t t = tot[ctx];
+            if (t <= cap) continue;
+            int32_t* row = counts.data() + ctx * A;
+            while (t > cap) {
+                t = 0;
+                for (int32_t a = 0; a < A; ++a) {
+                    row[a] = (row[a] + 1) >> 1;
+                    t += row[a];
+                }
+            }
+            tot[ctx] = t;
+        }
+        fix.clear();
+    }
+};
+
+// Per-lane read-walk state (round-robin layout: lane l codes reads
+// l, l + L, l + 2L, ...), shared by encode and decode.
+template <class Model>
+struct LaneSt {
+    typename Model::State st;
+    uint32_t x;
+    int64_t cur;      // current read (global index); < 0 = before first
+    int64_t pos;      // position within the current read
+    int64_t len;      // current read's length
+    int64_t off;      // flat offset of the current read
+    int64_t ctx;      // this wave's context (filled by the prefetch pass)
+};
+
+template <class Model>
+inline void advance_lane(LaneSt<Model>& s, const Model& m,
+                         const int64_t* counts, const int64_t* roff,
+                         int64_t R, int64_t L, int64_t l) {
+    if (s.pos == s.len) {   // advance to the next non-empty read
+        int64_t r = s.cur < 0 ? l : s.cur + L;
+        while (r < R && counts[r] == 0) r += L;
+        s.cur = r;
+        s.len = counts[r];
+        s.off = roff[r];
+        s.pos = 0;
+        m.reset(s.st);
+    }
+}
+
+// --- encode: wave-major forward model walk -> (start, freq) lane-major,
+//     then per-lane reverse rANS; words merged canonically ---
+
+template <class Model>
+int64_t encode_impl(Table& tab, const uint8_t* syms, const int64_t* counts,
+                    int64_t R, int64_t L, const Model& m,
+                    uint16_t* words_out, int64_t words_cap,
+                    uint32_t* states_out) {
+    const int32_t A = tab.A;
+    std::vector<int64_t> roff(R);
+    std::vector<int64_t> lane_len(L, 0);
+    std::vector<int64_t> seg(L + 1, 0);
+    int64_t off = 0, tmax = 0;
+    for (int64_t r = 0; r < R; ++r) {
+        roff[r] = off;
+        off += counts[r];
+        lane_len[r % L] += counts[r];
+    }
+    for (int64_t l = 0; l < L; ++l) {
+        seg[l + 1] = seg[l] + lane_len[l];
+        if (lane_len[l] > tmax) tmax = lane_len[l];
+    }
+    const int64_t nsym = off;
+
+    std::vector<uint16_t> ts(nsym), tf(nsym);
+    std::vector<LaneSt<Model>> ls(L);
+    for (int64_t l = 0; l < L; ++l) {
+        ls[l].cur = -1;
+        ls[l].pos = 0;
+        ls[l].len = 0;
+        m.reset(ls[l].st);
+    }
+
+    for (int64_t t = 0; t < tmax; ++t) {
+        // pass A: read advance + context + row prefetch (ctx depends only
+        // on the lane's own symbol history, never on this wave's table)
+        for (int64_t l = 0; l < L; ++l) {
+            if (t >= lane_len[l]) continue;
+            LaneSt<Model>& s = ls[l];
+            advance_lane(s, m, counts, roff.data(), R, L, l);
+            s.ctx = m.ctx(s.st, s.pos);
+            __builtin_prefetch(tab.counts.data() + s.ctx * A);
+        }
+        // pass B: quantize + record (start, freq) + queue the update
+        for (int64_t l = 0; l < L; ++l) {
+            if (t >= lane_len[l]) continue;
+            LaneSt<Model>& s = ls[l];
+            const int32_t sym = syms[s.off + s.pos];
+            const int32_t* row = tab.counts.data() + s.ctx * A;
+            const int64_t C = tab.tot[s.ctx];
+            int64_t cum = 0;
+            for (int32_t a = 0; a < sym; ++a) cum += row[a];
+            const int64_t start = (cum * kRansM) / C;
+            const int64_t end = ((cum + row[sym]) * kRansM) / C;
+            const int64_t idx = seg[l] + t;
+            ts[idx] = static_cast<uint16_t>(start);
+            tf[idx] = static_cast<uint16_t>(end - start);
+            tab.queue(s.ctx, sym, static_cast<uint32_t>(t));
+            m.update(s.st, sym);
+            ++s.pos;
+        }
+        tab.flush();
+    }
+
+    // per-lane reverse rANS (engine._pass2), canonical (wave, lane) merge
+    std::vector<int32_t> wv_t;
+    std::vector<uint16_t> wv_w;
+    std::vector<int64_t> lane_w0(L + 1, 0);
+    std::vector<int64_t> wcnt(tmax + 1, 0);
+    wv_t.reserve(nsym / 2 + 16);
+    wv_w.reserve(nsym / 2 + 16);
+    for (int64_t l = 0; l < L; ++l) {
+        uint32_t x = kRansL;
+        for (int64_t i = lane_len[l] - 1; i >= 0; --i) {
+            const int64_t idx = seg[l] + i;
+            const uint32_t f = tf[idx];
+            if ((x >> 18) >= f) {
+                wv_t.push_back(static_cast<int32_t>(i));
+                wv_w.push_back(static_cast<uint16_t>(x & 0xFFFF));
+                ++wcnt[i];
+                x >>= 16;
+            }
+            const uint32_t fs = f ? f : 1;   // engine pass2's f_safe
+            const uint32_t q = x / fs;
+            x = (q << kProbBits) + (x - q * fs) + ts[idx];
+        }
+        states_out[l] = x;
+        lane_w0[l + 1] = static_cast<int64_t>(wv_w.size());
+    }
+    const int64_t W = static_cast<int64_t>(wv_w.size());
+    if (W > words_cap) return -1;
+    std::vector<int64_t> cur(tmax + 1, 0);
+    int64_t acc = 0;
+    for (int64_t t = 0; t < tmax; ++t) {
+        cur[t] = acc;
+        acc += wcnt[t];
+    }
+    for (int64_t l = 0; l < L; ++l)
+        for (int64_t kk = lane_w0[l]; kk < lane_w0[l + 1]; ++kk)
+            words_out[cur[wv_t[kk]]++] = wv_w[kk];
+    return W;
+}
+
+// --- decode: wave-major forward pass; symbol search inverts the
+//     quantization directly on the count rows ---
+
+template <class Model>
+void decode_impl(Table& tab, const uint32_t* states, const uint16_t* words,
+                 int64_t n_words, const int64_t* counts, int64_t R,
+                 int64_t L, const Model& m, uint8_t* out) {
+    const int32_t A = tab.A;
+    std::vector<int64_t> roff(R);
+    std::vector<int64_t> lane_len(L, 0);
+    int64_t off = 0, tmax = 0;
+    for (int64_t r = 0; r < R; ++r) {
+        roff[r] = off;
+        off += counts[r];
+        lane_len[r % L] += counts[r];
+    }
+    for (int64_t l = 0; l < L; ++l)
+        if (lane_len[l] > tmax) tmax = lane_len[l];
+
+    std::vector<LaneSt<Model>> ls(L);
+    for (int64_t l = 0; l < L; ++l) {
+        ls[l].x = states[l];
+        ls[l].cur = -1;
+        ls[l].pos = 0;
+        ls[l].len = 0;
+        m.reset(ls[l].st);
+    }
+    int64_t wp = 0;
+    for (int64_t t = 0; t < tmax; ++t) {
+        for (int64_t l = 0; l < L; ++l) {
+            if (t >= lane_len[l]) continue;
+            LaneSt<Model>& s = ls[l];
+            advance_lane(s, m, counts, roff.data(), R, L, l);
+            s.ctx = m.ctx(s.st, s.pos);
+            __builtin_prefetch(tab.counts.data() + s.ctx * A);
+        }
+        for (int64_t l = 0; l < L; ++l) {
+            if (t >= lane_len[l]) continue;
+            LaneSt<Model>& s = ls[l];
+            const int32_t* row = tab.counts.data() + s.ctx * A;
+            const int64_t C = tab.tot[s.ctx];
+            const uint32_t low = s.x & kMaskM;
+            // largest sym with F[sym] <= low  <=>  cum_sym <= th
+            const int64_t th = ((static_cast<int64_t>(low) + 1) * C - 1)
+                               >> kProbBits;
+            int32_t sym = 0;
+            int64_t cum = 0;                 // cum_sym
+            int64_t nxt = row[0];            // cum_{sym+1}
+            while (sym < A - 1 && nxt <= th) {
+                cum = nxt;
+                ++sym;
+                nxt += row[sym];
+            }
+            const uint32_t start =
+                static_cast<uint32_t>((cum * kRansM) / C);
+            const uint32_t end =
+                static_cast<uint32_t>((nxt * kRansM) / C);
+            const uint32_t f = end - start;
+            uint32_t xn = f * (s.x >> kProbBits) + low - start;
+            if (xn < kRansL) {
+                // past-the-end reads mirror the device's zero padding
+                // (only reachable on corrupt streams; MD5 reports those)
+                const uint32_t w = wp < n_words ? words[wp] : 0;
+                xn = (xn << 16) | w;
+                ++wp;
+            }
+            s.x = xn;
+            out[s.off + s.pos] = static_cast<uint8_t>(sym);
+            tab.queue(s.ctx, sym, static_cast<uint32_t>(t));
+            m.update(s.st, sym);
+            ++s.pos;
+        }
+        tab.flush();
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns n_words, or -1 (bad kind/spec or words_cap overflow).
+// kind 0 = seq (spec: mask, magic); kind 1 = qual (spec: k, base,
+// hash_bits, drop_bits, pos_bits, qlevel, drop_init).
+int64_t fq_adapt_encode(int32_t A, int64_t n_ctx, int32_t init, int32_t inc,
+                        int32_t cap, const uint8_t* syms,
+                        const int64_t* counts, int64_t R, int64_t L,
+                        int32_t kind, const int64_t* spec,
+                        uint16_t* words_out, int64_t words_cap,
+                        uint32_t* states_out) {
+    Table tab;
+    tab.init(n_ctx, A, init, inc, cap, L);
+    if (kind == 0) {
+        SeqM m;
+        if (!make_seq(spec, &m)) return -1;
+        return encode_impl(tab, syms, counts, R, L, m, words_out,
+                           words_cap, states_out);
+    }
+    if (kind == 1) {
+        QualM m;
+        if (!make_qual(spec, &m)) return -1;
+        return encode_impl(tab, syms, counts, R, L, m, words_out,
+                           words_cap, states_out);
+    }
+    return -1;
+}
+
+// Returns 0, or -1 (bad kind/spec).
+int64_t fq_adapt_decode(int32_t A, int64_t n_ctx, int32_t init, int32_t inc,
+                        int32_t cap, const uint32_t* states,
+                        const uint16_t* words, int64_t n_words,
+                        const int64_t* counts, int64_t R, int64_t L,
+                        int32_t kind, const int64_t* spec, uint8_t* out) {
+    Table tab;
+    tab.init(n_ctx, A, init, inc, cap, L);
+    if (kind == 0) {
+        SeqM m;
+        if (!make_seq(spec, &m)) return -1;
+        decode_impl(tab, states, words, n_words, counts, R, L, m, out);
+        return 0;
+    }
+    if (kind == 1) {
+        QualM m;
+        if (!make_qual(spec, &m)) return -1;
+        decode_impl(tab, states, words, n_words, counts, R, L, m, out);
+        return 0;
+    }
+    return -1;
+}
+
+}  // extern "C"

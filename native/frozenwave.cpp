@@ -23,75 +23,19 @@
 #include <cstdint>
 #include <vector>
 
+#include "wavemodels.h"
+
 namespace {
+
+using fqwave::SeqM;
+using fqwave::QualM;
+using fqwave::make_seq;
+using fqwave::make_qual;
 
 constexpr uint32_t kRansL = 1u << 16;
 constexpr uint32_t kProbBits = 14;
 constexpr uint32_t kRansM = 1u << kProbBits;
 constexpr uint32_t kMaskM = kRansM - 1;
-
-// --- model walks (reset at every read start; ctx needs pos for qual) ---
-
-struct SeqM {
-    uint32_t mask, magic;
-    struct State { uint32_t h; };
-    inline void reset(State& s) const { s.h = magic & mask; }
-    inline int64_t ctx(const State& s, int64_t) const {
-        return static_cast<int64_t>(s.h);
-    }
-    inline void update(State& s, int32_t sym) const {
-        s.h = ((s.h << 2) | static_cast<uint32_t>(sym)) & mask;
-    }
-};
-
-struct QualM {
-    int32_t k, base, hash_bits, drop_bits, pos_bits, qlevel, drop_init;
-    struct State { int32_t q[8]; int32_t drops; };
-    inline void reset(State& s) const {
-        for (int j = 0; j < 8; ++j) s.q[j] = 0;
-        s.drops = drop_init;
-    }
-    inline int64_t ctx(const State& s, int64_t pos) const {
-        if (k >= 2) {
-            const int32_t qcap = base - 1;
-            int64_t c = s.q[0] < qcap ? s.q[0] : qcap;
-            for (int32_t j = 1; j < k; ++j) {
-                const int32_t qc = s.q[j] < qcap ? s.q[j] : qcap;
-                c = c * base + qc;
-            }
-            if (hash_bits)
-                c = (static_cast<uint32_t>(c) * 2654435761u)
-                    & ((1u << hash_bits) - 1);
-            if (drop_bits) {
-                const int32_t m = (1 << drop_bits) - 1;
-                const int32_t d = s.drops >> 3;
-                c = (c << drop_bits) | (d < m ? d : m);
-            }
-            if (pos_bits) {
-                const int32_t m = (1 << pos_bits) - 1;
-                const int32_t pp = static_cast<int32_t>(pos >> 4);
-                c = (c << pos_bits) | (pp < m ? pp : m);
-            }
-            return c;
-        }
-        const int32_t q1 = s.q[0], q2 = s.q[1];
-        int64_t c = (((q1 > q2 ? q1 : q2) << 6) + q1) & 0xFFF;
-        if (qlevel >= 2) {
-            if (q1 == q2) c += 0x1000;
-            c += ((s.drops < 56 ? s.drops : 56) & ~7) << 10;
-        }
-        if (qlevel >= 3) {
-            const int32_t p3 = static_cast<int32_t>(pos >> 3);
-            c += static_cast<int64_t>(p3 < 15 ? p3 : 15) << 16;
-        }
-        return c;
-    }
-    inline void update(State& s, int32_t sym) const {
-        s.drops += (s.q[0] > sym) ? (s.q[0] - sym) : 0;
-        for (int j = 7; j > 0; --j) s.q[j] = s.q[j - 1];
-        s.q[0] = sym;
-    }
-};
 
 // --- encode: per lane, forward (start, freq) walk then reverse rANS;
 //     words merged into canonical (wave asc, lane asc) order ---
@@ -247,23 +191,6 @@ void decode_impl(const uint16_t* cum, int32_t A, const uint32_t* states,
             ++s.pos;
         }
     }
-}
-
-inline bool make_seq(const int64_t* spec, SeqM* m) {
-    m->mask = static_cast<uint32_t>(spec[0]);
-    m->magic = static_cast<uint32_t>(spec[1]);
-    return true;
-}
-
-inline bool make_qual(const int64_t* spec, QualM* m) {
-    m->k = static_cast<int32_t>(spec[0]);
-    m->base = static_cast<int32_t>(spec[1]);
-    m->hash_bits = static_cast<int32_t>(spec[2]);
-    m->drop_bits = static_cast<int32_t>(spec[3]);
-    m->pos_bits = static_cast<int32_t>(spec[4]);
-    m->qlevel = static_cast<int32_t>(spec[5]);
-    m->drop_init = static_cast<int32_t>(spec[6]);
-    return m->k <= 8 && (m->k < 2 || m->base >= 2);
 }
 
 }  // namespace
