@@ -708,7 +708,14 @@ class Aligner:
             self._h_keys = keys.astype(np.uint32)
             self._h_offsets = offs
             self._h_positions = pos
-            self._h_packed = idx.packed.astype(np.uint32)
+            # padded so the native inner loops can fetch up to lp/16 + 1
+            # words past the true end without clamping (masked-out slots
+            # only; the zero padding is bit-identical to the device's
+            # clamped fetch of an all-masked word)
+            self._h_pad_words = 1026
+            self._h_packed = np.concatenate([
+                idx.packed.astype(np.uint32),
+                np.zeros(self._h_pad_words, np.uint32)])
             self._h_l1 = l1
         # per-device replicas for block-DP over a mesh (the reference's
         # POSIX-shm index sharing mapped to a pod slice, SURVEY.md §2.3):
@@ -790,7 +797,16 @@ class Aligner:
                           search_steps=self._search_steps, wide=self.wide,
                           probe_k=p.seed_probe_k)
 
-        codes, dege = _gridify(codes_flat, dege_flat, lengths, lp)
+        # the host-native tiers read the flat block arrays directly; the
+        # (R, lp) grids are only marshaled if a device tier needs them
+        roffs = (np.cumsum(lengths) - lengths).astype(np.int64)
+        flat = (codes_flat, dege_flat, roffs)
+        _grids = []
+
+        def grids():
+            if not _grids:
+                _grids.append(_gridify(codes_flat, dege_flat, lengths, lp))
+            return _grids[0]
 
         mapped = np.zeros(R, bool)
         pos = np.zeros(R, np.int64)
@@ -804,16 +820,16 @@ class Aligner:
         # serially per read; here it is two batched passes.
         import dataclasses
         if p.both_strands:
-            self._run_tier(cfg, codes, dege, lengths, np.arange(R),
+            self._run_tier(cfg, flat, grids, lengths, np.arange(R),
                            mapped, pos, is_rev, mis_mask, self.BATCH)
         else:
             self._run_tier(dataclasses.replace(cfg, strand="fwd"),
-                           codes, dege, lengths, np.arange(R),
+                           flat, grids, lengths, np.arange(R),
                            mapped, pos, is_rev, mis_mask, self.BATCH)
             todo_rc = np.flatnonzero(~mapped & (lengths >= self.k))
             if len(todo_rc):
                 self._run_tier(dataclasses.replace(cfg, strand="rc"),
-                               codes, dege, lengths, todo_rc,
+                               flat, grids, lengths, todo_rc,
                                mapped, pos, is_rev, mis_mask, self.BATCH)
 
         # tier 2 (beyond reference parity: findHashSeeds checks only the
@@ -837,7 +853,7 @@ class Aligner:
                                    l1_shift=self._l1_shift,
                                    search_steps=self._search_steps,
                                    wide=self.wide)
-                self._run_tier(cfg2, codes, dege, lengths, todo,
+                self._run_tier(cfg2, flat, grids, lengths, todo,
                                mapped, pos, is_rev, mis_mask, 512)
 
         gap_pos = gap_len = None
@@ -862,13 +878,14 @@ class Aligner:
                 # a gap wider than the lane is meaningless and would make
                 # the split-scoring slices negative-width
                 G_eff = min(p.max_indel, lp - 1)
+                cg, dg = grids()
                 for s in range(0, len(todo), B):
                     sel = todo[s:s + B]
                     n = len(sel)
                     cb = np.zeros((B, lp), np.uint8)
                     db = np.zeros((B, lp), bool)
                     lb = np.zeros(B, np.int32)
-                    cb[:n], db[:n] = codes[sel], dege[sel]
+                    cb[:n], db[:n] = cg[sel], dg[sel]
                     lb[:n] = lengths[sel]
                     out = _indel_batch(cfg3, G_eff, *arrs,
                                        jnp.int32(self.ref_len),
@@ -944,6 +961,8 @@ class Aligner:
         choice (mapping decisions are bit-identical either way)."""
         if self._h_keys is None or cfg.wide or cfg.shard_axis:
             return False
+        if cfg.lp // 16 + 2 > self._h_pad_words:
+            return False          # grid wider than the padded overread
         from fastqueeze_tpu.io import native
         if native.get_lib() is None or not hasattr(
                 native.get_lib(), "fq_align_batch"):
@@ -958,18 +977,21 @@ class Aligner:
         # runs want the chips doing the work); plain runs take the host
         return not self.params.mesh_n
 
-    def _run_tier(self, cfg: AlignConfig, codes, dege, lengths, rows,
+    def _run_tier(self, cfg: AlignConfig, flat, grids, lengths, rows,
                   mapped, pos, is_rev, mis_mask, batch: int) -> None:
         """Dispatch every batch asynchronously, then collect — one tunnel
-        round-trip for the whole tier instead of one per batch."""
+        round-trip for the whole tier instead of one per batch.  flat =
+        (codes_flat, dege_flat, roffs); grids() lazily marshals the
+        (R, lp) grids only if the device path runs."""
         if self._use_host(cfg):
             from fastqueeze_tpu.io import native
+            codes_flat, dege_flat, roffs = flat
             sm = {"fwd": 0, "rc": 1, "both": 2}[cfg.strand]
             out = native.align_batch(
                 self._h_keys, self._h_offsets, self._h_positions,
                 self._h_packed, self._h_l1, self._l1_shift,
                 self._search_steps, self.ref_len,
-                codes[rows], dege[rows], lengths[rows],
+                codes_flat, dege_flat, roffs[rows], lengths[rows], cfg.lp,
                 cfg.k, cfg.stride, cfg.n_cand, cfg.max_mis,
                 cfg.n_seeds, cfg.excl_bp, cfg.probe_k, sm,
                 int(cfg.both_strands))
@@ -980,6 +1002,7 @@ class Aligner:
                 is_rev[rows] = r
                 mis_mask[rows] = mm
                 return
+        codes, dege = grids()
         lp = codes.shape[1]
         B = batch
         jobs = []

@@ -151,7 +151,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _u32p2, ctypes.c_int64,                   # packed, nw
         _i32p, _i32, _i32,                        # l1, l1_shift, steps
         _i32,                                     # ref_len
-        _U8P, _U8P, _i32p,                        # codes, dege, lengths
+        _U8P, _U8P, _I64P, _i32p,                 # codes, dege, roffs, lens
         ctypes.c_int64, _i32,                     # R, lp
         _i32, _i32, _i32, _i32,                   # k, stride, n_cand, max_mis
         _i32, _i32, _i32,                         # n_seeds, excl_bp, probe_k
@@ -633,25 +633,29 @@ def id_tokenize(buf: np.ndarray, offs: np.ndarray, cap: int):
 def align_batch(keys: np.ndarray, offsets: np.ndarray,
                 positions: np.ndarray, packed: np.ndarray, l1: np.ndarray,
                 l1_shift: int, search_steps: int, ref_len: int,
-                codes: np.ndarray, dege: np.ndarray, lengths: np.ndarray,
+                codes_flat: np.ndarray, dege_flat: np.ndarray,
+                roffs: np.ndarray, lengths: np.ndarray, lp: int,
                 k: int, stride: int, n_cand: int, max_mis: int,
                 n_seeds: int, excl_bp: int, probe_k: int,
                 strand_mode: int, both_strands: int):
     """Host-native gapless aligner (native/alignhost.cpp) — a decision-
     for-decision mirror of align/hash.py _align_batch (narrow keys,
-    local index).  codes/dege are (R, lp) grids; returns
-    (mapped bool, pos int32, is_rev bool, mis_mask bool) or None."""
+    local index).  codes_flat/dege_flat are the block's FLAT concatenated
+    arrays; roffs/lengths select the tier's reads (no grid marshaling).
+    Returns (mapped bool, pos int32, is_rev bool, mis_mask (R, lp) bool)
+    or None."""
     lib = get_lib()
     if lib is None or keys.dtype != np.uint32:
         return None
-    R, lp = codes.shape
+    R = len(roffs)
     keys = np.ascontiguousarray(keys, np.uint32)
     offsets = np.ascontiguousarray(offsets, np.int32)
     positions = np.ascontiguousarray(positions, np.int32)
     packed = np.ascontiguousarray(packed, np.uint32)
     l1 = np.ascontiguousarray(l1, np.int32)
-    codes = np.ascontiguousarray(codes, np.uint8)
-    dege = np.ascontiguousarray(dege.astype(np.uint8))
+    codes_flat = np.ascontiguousarray(codes_flat, np.uint8)
+    dege_flat = np.ascontiguousarray(dege_flat.astype(np.uint8))
+    roffs = np.ascontiguousarray(roffs, np.int64)
     lengths = np.ascontiguousarray(lengths, np.int32)
     mapped = np.empty(R, np.uint8)
     pos = np.empty(R, np.int32)
@@ -663,7 +667,8 @@ def align_batch(keys: np.ndarray, offsets: np.ndarray,
         positions.ctypes.data_as(_I32P), len(positions),
         packed.ctypes.data_as(_U32P), len(packed),
         l1.ctypes.data_as(_I32P), l1_shift, search_steps, ref_len,
-        _u8p(codes), _u8p(dege), lengths.ctypes.data_as(_I32P),
+        _u8p(codes_flat), _u8p(dege_flat), _i64p(roffs),
+        lengths.ctypes.data_as(_I32P),
         R, lp, k, stride, n_cand, max_mis, n_seeds, excl_bp, probe_k,
         strand_mode, both_strands,
         _u8p(mapped), pos.ctypes.data_as(_I32P), _u8p(rev), _u8p(mm))

@@ -46,9 +46,19 @@ constexpr uint32_t kRansM = 1u << kProbBits;
 constexpr uint32_t kMaskM = kRansM - 1;
 
 // Shared adaptive count table + the per-wave update queue.
+//
+// Quantization divides by the row total C on every coded symbol
+// (engine._quant: F_s = floor(cum_s * M / C)).  C only changes when a
+// row is touched, so each row caches m = ceil(2^42 / C) and the coders
+// divide by multiply-shift instead: floor(n / C) == (n * m) >> 42
+// EXACTLY for this domain — with e = m*C - 2^42 in [0, C), the error
+// term is n*e / (C * 2^42) < 1/C because n <= C*M and e < C <= M = 2^14
+// give n*e < C^2 * M <= 2^42 — so one integer division per row-touch
+// replaces two per symbol.
 struct Table {
     std::vector<int32_t> counts;   // (n_ctx, A)
     std::vector<int32_t> tot;      // row totals
+    std::vector<uint64_t> inv;     // ceil(2^42 / tot) per row
     std::vector<uint32_t> stamp;   // last wave that queued a fix per row
     std::vector<int64_t> pend_ctx; // this wave's (ctx, sym) adds
     std::vector<int32_t> pend_sym;
@@ -56,11 +66,21 @@ struct Table {
     int64_t n_ctx;
     int32_t A, inc, cap;
 
+    static inline uint64_t recip(int64_t c) {
+        return ((uint64_t(1) << 42) + c - 1) / c;
+    }
+    // exact floor(n / tot[ctx]) for 0 <= n <= tot[ctx] << 14
+    inline uint32_t divq(int64_t n, int64_t ctx) const {
+        return static_cast<uint32_t>(
+            (static_cast<uint64_t>(n) * inv[ctx]) >> 42);
+    }
+
     void init(int64_t n_ctx_, int32_t A_, int32_t init_, int32_t inc_,
               int32_t cap_, int64_t L) {
         n_ctx = n_ctx_; A = A_; inc = inc_; cap = cap_;
         counts.assign(n_ctx * A, init_);
         tot.assign(n_ctx, init_ * A);
+        inv.assign(n_ctx, recip(int64_t(init_) * A));
         stamp.assign(n_ctx, 0xFFFFFFFFu);
         pend_ctx.reserve(L);
         pend_sym.reserve(L);
@@ -85,16 +105,18 @@ struct Table {
         pend_sym.clear();
         for (int64_t ctx : fix) {
             int32_t t = tot[ctx];
-            if (t <= cap) continue;
-            int32_t* row = counts.data() + ctx * A;
-            while (t > cap) {
-                t = 0;
-                for (int32_t a = 0; a < A; ++a) {
-                    row[a] = (row[a] + 1) >> 1;
-                    t += row[a];
+            if (t > cap) {
+                int32_t* row = counts.data() + ctx * A;
+                while (t > cap) {
+                    t = 0;
+                    for (int32_t a = 0; a < A; ++a) {
+                        row[a] = (row[a] + 1) >> 1;
+                        t += row[a];
+                    }
                 }
+                tot[ctx] = t;
             }
-            tot[ctx] = t;
+            inv[ctx] = recip(t);
         }
         fix.clear();
     }
@@ -177,11 +199,11 @@ int64_t encode_impl(Table& tab, const uint8_t* syms, const int64_t* counts,
             LaneSt<Model>& s = ls[l];
             const int32_t sym = syms[s.off + s.pos];
             const int32_t* row = tab.counts.data() + s.ctx * A;
-            const int64_t C = tab.tot[s.ctx];
             int64_t cum = 0;
             for (int32_t a = 0; a < sym; ++a) cum += row[a];
-            const int64_t start = (cum * kRansM) / C;
-            const int64_t end = ((cum + row[sym]) * kRansM) / C;
+            const int64_t start = tab.divq(cum << kProbBits, s.ctx);
+            const int64_t end =
+                tab.divq((cum + row[sym]) << kProbBits, s.ctx);
             const int64_t idx = seg[l] + t;
             ts[idx] = static_cast<uint16_t>(start);
             tf[idx] = static_cast<uint16_t>(end - start);
@@ -284,10 +306,8 @@ void decode_impl(Table& tab, const uint32_t* states, const uint16_t* words,
                 ++sym;
                 nxt += row[sym];
             }
-            const uint32_t start =
-                static_cast<uint32_t>((cum * kRansM) / C);
-            const uint32_t end =
-                static_cast<uint32_t>((nxt * kRansM) / C);
+            const uint32_t start = tab.divq(cum << kProbBits, s.ctx);
+            const uint32_t end = tab.divq(nxt << kProbBits, s.ctx);
             const uint32_t f = end - start;
             uint32_t xn = f * (s.x >> kProbBits) + low - start;
             if (xn < kRansL) {

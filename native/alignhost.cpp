@@ -73,27 +73,6 @@ static inline uint32_t frame_word(const uint32_t* arr, int W, int j,
     return hi | (b >> sh);
 }
 
-// mismatch count of read (rw/mw, W words) vs ref window starting at cand,
-// over frame words j0..j1 inclusive (device: range(W + 1) or probes).
-static inline int mis_aligned(const Index& ix, uint32_t cand,
-                              const uint32_t* rw, const uint32_t* mw,
-                              int W, const int* js, int njs) {
-    int64_t w0 = (int64_t)(cand >> 4);
-    uint32_t sh = 2u * (cand & 15u);
-    int mis = 0;
-    for (int t = 0; t < njs; t++) {
-        int j = js[t];
-        int64_t wi = w0 + j;
-        if (wi < 0) wi = 0;
-        if (wi > ix.nw - 1) wi = ix.nw - 1;
-        uint32_t refw = ix.packed[wi];
-        uint32_t rsel = frame_word(rw, W, j, sh);
-        uint32_t msel = frame_word(mw, W, j, sh);
-        mis += mis2bit((rsel ^ refw) & msel);
-    }
-    return mis;
-}
-
 // Per-call scratch: one allocation set reused across every read and
 // strand (the old per-read std::vectors were ~20 mallocs per read).
 struct Workspace {
@@ -103,15 +82,18 @@ struct Workspace {
     std::vector<int32_t> occ;     // per-sample occurrence count (or BIG)
     std::vector<int32_t> psv;     // per-sample read offset
     std::vector<uint32_t> cand;   // C * NS candidate windows
-    std::vector<int32_t> vc;      // compacted indices of valid candidates
-    std::vector<int32_t> pmis;    // probe mismatches per candidate
-    std::vector<int32_t> sel;     // prefilter survivors (candidate idx)
+    std::vector<int32_t> sel;     // survivors (unfiltered path only)
+    // prefilter survivors bucketed by probe count: appending in
+    // generation order then walking buckets 0..max_mis yields exactly
+    // the (pmis, index) lexicographic order a sort would produce,
+    // without sorting
+    std::vector<std::vector<int32_t>> bucket;
     std::vector<uint32_t> rw, mw; // packed read + validity words
     std::vector<uint8_t> rc, rdege;
-    // open-address hash over candidate values: probe-count cache +
-    // verified-position set, reset per (read, strand) by epoch stamping
+    // open-address hash over candidate values: verified-position set
+    // (duplicate windows have identical mis and cannot win the strict-<
+    // argmin), reset per (read, strand) by epoch stamping
     std::vector<uint32_t> hkey;
-    std::vector<int32_t> hval;    // cached pmis | VERIFIED flag
     std::vector<uint32_t> hep;
     uint32_t epoch = 0;
     uint32_t hmask = 0;
@@ -126,9 +108,9 @@ struct Workspace {
         occ.resize(S);
         psv.resize(S);
         cand.resize(total);
-        vc.reserve(total);
-        pmis.resize(total);
         sel.reserve(total);
+        bucket.resize(cfg.max_mis + 1);
+        for (auto& b : bucket) b.reserve(64);
         rw.resize(cfg.n_words());
         mw.resize(cfg.n_words());
         rc.resize(cfg.lp);
@@ -137,7 +119,6 @@ struct Workspace {
         while (cap < 2 * total) cap <<= 1;
         if (cap != hkey.size()) {
             hkey.assign(cap, 0);
-            hval.assign(cap, 0);
             hep.assign(cap, 0);
             epoch = 0;
         }
@@ -151,8 +132,6 @@ struct Workspace {
     }
 };
 
-constexpr int32_t VERIFIED = 1 << 20;
-
 // perf counters (debugging aid, no effect on results):
 // [0] strand calls, [1] sampled-seed searches, [2] valid candidates,
 // [3] probes computed, [4] probe dup hits, [5] sel size after cap,
@@ -164,6 +143,12 @@ static int64_t g_stat[12] = {0};
 // row.  Mirrors hash.py _one_strand (narrow, l1-bucketed fixed-step
 // search).  Returns (mis_best, pos_best); pos_best matches the device
 // argmin whenever the read can map (mis_best <= max_mis).
+// The caller guarantees ix.packed stays readable for W + 2 words past the
+// true word count (the Python wrapper pads the host copy): every probed or
+// verified candidate satisfies cand + len <= ref_len, so any frame word
+// whose validity mask is non-zero is in range, and masked-out overreads
+// land in the zero padding — bit-identical to the device's clamped fetch
+// of an all-masked word.
 static void one_strand(const Index& ix, const Cfg& cfg, Workspace& ws,
                        const uint8_t* row, const uint8_t* drow,
                        int32_t len, int32_t* mis_out, int32_t* pos_out) {
@@ -175,15 +160,25 @@ static void one_strand(const Index& ix, const Cfg& cfg, Workspace& ws,
     g_stat[1] += S;
 
     // rolling k-mer at every window start (O(lp), not O(S * k)) and the
-    // degenerate prefix sums, one fused pass
+    // degenerate prefix sums, one fused pass.  row/drow are only `len`
+    // bytes long (flat block layout); positions past len roll in zeros,
+    // exactly like the device's zero-padded grid — those windows are
+    // already invalid (ok_s), but their kv still feeds the (discarded-
+    // result) searches, whose ii values the junk-candidate path of a
+    // no-match seed can observe.
     const uint32_t kmask = (k >= 16) ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1);
     {
         uint32_t v = 0;
         int32_t c = 0;
         ws.cs[0] = 0;
-        for (int i = 0; i < lp; i++) {
+        for (int i = 0; i < len; i++) {
             v = ((v << 2) | row[i]) & kmask;
             c += drow[i] ? 1 : 0;
+            ws.cs[i + 1] = c;
+            if (i >= k - 1) ws.kv[i - k + 1] = v;
+        }
+        for (int i = len; i < lp; i++) {
+            v = (v << 2) & kmask;
             ws.cs[i + 1] = c;
             if (i >= k - 1) ws.kv[i - k + 1] = v;
         }
@@ -212,13 +207,57 @@ static void one_strand(const Index& ix, const Cfg& cfg, Workspace& ws,
         ws.occ[s] = found ? (ix.offsets[i2 + 1] - ix.offsets[i2]) : BIG;
     }
 
-    // candidates from the n_seeds least-frequent sampled seeds; valid
-    // ones are compacted into ws.vc (the device carries invalid slots as
-    // mis = BIG, which can only win when the read is unmapped)
+    // pack the read row into MSB-first u32 words + validity mask words
+    // (the fused generation+probe loop below needs them up front)
+    std::fill(ws.rw.begin(), ws.rw.end(), 0u);
+    std::fill(ws.mw.begin(), ws.mw.end(), 0u);
+    for (int i = 0; i < len; i++) {
+        uint32_t shv = 2u * (15 - (i & 15));
+        ws.rw[i >> 4] |= ((uint32_t)row[i]) << shv;
+        ws.mw[i >> 4] |= 3u << shv;
+    }
+    const uint32_t* rw = ws.rw.data();
+    const uint32_t* mw = ws.mw.data();
+
     const int C = cfg.n_cand;
     const int NS = cfg.n_seeds;
+    const int total = C * NS;
+    // two-probe-word prefilter (device: lax.top_k(-pmis, K) then mask
+    // pmis > max_mis, stable — smaller pmis first, ties by lower index).
+    // A candidate whose two probe words already mismatch > max_mis can
+    // never be accepted (probe words are a subset of the full window),
+    // so both backends drop it before the full verify; the survivors
+    // are exactly the prefix of the device's top-K ordering, so the
+    // first-occurrence argmin below still mirrors the device argmin.
+    const int K = cfg.probe_k;
+    const bool prefiltered = K > 0 && total > 2 * K && W > 3;
+    const int j1 = 1, j2 = W / 2;
+    // the probe words funnel-shift the READ into the candidate's frame;
+    // the shift depends only on the candidate's phase (cand & 15), so all
+    // 16 variants are precomputed once per strand call
+    uint32_t p1r[16], p1m[16], p2r[16], p2m[16];
+    if (prefiltered) {
+        for (uint32_t ph = 0; ph < 16; ph++) {
+            p1r[ph] = frame_word(rw, W, j1, 2 * ph);
+            p1m[ph] = frame_word(mw, W, j1, 2 * ph);
+            p2r[ph] = frame_word(rw, W, j2, 2 * ph);
+            p2m[ph] = frame_word(mw, W, j2, 2 * ph);
+        }
+    }
+
+    // candidates from the n_seeds least-frequent sampled seeds, probed as
+    // they are generated (one fused pass).  The device carries invalid
+    // slots as mis = BIG, which can only win when the read is unmapped.
+    // Duplicate positions are NOT deduped here: recomputing a duplicate's
+    // probe count is cheaper than a hash probe per candidate, and it is
+    // deterministic, so sel's (pmis, index) order is unchanged.
     int32_t* occv = ws.occ.data();
-    ws.vc.clear();
+    ws.sel.clear();
+    for (auto& b : ws.bucket) b.clear();
+    int32_t pm_min = BIG;
+    int pm_arg = -1;
+    bool any_valid = false;
+    int n_surv = 0;
     for (int it = 0; it < NS; it++) {
         int jb = 0;
         for (int s = 1; s < S; s++) if (occv[s] < occv[jb]) jb = s;
@@ -230,154 +269,132 @@ static void one_strand(const Index& ix, const Cfg& cfg, Workspace& ws,
         } else {
             occv[jb] = BIG;
         }
-        int32_t base = ix.offsets[ws.ii[jb]];
+        int64_t base = ix.offsets[ws.ii[jb]];
         int32_t lim = occ_best < C ? occ_best : C;
         if (lim < 0) lim = 0;
         // only the first `lim` slots of this seed's range can be valid
         // on the device (in_range = cj < min(occ_best, C)); the slots
         // past lim carry mis = BIG there and are only observable through
-        // an unmapped read's (unused) fallback position
+        // an unmapped read's (unused) fallback position.  A no-match seed
+        // (occ_best = BIG) still emits C slots from a clamped junk CSR
+        // slice — same as the device's clipped gather.
+        if (base < 0) base = 0;
+        const bool clamped = base + lim > ix.npos;
+        const int32_t* posp = ix.positions + base;
         for (int cj = 0; cj < lim; cj++) {
-            int64_t ptr = (int64_t)base + cj;
-            if (ptr < 0) ptr = 0;
-            if (ptr > ix.npos - 1) ptr = ix.npos - 1;
-            int32_t cp = ix.positions[ptr] - pb;    // int32 frame, like device
-            bool ok = cp >= 0 && cp + len <= ix.ref_len;
+            int64_t ptr = cj;
+            if (clamped && base + cj > ix.npos - 1) ptr = ix.npos - 1 - base;
+            int32_t cp_i = posp[ptr] - pb;          // int32 frame, as device
             const int c = it * C + cj;
-            ws.cand[c] = (uint32_t)cp;
-            if (ok) { ws.vc.push_back(c); g_stat[2]++; }
+            if (cp_i < 0 || cp_i + len > ix.ref_len) continue;
+            ws.cand[c] = (uint32_t)cp_i;
+            any_valid = true;
+            g_stat[2]++;
+            if (!prefiltered) {
+                ws.sel.push_back(c);
+                continue;
+            }
+            g_stat[3]++;
+            const uint32_t cp = (uint32_t)cp_i;
+            const int64_t w0 = (int64_t)(cp >> 4);
+            const uint32_t ph = cp & 15u;
+            if (cj + 8 < lim) {  // hide the scattered packed-word fetch
+                int32_t nxt = posp[cj + 8] - pb;
+                if (nxt >= 0)
+                    __builtin_prefetch(ix.packed + (nxt >> 4) + j1);
+            }
+            // first probe word alone excludes most junk candidates
+            // (> max_mis in 16 bases).  The exact two-word count is
+            // only observable for candidates that survive (it orders
+            // the buckets and feeds the branch-and-bound); an
+            // already-excluded candidate's pm only needs to stay
+            // > max_mis — its precise value can reach the output
+            // solely through the all-pruned fallback position of an
+            // UNMAPPED read, which never enters the bitstream.
+            int32_t pm = mis2bit((p1r[ph] ^ ix.packed[w0 + j1]) & p1m[ph]);
+            if (pm <= cfg.max_mis) {
+                pm += mis2bit((p2r[ph] ^ ix.packed[w0 + j2]) & p2m[ph]);
+                if (pm <= cfg.max_mis) {
+                    ws.bucket[pm].push_back(c);
+                    n_surv++;
+                }
+            } else {
+                pm += 8;   // keep > max_mis without the second fetch
+            }
+            if (pm < pm_min) { pm_min = pm; pm_arg = c; }
         }
     }
-    const int total = C * NS;
-    if (ws.vc.empty()) {
+    if (!any_valid) {
         // no candidate can map: the read is unmapped on this strand and
         // its position never reaches the bitstream
         *mis_out = BIG;
         *pos_out = 0;
         return;
     }
-
-    // pack the read row into MSB-first u32 words + validity mask words
-    std::fill(ws.rw.begin(), ws.rw.end(), 0u);
-    std::fill(ws.mw.begin(), ws.mw.end(), 0u);
-    for (int i = 0; i < len; i++) {
-        uint32_t shv = 2u * (15 - (i & 15));
-        ws.rw[i >> 4] |= ((uint32_t)row[i]) << shv;
-        ws.mw[i >> 4] |= 3u << shv;
-    }
-    const uint32_t* rw = ws.rw.data();
-    const uint32_t* mw = ws.mw.data();
-
-    ws.sel.clear();
-    int32_t best_mis = BIG;
-    uint32_t best_pos = 0;
-    bool have_best = false;
-    bool prefiltered = false;
-    // two-probe-word prefilter (device: lax.top_k(-pmis, K) then mask
-    // pmis > max_mis, stable — smaller pmis first, ties by lower index).
-    // A candidate whose two probe words already mismatch > max_mis can
-    // never be accepted (probe words are a subset of the full window),
-    // so both backends drop it before the full verify; the survivors
-    // are exactly the prefix of the device's top-K ordering, so the
-    // first-occurrence argmin below still mirrors the device argmin.
-    int K = cfg.probe_k;
-    if (K > 0 && total > 2 * K && W > 3) {
-        prefiltered = true;
-        int probe1[1] = {1}, probe2[1] = {W / 2};
-        int pm_min = BIG, pm_arg = 0;
-        for (size_t t = 0; t < ws.vc.size(); t++) {
-            const int c = ws.vc[t];
-            const uint32_t cp = ws.cand[c];
-            const uint32_t h = ws.slot(cp);
-            int32_t pm;
-            if (ws.hep[h] == ws.epoch) {
-                pm = ws.hval[h] & ~VERIFIED;   // duplicate: copy probe count
-                g_stat[4]++;
-            } else {
-                g_stat[3]++;
-                // first probe word alone excludes most junk candidates
-                // (> max_mis in 16 bases).  The exact two-word count is
-                // only observable for candidates that reach sel (it
-                // orders sel and feeds the branch-and-bound); an
-                // already-excluded candidate's pm only needs to stay
-                // > max_mis — its precise value can reach the output
-                // solely through the all-pruned fallback position of an
-                // UNMAPPED read, which never enters the bitstream.
-                pm = mis_aligned(ix, cp, rw, mw, W, probe1, 1);
-                if (pm <= cfg.max_mis)
-                    pm += mis_aligned(ix, cp, rw, mw, W, probe2, 1);
-                else
-                    pm += 8;   // keep > max_mis without the second fetch
-                ws.hep[h] = ws.epoch;
-                ws.hkey[h] = cp;
-                ws.hval[h] = pm;
-            }
-            ws.pmis[c] = pm;
-            if (pm < pm_min) { pm_min = pm; pm_arg = c; }
-            if (pm <= cfg.max_mis) ws.sel.push_back(c);
-        }
-        std::sort(ws.sel.begin(), ws.sel.end(), [&](int a, int b) {
-            return ws.pmis[a] != ws.pmis[b] ? ws.pmis[a] < ws.pmis[b]
-                                            : a < b;
-        });
-        if ((int)ws.sel.size() > K) ws.sel.resize(K);
-        g_stat[5] += ws.sel.size();
-        if (ws.sel.empty()) {
+    if (prefiltered) {
+        g_stat[5] += n_surv < K ? n_surv : K;
+        if (n_surv == 0) {
             // all candidates pruned: the device argmin over an all-BIG
             // row returns its first selected candidate = min (pmis, idx)
             *mis_out = BIG;
             *pos_out = (int32_t)ws.cand[pm_arg];
             return;
         }
-    } else {
-        ws.sel = ws.vc;
     }
 
-    for (size_t t = 0; t < ws.sel.size(); t++) {
-        const int c = ws.sel[t];
-        const uint32_t cp = ws.cand[c];
-        if (prefiltered) {
-            // branch-and-bound: sel is ordered by (pmis, idx) and
-            // pmis <= mis, so once pmis reaches the best full count no
-            // later candidate can strictly improve the argmin
-            if (have_best && ws.pmis[c] >= best_mis) { g_stat[9]++; break; }
-        }
-        const uint32_t h = ws.slot(cp);
-        const bool fresh = ws.hep[h] != ws.epoch;
-        if (!fresh && (ws.hval[h] & VERIFIED)) {
-            // duplicate position: identical mis, cannot strictly improve
-            g_stat[7]++;
-            continue;
-        }
-        g_stat[6]++;
-        if (fresh) {
+    // verify in (pmis, index) order: buckets ascending, insertion order
+    // within each (exactly the device's stable top-K ordering), capped
+    // at K entries
+    int32_t best_mis = BIG;
+    uint32_t best_pos = 0;
+    bool have_best = false;
+    const int n_buckets = prefiltered ? cfg.max_mis + 1 : 1;
+    int taken = 0;
+    for (int pm = 0; pm < n_buckets; pm++) {
+        const std::vector<int32_t>& lst =
+            prefiltered ? ws.bucket[pm] : ws.sel;
+        for (size_t t = 0; t < lst.size(); t++) {
+            if (prefiltered) {
+                // mid-bucket b&b: a verify in this bucket can set
+                // best_mis == pm (full count equal to the probe count),
+                // after which nothing at this pm can strictly improve
+                if (have_best && pm >= best_mis) {
+                    g_stat[9]++;
+                    pm = n_buckets;
+                    break;
+                }
+                if (taken++ >= K) { pm = n_buckets; break; }
+            }
+            const int c = lst[t];
+            const uint32_t cp = ws.cand[c];
+            const uint32_t h = ws.slot(cp);
+            if (ws.hep[h] == ws.epoch) {
+                // duplicate position: identical mis, cannot improve
+                g_stat[7]++;
+                continue;
+            }
             ws.hep[h] = ws.epoch;
             ws.hkey[h] = cp;
-            ws.hval[h] = VERIFIED;
-        } else {
-            ws.hval[h] |= VERIFIED;
-        }
-        // early-exit: once the running count reaches the current best,
-        // this candidate can no longer become the strict minimum
-        int64_t w0 = (int64_t)(cp >> 4);
-        uint32_t sh = 2u * (cp & 15u);
-        int32_t m = 0;
-        const int32_t bound = have_best ? best_mis : BIG;
-        for (int j = 0; j <= W && m < bound; j++) {
-            g_stat[8]++;
-            int64_t wi = w0 + j;
-            if (wi < 0) wi = 0;
-            if (wi > ix.nw - 1) wi = ix.nw - 1;
-            uint32_t refw = ix.packed[wi];
-            uint32_t rsel = frame_word(rw, W, j, sh);
-            uint32_t msel = frame_word(mw, W, j, sh);
-            m += mis2bit((rsel ^ refw) & msel);
-        }
-        if (!have_best || m < best_mis) {      // first-occurrence argmin
-            best_mis = m;
-            best_pos = cp;
-            have_best = true;
-            if (best_mis == 0) break;          // 0 cannot be improved
+            g_stat[6]++;
+            // early-exit: once the running count reaches the current
+            // best, this candidate can no longer become the strict min
+            const int64_t w0 = (int64_t)(cp >> 4);
+            const uint32_t sh = 2u * (cp & 15u);
+            int32_t m = 0;
+            const int32_t bound = have_best ? best_mis : BIG;
+            for (int j = 0; j <= W && m < bound; j++) {
+                g_stat[8]++;
+                uint32_t refw = ix.packed[w0 + j];
+                uint32_t rsel = frame_word(rw, W, j, sh);
+                uint32_t msel = frame_word(mw, W, j, sh);
+                m += mis2bit((rsel ^ refw) & msel);
+            }
+            if (!have_best || m < best_mis) {  // first-occurrence argmin
+                best_mis = m;
+                best_pos = cp;
+                have_best = true;
+                if (best_mis == 0) { pm = n_buckets; break; }  // floor
+            }
         }
     }
     *mis_out = best_mis;
@@ -393,14 +410,18 @@ extern "C" void fq_align_stats(int64_t* out, int32_t reset) {
 
 // strand_mode: 0 = fwd only, 1 = rc only (fallback acceptance),
 // 2 = both (use_rev by both_strands rule).  Mirrors _align_batch.
+// codes/dege are the FLAT concatenated block arrays; roffs[r] is read
+// r's flat offset (the caller selects the tier's read subset by passing
+// per-read offsets — no grid marshaling).  lp only sizes the mis_mask
+// rows.
 extern "C" void fq_align_batch(
     const uint32_t* keys, int64_t nk, const int32_t* offsets,
     const int32_t* positions, int64_t npos,
     const uint32_t* packed, int64_t nw,
     const int32_t* l1, int32_t l1_shift, int32_t search_steps,
     int32_t ref_len,
-    const uint8_t* codes, const uint8_t* dege, const int32_t* lengths,
-    int64_t R, int32_t lp,
+    const uint8_t* codes, const uint8_t* dege, const int64_t* roffs,
+    const int32_t* lengths, int64_t R, int32_t lp,
     int32_t k, int32_t stride, int32_t n_cand, int32_t max_mis,
     int32_t n_seeds, int32_t excl_bp, int32_t probe_k,
     int32_t strand_mode, int32_t both_strands,
@@ -412,9 +433,10 @@ extern "C" void fq_align_batch(
     Workspace ws;
     ws.init(cfg);
     for (int64_t r = 0; r < R; r++) {
-        const uint8_t* row = codes + r * lp;
-        const uint8_t* drow = dege + r * lp;
+        const uint8_t* row = codes + roffs[r];
+        const uint8_t* drow = dege + roffs[r];
         int32_t len = lengths[r];
+        if (len > lp) len = lp;   // caller guarantees len <= lp; belt
         bool has_dege = false;
         for (int i = 0; i < len && !has_dege; i++) has_dege = drow[i];
 
