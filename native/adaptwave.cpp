@@ -221,6 +221,8 @@ int64_t encode_impl(Table& tab, const uint8_t* syms, const int64_t* counts,
     std::vector<int64_t> wcnt(tmax + 1, 0);
     wv_t.reserve(nsym / 2 + 16);
     wv_w.reserve(nsym / 2 + 16);
+    static const fqwave::RcpTable rcp(kRansM);
+    const uint64_t* rm = rcp.m.data();
     for (int64_t l = 0; l < L; ++l) {
         uint32_t x = kRansL;
         for (int64_t i = lane_len[l] - 1; i >= 0; --i) {
@@ -233,7 +235,7 @@ int64_t encode_impl(Table& tab, const uint8_t* syms, const int64_t* counts,
                 x >>= 16;
             }
             const uint32_t fs = f ? f : 1;   // engine pass2's f_safe
-            const uint32_t q = x / fs;
+            const uint32_t q = fqwave::rcp_div(x, f, rm);   // == x / fs
             x = (q << kProbBits) + (x - q * fs) + ts[idx];
         }
         states_out[l] = x;

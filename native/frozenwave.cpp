@@ -23,6 +23,8 @@
 #include <cstdint>
 #include <vector>
 
+#include <emmintrin.h>
+
 #include "wavemodels.h"
 
 namespace {
@@ -37,8 +39,68 @@ constexpr uint32_t kProbBits = 14;
 constexpr uint32_t kRansM = 1u << kProbBits;
 constexpr uint32_t kMaskM = kRansM - 1;
 
-// --- encode: per lane, forward (start, freq) walk then reverse rANS;
-//     words merged into canonical (wave asc, lane asc) order ---
+using fqwave::RcpTable;
+using fqwave::rcp_div;
+
+// #i in [0, A) with row[i] <= low.  Rows are strictly increasing
+// (every count >= 1, total <= M), so the count IS the successor of the
+// decoded symbol: sym = count - 1 (row[0] = 0 is always <= low).  An
+// 8-lane SSE compare with an early exit replaces the binary search —
+// the search's ~log2(A) dependent, poorly-predicted branches were the
+// decode loop's biggest stall after the row fetch itself.
+static inline int32_t count_le(const uint16_t* row, int32_t A,
+                               uint32_t low) {
+    const __m128i bias = _mm_set1_epi16(static_cast<short>(0x8000));
+    const __m128i lowv = _mm_set1_epi16(
+        static_cast<short>(static_cast<int>(low) ^ 0x8000));
+    int32_t cnt = 0, i = 0;
+    for (; i + 8 <= A; i += 8) {
+        __m128i v = _mm_xor_si128(
+            _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + i)),
+            bias);
+        int gt = _mm_movemask_epi8(_mm_cmpgt_epi16(v, lowv));
+        if (gt) return cnt + (__builtin_ctz(gt) >> 1);
+        cnt += 8;
+    }
+    for (; i < A; ++i) {
+        if (row[i] > low) break;
+        ++cnt;
+    }
+    return cnt;
+}
+
+// Per-lane read-walk state (round-robin layout), shared by both coders.
+template <class Model>
+struct LaneSt {
+    typename Model::State st;
+    uint32_t x;
+    int64_t cur;      // current read (global index); < 0 = before first
+    int64_t pos;      // position within the current read
+    int64_t len;      // current read's length
+    int64_t off;      // flat offset of the current read
+    int64_t ctx;      // this wave's context (filled by the prefetch pass)
+};
+
+template <class Model>
+inline void advance_lane(LaneSt<Model>& s, const Model& m,
+                         const int64_t* counts, const int64_t* roff,
+                         int64_t R, int64_t L, int64_t l) {
+    if (s.pos == s.len) {   // advance to the next non-empty read
+        int64_t r = s.cur < 0 ? l : s.cur + L;
+        while (r < R && counts[r] == 0) r += L;
+        s.cur = r;
+        s.len = counts[r];
+        s.off = roff[r];
+        s.pos = 0;
+        m.reset(s.st);
+    }
+}
+
+// --- encode: wave-major forward (start, freq) walk (a context depends
+//     only on the lane's own earlier symbols, so every lane's row for
+//     wave t is known up front — pass A prefetches them, hiding the
+//     scattered big-table fetch across L lanes), then per-lane reverse
+//     rANS; words merged into canonical (wave asc, lane asc) order ---
 
 template <class Model>
 int64_t encode_impl(const uint16_t* cum, int32_t A, const uint8_t* syms,
@@ -47,45 +109,64 @@ int64_t encode_impl(const uint16_t* cum, int32_t A, const uint8_t* syms,
                     uint32_t* states_out) {
     std::vector<int64_t> roff(R);
     std::vector<int64_t> lane_len(L, 0);
+    std::vector<int64_t> seg(L + 1, 0);
     int64_t off = 0, tmax = 0;
     for (int64_t r = 0; r < R; ++r) {
         roff[r] = off;
         off += counts[r];
         lane_len[r % L] += counts[r];
     }
-    for (int64_t l = 0; l < L; ++l)
+    for (int64_t l = 0; l < L; ++l) {
+        seg[l + 1] = seg[l] + lane_len[l];
         if (lane_len[l] > tmax) tmax = lane_len[l];
+    }
+    const int64_t nsym = off;
 
-    std::vector<uint16_t> ts(tmax), tf(tmax);
+    std::vector<uint16_t> ts(nsym), tf(nsym);
+    std::vector<LaneSt<Model>> ls(L);
+    for (int64_t l = 0; l < L; ++l) {
+        ls[l].cur = -1;
+        ls[l].pos = 0;
+        ls[l].len = 0;
+        m.reset(ls[l].st);
+    }
+    for (int64_t t = 0; t < tmax; ++t) {
+        for (int64_t l = 0; l < L; ++l) {         // pass A: ctx + prefetch
+            if (t >= lane_len[l]) continue;
+            LaneSt<Model>& s = ls[l];
+            advance_lane(s, m, counts, roff.data(), R, L, l);
+            s.ctx = m.ctx(s.st, s.pos);
+            __builtin_prefetch(cum + s.ctx * (A + 1));
+        }
+        for (int64_t l = 0; l < L; ++l) {         // pass B: (start, freq)
+            if (t >= lane_len[l]) continue;
+            LaneSt<Model>& s = ls[l];
+            const int32_t sym = syms[s.off + s.pos];
+            const uint16_t* row = cum + s.ctx * (A + 1);
+            const int64_t idx = seg[l] + t;
+            ts[idx] = row[sym];
+            tf[idx] = static_cast<uint16_t>(row[sym + 1] - row[sym]);
+            m.update(s.st, sym);
+            ++s.pos;
+        }
+    }
+
+    // per-lane reverse rANS (engine._pass2: emit one 16-bit word when
+    // (x >> 18) >= f, then x = (x/f) << 14 + x%f + start); canonical
+    // (wave, lane) merge
     std::vector<int32_t> wv_t;     // wave index per emitted word, lane-major
     std::vector<uint16_t> wv_w;
     std::vector<int64_t> lane_w0(L + 1, 0);
     std::vector<int64_t> wcnt(tmax + 1, 0);
-    wv_t.reserve(off / 2 + 16);
-    wv_w.reserve(off / 2 + 16);
-
+    wv_t.reserve(nsym / 2 + 16);
+    wv_w.reserve(nsym / 2 + 16);
+    static const RcpTable rcp(kRansM);   // thread-safe magic-static init
+    const uint64_t* rm = rcp.m.data();
     for (int64_t l = 0; l < L; ++l) {
-        // forward model walk over the lane's reads -> (start, freq)
-        int64_t n = 0;
-        for (int64_t r = l; r < R; r += L) {
-            const int64_t len = counts[r];
-            const uint8_t* s = syms + roff[r];
-            typename Model::State st;
-            m.reset(st);
-            for (int64_t i = 0; i < len; ++i) {
-                const int32_t sym = s[i];
-                const uint16_t* row = cum + m.ctx(st, i) * (A + 1);
-                ts[n] = row[sym];
-                tf[n] = static_cast<uint16_t>(row[sym + 1] - row[sym]);
-                m.update(st, sym);
-                ++n;
-            }
-        }
-        // reverse rANS (engine._pass2: emit one 16-bit word when
-        // (x >> 18) >= f, then x = (x/f) << 14 + x%f + start)
         uint32_t x = kRansL;
-        for (int64_t i = n - 1; i >= 0; --i) {
-            const uint32_t f = tf[i];
+        for (int64_t i = lane_len[l] - 1; i >= 0; --i) {
+            const int64_t idx = seg[l] + i;
+            const uint32_t f = tf[idx];
             if ((x >> 18) >= f) {
                 wv_t.push_back(static_cast<int32_t>(i));
                 wv_w.push_back(static_cast<uint16_t>(x & 0xFFFF));
@@ -93,8 +174,8 @@ int64_t encode_impl(const uint16_t* cum, int32_t A, const uint8_t* syms,
                 x >>= 16;
             }
             const uint32_t fs = f ? f : 1;   // engine pass2's f_safe
-            const uint32_t q = x / fs;
-            x = (q << kProbBits) + (x - q * fs) + ts[i];
+            const uint32_t q = rcp_div(x, f, rm);   // == x / fs
+            x = (q << kProbBits) + (x - q * fs) + ts[idx];
         }
         states_out[l] = x;
         lane_w0[l + 1] = static_cast<int64_t>(wv_w.size());
@@ -117,21 +198,14 @@ int64_t encode_impl(const uint16_t* cum, int32_t A, const uint8_t* syms,
 }
 
 // --- decode: wave-major forward pass across lanes (the word stream is
-//     consumed in exactly the order encode laid it down) ---
+//     consumed in exactly the order encode laid it down); pass A
+//     prefetches each lane's cum row, pass B decodes ---
 
 template <class Model>
 void decode_impl(const uint16_t* cum, int32_t A, const uint32_t* states,
                  const uint16_t* words, int64_t n_words,
                  const int64_t* counts, int64_t R, int64_t L,
                  const Model& m, uint8_t* out) {
-    struct LaneSt {
-        typename Model::State st;
-        uint32_t x;
-        int64_t cur;      // current read (global index); < 0 = before first
-        int64_t pos;      // position within the current read
-        int64_t len;      // current read's length
-        int64_t off;      // output offset of the current read
-    };
     std::vector<int64_t> roff(R);
     std::vector<int64_t> lane_len(L, 0);
     int64_t off = 0, tmax = 0;
@@ -143,7 +217,7 @@ void decode_impl(const uint16_t* cum, int32_t A, const uint32_t* states,
     for (int64_t l = 0; l < L; ++l)
         if (lane_len[l] > tmax) tmax = lane_len[l];
 
-    std::vector<LaneSt> ls(L);
+    std::vector<LaneSt<Model>> ls(L);
     for (int64_t l = 0; l < L; ++l) {
         ls[l].x = states[l];
         ls[l].cur = -1;
@@ -154,27 +228,21 @@ void decode_impl(const uint16_t* cum, int32_t A, const uint32_t* states,
     }
     int64_t wp = 0;
     for (int64_t t = 0; t < tmax; ++t) {
-        for (int64_t l = 0; l < L; ++l) {
+        for (int64_t l = 0; l < L; ++l) {         // pass A: ctx + prefetch
             if (t >= lane_len[l]) continue;
-            LaneSt& s = ls[l];
-            if (s.pos == s.len) {   // advance to the next non-empty read
-                int64_t r = s.cur < 0 ? l : s.cur + L;
-                while (r < R && counts[r] == 0) r += L;
-                s.cur = r;
-                s.len = counts[r];
-                s.off = roff[r];
-                s.pos = 0;
-                m.reset(s.st);
-            }
-            const uint16_t* row = cum + m.ctx(s.st, s.pos) * (A + 1);
+            LaneSt<Model>& s = ls[l];
+            advance_lane(s, m, counts, roff.data(), R, L, l);
+            s.ctx = m.ctx(s.st, s.pos);
+            __builtin_prefetch(cum + s.ctx * (A + 1));
+        }
+        for (int64_t l = 0; l < L; ++l) {         // pass B: decode
+            if (t >= lane_len[l]) continue;
+            LaneSt<Model>& s = ls[l];
+            const uint16_t* row = cum + s.ctx * (A + 1);
             const uint32_t low = s.x & kMaskM;
             // largest sym with row[sym] <= low (row strictly increasing
             // when every count >= 1 and the row total is <= M)
-            int32_t lo = 0, hi = A - 1;
-            while (lo < hi) {
-                const int32_t mid = (lo + hi + 1) >> 1;
-                if (row[mid] <= low) lo = mid; else hi = mid - 1;
-            }
+            const int32_t lo = count_le(row, A, low) - 1;
             const uint32_t start = row[lo];
             const uint32_t f = row[lo + 1] - start;
             uint32_t xn = f * (s.x >> kProbBits) + low - start;

@@ -7,8 +7,29 @@
 #define FQ_WAVEMODELS_H_
 
 #include <cstdint>
+#include <vector>
 
 namespace fqwave {
+
+// Reciprocals of every possible quantized frequency f in [1, fmax]
+// (fmax = M = 2^14 for both wave coders): with m = ceil(2^47 / f),
+// e = m*f - 2^47 in [0, f) and x < 2^32, the error term
+// x*e / (f*2^47) < 1/f because x*e < 2^32 * 2^14 = 2^46 < 2^47 — so
+// floor(x / f) == (x * m) >> 47 EXACTLY, one mulx instead of the
+// reverse-rANS division per encoded symbol.
+struct RcpTable {
+    std::vector<uint64_t> m;
+    explicit RcpTable(uint32_t fmax) : m(fmax + 1) {
+        for (uint64_t f = 1; f <= fmax; ++f)
+            m[f] = ((uint64_t(1) << 47) + f - 1) / f;
+        m[0] = m[1];   // pass2's f_safe: f == 0 divides by 1
+    }
+};
+
+static inline uint32_t rcp_div(uint32_t x, uint32_t f, const uint64_t* m) {
+    return static_cast<uint32_t>(
+        (static_cast<unsigned __int128>(x) * m[f]) >> 47);
+}
 
 struct SeqM {
     uint32_t mask, magic;
