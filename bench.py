@@ -110,14 +110,17 @@ def main() -> None:
     # not stall the whole bench if a degraded phase begins mid-run
     dt = None
     budget = time.time() + 300
-    for k in range(10):
+    for k in range(14):
         t0 = time.time()
         stats = compress_se(p, src, os.path.join(tmp, "out.fqz"))
         d = time.time() - t0
         dt = d if dt is None else min(dt, d)
         # stop once a clearly-healthy sample is in hand (more passes only
-        # chase noise), or when the time budget is gone
-        if (k >= 2 and dt < 1.6) or time.time() > budget:
+        # chase noise), or when the time budget is gone.  The threshold
+        # tracks current capability (~0.71 s warm): the box's wall-clock
+        # varies +-60% between phases, so a stale threshold makes the
+        # early-stop accept a degraded-phase sample.
+        if (k >= 2 and dt < 0.80) or time.time() > budget:
             break
     reads_per_s = n_reads / dt
 
@@ -125,13 +128,13 @@ def main() -> None:
     dec_dt = None
     outs = None
     budget = time.time() + 240
-    for k in range(10):
+    for k in range(14):
         t0 = time.time()
         outs = decompress(os.path.join(tmp, "out.fqz"),
                           os.path.join(tmp, "back"), force=True, threads=1)
         d = time.time() - t0
         dec_dt = d if dec_dt is None else min(dec_dt, d)
-        if (k >= 2 and dec_dt < 1.4) or time.time() > budget:
+        if (k >= 2 and dec_dt < 0.75) or time.time() > budget:
             break
     with open(outs[0], "rb") as fh:
         ok = fh.read(1 << 20) == raw1[:1 << 20]
@@ -193,19 +196,19 @@ def _bench_aligned(tmp: str, raw1: bytes) -> dict:
     with open(src1, "wb") as fh:
         fh.write(raw1)
     fa = synthetic_ref(parse_block(raw1, True))
-    p = CodecParams(block_size_mb=8, threads=2)
+    p = CodecParams(block_size_mb=8, threads=1)
     stats = compress_se_aligned(p, fa, src1,
                                 os.path.join(tmp, "warm_al.fqz"))  # warm-up
     dt = None
     budget = time.time() + 240
-    for k in range(8):
-        p = CodecParams(block_size_mb=8, threads=2)
+    for k in range(14):
+        p = CodecParams(block_size_mb=8, threads=1)
         t0 = time.time()
         stats = compress_se_aligned(p, fa, src1,
                                     os.path.join(tmp, "al.fqz"))
         d = time.time() - t0
         dt = d if dt is None else min(dt, d)
-        if (k >= 1 and dt < 0.25) or time.time() > budget:
+        if (k >= 1 and dt < 0.23) or time.time() > budget:
             break
     return {
         "reads_per_s": round(stats["reads"] / dt, 1),
