@@ -918,16 +918,33 @@ class Aligner:
                               & (lengths > 0) & (lengths <= lp))
         if not len(todo):
             return res
+        C = min(4096, 2 * max_insr + 128)
+        mapped, pos = res.mapped.copy(), res.pos.copy()
+        is_rev, mis_mask = res.is_rev.copy(), res.mis_mask.copy()
+        if self._host_ok(lp):
+            from fastqueeze_tpu.io import native
+            roffs = (np.cumsum(lengths) - lengths).astype(np.int64)
+            out = native.window_batch(
+                self._h_packed, self.ref_len, codes_flat, dege_flat,
+                roffs[todo], lengths[todo],
+                res.pos[mate[todo]].astype(np.int32), lp, C,
+                self.params.max_mis)
+            if out is not None:
+                m, p_, r, mm = out
+                upd = todo[m]
+                mapped[upd] = True
+                pos[upd] = p_[m]
+                is_rev[upd] = r[m]
+                mis_mask[upd] = mm[m]
+                return AlignResult(mapped, pos, is_rev, mis_mask,
+                                   res.gap_pos, res.gap_len)
         # grid only the rescue candidates (long reads skipped alignment and
         # must not enter the (R, lp) grid)
         off = np.cumsum(lengths) - lengths
         idx = np.repeat(off[todo], lengths[todo]) + _intra(lengths[todo])
         codes_t, dege_t = _gridify(codes_flat[idx], dege_flat[idx],
                                    lengths[todo], lp)
-        C = min(4096, 2 * max_insr + 128)
         B = max(64, (1 << 22) // (C * (lp // 16)))     # bound device memory
-        mapped, pos = res.mapped.copy(), res.pos.copy()
-        is_rev, mis_mask = res.is_rev.copy(), res.mis_mask.copy()
         jobs = []
         for s in range(0, len(todo), B):
             sel = todo[s:s + B]
@@ -956,16 +973,13 @@ class Aligner:
         return AlignResult(mapped, pos, is_rev, mis_mask,
                            res.gap_pos, res.gap_len)
 
-    def _use_host(self, cfg: AlignConfig) -> bool:
-        """Route a gapless tier to the host-native mirror?  Execution-only
-        choice (mapping decisions are bit-identical either way)."""
-        if self._h_keys is None or cfg.wide or cfg.shard_axis:
+    def _host_ok(self, lp: int) -> bool:
+        """Host-native alignment available and routed for this grid?
+        Execution-only choice (decisions are bit-identical either way)."""
+        if self._h_keys is None or lp // 16 + 2 > self._h_pad_words:
             return False
-        if cfg.lp // 16 + 2 > self._h_pad_words:
-            return False          # grid wider than the padded overread
         from fastqueeze_tpu.io import native
-        if native.get_lib() is None or not hasattr(
-                native.get_lib(), "fq_align_batch"):
+        if native.get_lib() is None:
             return False
         import os
         mode = os.environ.get("FASTQUEEZE_ALIGN_EXEC", "")
@@ -976,6 +990,11 @@ class Aligner:
         # auto: an explicit device mesh keeps the device path (block-DP
         # runs want the chips doing the work); plain runs take the host
         return not self.params.mesh_n
+
+    def _use_host(self, cfg: AlignConfig) -> bool:
+        if cfg.wide or cfg.shard_axis:
+            return False
+        return self._host_ok(cfg.lp)
 
     def _run_tier(self, cfg: AlignConfig, flat, grids, lengths, rows,
                   mapped, pos, is_rev, mis_mask, batch: int) -> None:

@@ -51,7 +51,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_adapt_encode"):       # newest required symbol
+    if not hasattr(lib, "fq_window_batch"):       # newest required symbol
         # stale .so from before a symbol was added (or before the
         # read-sampling rule, a C<->numpy contract, last changed):
         # rebuild and reload
@@ -61,7 +61,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_adapt_encode"):
+        if not hasattr(lib, "fq_window_batch"):
             return None
     lib.fq_record_boundary.restype = ctypes.c_int64
     lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]
@@ -156,6 +156,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _i32, _i32, _i32, _i32,                   # k, stride, n_cand, max_mis
         _i32, _i32, _i32,                         # n_seeds, excl_bp, probe_k
         _i32, _i32,                               # strand_mode, both_strands
+        _U8P, _i32p, _U8P, _U8P]                  # mapped, pos, rev, mis_mask
+    lib.fq_window_batch.restype = None
+    lib.fq_window_batch.argtypes = [
+        _u32p2, ctypes.c_int64, _i32,             # packed, nw, ref_len
+        _U8P, _U8P, _I64P, _i32p, _i32p,          # codes, dege, roffs, lens,
+        ctypes.c_int64, _i32,                     # centers; R, lp
+        _i32, _i32,                               # n_cand, max_mis
         _U8P, _i32p, _U8P, _U8P]                  # mapped, pos, rev, mis_mask
     lib.rc_encode_names.restype = ctypes.c_int64
     lib.rc_encode_names.argtypes = [_U8P, _i32p, ctypes.c_int64, _i32, _i32,
@@ -610,6 +617,38 @@ def adapt_decode(A: int, n_ctx: int, init: int, inc: int, cap: int,
     if r < 0:
         return None
     return out[:nsym]
+
+
+def window_batch(packed: np.ndarray, ref_len: int, codes_flat: np.ndarray,
+                 dege_flat: np.ndarray, roffs: np.ndarray,
+                 lengths: np.ndarray, centers: np.ndarray, lp: int,
+                 n_cand: int, max_mis: int):
+    """Host-native anchored window verification (native/alignhost.cpp
+    fq_window_batch) — decision mirror of align/hash.py _window_batch
+    (PE mate rescue).  packed must be the padded host copy.  Returns
+    (mapped bool, pos int32, is_rev bool, mis_mask (R, lp) bool) or
+    None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    R = len(roffs)
+    packed = np.ascontiguousarray(packed, np.uint32)
+    codes_flat = np.ascontiguousarray(codes_flat, np.uint8)
+    dege_flat = np.ascontiguousarray(dege_flat.astype(np.uint8))
+    roffs = np.ascontiguousarray(roffs, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    centers = np.ascontiguousarray(centers, np.int32)
+    mapped = np.empty(R, np.uint8)
+    pos = np.empty(R, np.int32)
+    rev = np.empty(R, np.uint8)
+    mm = np.empty((R, lp), np.uint8)
+    lib.fq_window_batch(
+        packed.ctypes.data_as(_U32P), len(packed), ref_len,
+        _u8p(codes_flat), _u8p(dege_flat), _i64p(roffs),
+        lengths.ctypes.data_as(_I32P), centers.ctypes.data_as(_I32P),
+        R, lp, n_cand, max_mis,
+        _u8p(mapped), pos.ctypes.data_as(_I32P), _u8p(rev), _u8p(mm))
+    return mapped.astype(bool), pos, rev.astype(bool), mm.astype(bool)
 
 
 def id_tokenize(buf: np.ndarray, offs: np.ndarray, cap: int):

@@ -32,7 +32,8 @@
 //   * a running best of 0 mismatches cannot be strictly improved.
 //
 // Anything this mirror does not cover (wide keys k > 15, the sharded
-// index, the one-indel tier) stays on the device path.
+// index, the one-indel tier) stays on the device path.  fq_window_batch
+// below mirrors the anchored PE mate-rescue verify the same way.
 
 #include <cstdint>
 #include <cstring>
@@ -401,6 +402,25 @@ static void one_strand(const Index& ix, const Cfg& cfg, Workspace& ws,
     *pos_out = (int32_t)best_pos;
 }
 
+// Full-window mismatch count with a cutoff: exact when the result is
+// < bound, otherwise any value >= bound (the caller's argmin can't
+// observe which).  Mirrors the device's exact count through the
+// strict-< first-occurrence argmin.
+static inline int32_t mis_window(const Index& ix, uint32_t cp,
+                                 const uint32_t* rw, const uint32_t* mw,
+                                 int W, int32_t bound) {
+    const int64_t w0 = (int64_t)(cp >> 4);
+    const uint32_t sh = 2u * (cp & 15u);
+    int32_t m = 0;
+    for (int j = 0; j <= W && m < bound; j++) {
+        uint32_t refw = ix.packed[w0 + j];
+        uint32_t rsel = frame_word(rw, W, j, sh);
+        uint32_t msel = frame_word(mw, W, j, sh);
+        m += mis2bit((rsel ^ refw) & msel);
+    }
+    return m;
+}
+
 }  // namespace
 
 extern "C" void fq_align_stats(int64_t* out, int32_t reset) {
@@ -489,6 +509,100 @@ extern "C" void fq_align_batch(
                 if (wi > ix.nw - 1) wi = ix.nw - 1;
                 uint32_t shv = 2u * (15 - (idx & 15));
                 uint8_t refb = (uint8_t)((ix.packed[wi] >> shv) & 3u);
+                mm[i] = eff[i] != refb ? 1 : 0;
+            }
+        }
+    }
+}
+
+// Anchored windowed verification — decision-for-decision mirror of
+// align/hash.py _window_batch (the PE mate-rescue step): for each read,
+// every reference offset in [center - n_cand/2, center + n_cand/2) is
+// verified on both strands; use_rev = (mis_rc < mis_fwd); mapped =
+// best mis <= max_mis and no degenerate bases.  The device computes
+// every candidate's exact count and takes the first-occurrence argmin;
+// this scan keeps a running strict-< best with an early-exit bound,
+// which preserves that argmin exactly (a candidate cut off at the bound
+// cannot be the strict minimum, and when the RC best is >= the forward
+// best, use_rev is false and the RC position/count are unobservable —
+// the device reports mis_fwd then, not the min).  codes/dege are flat;
+// packed must carry the caller's zero padding (see fq_align_batch).
+extern "C" void fq_window_batch(
+    const uint32_t* packed, int64_t nw, int32_t ref_len,
+    const uint8_t* codes, const uint8_t* dege, const int64_t* roffs,
+    const int32_t* lengths, const int32_t* centers, int64_t R, int32_t lp,
+    int32_t n_cand, int32_t max_mis,
+    uint8_t* mapped, int32_t* pos_out, uint8_t* rev_out,
+    uint8_t* mis_mask) {
+    Index ix{nullptr, 0, nullptr, nullptr, 0, packed, nw,
+             nullptr, 0, 0, ref_len};
+    const int W = lp / 16;
+    std::vector<uint32_t> rw(W), mw(W);
+    std::vector<uint8_t> rc(lp);
+    for (int64_t r = 0; r < R; r++) {
+        const uint8_t* row = codes + roffs[r];
+        const uint8_t* drow = dege + roffs[r];
+        int32_t len = lengths[r];
+        if (len > lp) len = lp;
+        bool has_dege = false;
+        for (int i = 0; i < len && !has_dege; i++) has_dege = drow[i];
+        const int32_t c0 = centers[r] - n_cand / 2;
+
+        // strand scan: first-occurrence strict-< argmin over the window
+        auto strand = [&](const uint8_t* eff, int32_t* mis_b,
+                          int32_t* pos_b, int32_t bound0) {
+            std::fill(rw.begin(), rw.end(), 0u);
+            std::fill(mw.begin(), mw.end(), 0u);
+            for (int i = 0; i < len; i++) {
+                uint32_t shv = 2u * (15 - (i & 15));
+                rw[i >> 4] |= ((uint32_t)eff[i]) << shv;
+                mw[i >> 4] |= 3u << shv;
+            }
+            int32_t best = BIG, bpos = 0;
+            bool have = false;
+            for (int32_t cj = 0; cj < n_cand; cj++) {
+                const int32_t cp = c0 + cj;
+                if (cp < 0 || cp + len > ref_len) continue;
+                const int32_t bound =
+                    (have && best < bound0) ? best : bound0;
+                const int32_t m = mis_window(ix, (uint32_t)cp, rw.data(),
+                                             mw.data(), W, bound);
+                if (m < bound) {      // exact and strictly better
+                    best = m;
+                    bpos = cp;
+                    have = true;
+                    if (best == 0) break;
+                }
+            }
+            *mis_b = have ? best : BIG;
+            *pos_b = bpos;
+        };
+
+        int32_t mis_f, pos_f, mis_r = BIG, pos_r = 0;
+        strand(row, &mis_f, &pos_f, BIG);
+        // RC can only be observed when mis_r < mis_f (use_rev rule), so
+        // the scan bound starts at mis_f; mis_f == 0 skips RC entirely
+        if (mis_f > 0) {
+            for (int i = 0; i < lp; i++)
+                rc[i] = i < len ? (uint8_t)(3 - row[len - 1 - i]) : 0;
+            strand(rc.data(), &mis_r, &pos_r, mis_f < BIG ? mis_f : BIG);
+        }
+        const bool use_rev = mis_r < mis_f;
+        const int32_t mis = use_rev ? mis_r : mis_f;
+        const int32_t pos = use_rev ? pos_r : pos_f;
+        const bool is_mapped = (mis <= max_mis) && !has_dege;
+        mapped[r] = is_mapped ? 1 : 0;
+        pos_out[r] = pos;
+        rev_out[r] = (use_rev && is_mapped) ? 1 : 0;
+        uint8_t* mm = mis_mask + r * lp;
+        std::memset(mm, 0, lp);
+        if (is_mapped) {
+            const uint8_t* eff = use_rev ? rc.data() : row;
+            for (int i = 0; i < len; i++) {
+                int64_t idx = (int64_t)(uint32_t)pos + i;
+                uint32_t shv = 2u * (15 - (idx & 15));
+                uint8_t refb =
+                    (uint8_t)((ix.packed[idx >> 4] >> shv) & 3u);
                 mm[i] = eff[i] != refb ? 1 : 0;
             }
         }

@@ -92,3 +92,57 @@ def test_host_mirror_matches_device(tmp_path):
     np.testing.assert_array_equal(rh.pos[m], rd.pos[m])
     np.testing.assert_array_equal(rh.is_rev[m], rd.is_rev[m])
     np.testing.assert_array_equal(rh.mis_mask[m], rd.mis_mask[m])
+
+@pytest.mark.skipif(native.get_lib() is None,
+                    reason="native aligner unavailable")
+def test_window_rescue_mirror_matches_device(tmp_path):
+    """fq_window_batch (PE mate rescue) vs the device _window_batch:
+    mapped flags identical; pos / is_rev / mis_mask identical on the
+    mapped reads (an unrescued read's fields never reach the archive)."""
+    from fastqueeze_tpu.align.hash import Aligner
+
+    rng = np.random.default_rng(13)
+    ref = _mk_ref(rng, 30000)
+    # interleaved mates: even reads map cleanly, odd mates sit at a known
+    # insert from them with heavier errors (some rescuable, some not)
+    reads = []
+    for i in range(120):
+        p = int(rng.integers(200, len(ref) - 600))
+        r1 = ref[p:p + 100].copy()
+        ins = int(rng.integers(120, 380))
+        r2 = ref[p + ins:p + ins + 100].copy()
+        nerr = int(rng.integers(0, 12))       # some exceed max_mis
+        at = rng.integers(0, 100, nerr)
+        r2[at] = (r2[at] + rng.integers(1, 4, nerr)) % 4
+        if rng.random() < 0.5:
+            r2 = (3 - r2)[::-1].copy()
+        reads += [r1, r2]
+    lengths = np.array([len(r) for r in reads], np.int64)
+    codes = np.concatenate(reads)
+    dege = np.zeros(len(codes), bool)
+
+    fa = tmp_path / "ref.fa"
+    fa.write_bytes(b">r\n" + _BASES[ref].tobytes() + b"\n")
+    p = CodecParams()
+    idx = build_from_ref(load_fasta(str(fa)), p)
+    p.aligned = 1
+    p.ref_len = len(ref)
+    p.seed_len = idx.k
+
+    results = {}
+    for mode in ("host", "device"):
+        os.environ["FASTQUEEZE_ALIGN_EXEC"] = mode
+        try:
+            al = Aligner(idx, p)
+            res = al.align(codes, dege, lengths)
+            results[mode] = al.rescue_mates(codes, dege, lengths, res, 500)
+        finally:
+            del os.environ["FASTQUEEZE_ALIGN_EXEC"]
+
+    rh, rd = results["host"], results["device"]
+    assert rh.mapped.sum() > 150
+    np.testing.assert_array_equal(rh.mapped, rd.mapped)
+    m = rd.mapped
+    np.testing.assert_array_equal(rh.pos[m], rd.pos[m])
+    np.testing.assert_array_equal(rh.is_rev[m], rd.is_rev[m])
+    np.testing.assert_array_equal(rh.mis_mask[m], rd.mis_mask[m])
