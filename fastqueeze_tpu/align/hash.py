@@ -700,23 +700,22 @@ class Aligner:
         # host-native mirror (native/alignhost.cpp): keep numpy copies of
         # the index so the gapless tiers can run on the host CPU — on a
         # tunnel-attached chip the gather-bound device pass loses to the
-        # serial host loop by >10x.  Narrow keys only; wide (-q) and
-        # sharded tiers stay on device.  Mapping decisions are mirrored
-        # bit-identically (tests/test_alignhost.py).
-        self._h_keys = None
-        if not self.wide:
-            self._h_keys = keys.astype(np.uint32)
-            self._h_offsets = offs
-            self._h_positions = pos
-            # padded so the native inner loops can fetch up to lp/16 + 1
-            # words past the true end without clamping (masked-out slots
-            # only; the zero padding is bit-identical to the device's
-            # clamped fetch of an all-masked word)
-            self._h_pad_words = 1026
-            self._h_packed = np.concatenate([
-                idx.packed.astype(np.uint32),
-                np.zeros(self._h_pad_words, np.uint32)])
-            self._h_l1 = l1
+        # serial host loop by >10x.  Keys are u64 for both narrow and
+        # wide (-q) modes (the device's (hi, lo30) pair order IS u64
+        # order); only the sharded index stays device-side.  Mapping
+        # decisions are mirrored bit-identically (tests/test_alignhost.py).
+        self._h_keys = keys          # uint64
+        self._h_offsets = offs
+        self._h_positions = pos
+        # padded so the native inner loops can fetch up to lp/16 + 1
+        # words past the true end without clamping (masked-out slots
+        # only; the zero padding is bit-identical to the device's
+        # clamped fetch of an all-masked word)
+        self._h_pad_words = 1026
+        self._h_packed = np.concatenate([
+            idx.packed.astype(np.uint32),
+            np.zeros(self._h_pad_words, np.uint32)])
+        self._h_l1 = l1
         # per-device replicas for block-DP over a mesh (the reference's
         # POSIX-shm index sharing mapped to a pod slice, SURVEY.md §2.3):
         # each block device gets the index arrays once, not per batch
@@ -872,12 +871,33 @@ class Aligner:
                                    l1_shift=self._l1_shift,
                                    search_steps=self._search_steps,
                                    wide=self.wide)
-                arrs = self._arrays()
-                jobs = []
-                B = 512
                 # a gap wider than the lane is meaningless and would make
                 # the split-scoring slices negative-width
                 G_eff = min(p.max_indel, lp - 1)
+                if self._host_ok(lp):
+                    from fastqueeze_tpu.io import native
+                    out = native.indel_batch(
+                        self._h_keys, self._h_offsets, self._h_positions,
+                        self._h_packed, self._h_l1, self._l1_shift,
+                        self._search_steps, self.ref_len,
+                        codes_flat, dege_flat, roffs[todo], lengths[todo],
+                        lp, self.k, p.seed_stride, big, p.max_mis,
+                        p.rescue_seeds, p.seed_excl_bp, cfg3.probe_k,
+                        G_eff)
+                    if out is not None:
+                        f, p_, s_, g_, rv, mm = out
+                        upd = todo[f]
+                        mapped[upd] = True
+                        pos[upd] = p_[f]
+                        gap_pos[upd] = s_[f]
+                        gap_len[upd] = g_[f]
+                        is_rev[upd] = rv[f]
+                        mis_mask[upd] = mm[f]
+                        return AlignResult(mapped, pos, is_rev, mis_mask,
+                                           gap_pos, gap_len)
+                arrs = self._arrays()
+                jobs = []
+                B = 512
                 cg, dg = grids()
                 for s in range(0, len(todo), B):
                     sel = todo[s:s + B]
@@ -992,7 +1012,7 @@ class Aligner:
         return not self.params.mesh_n
 
     def _use_host(self, cfg: AlignConfig) -> bool:
-        if cfg.wide or cfg.shard_axis:
+        if cfg.shard_axis:
             return False
         return self._host_ok(cfg.lp)
 

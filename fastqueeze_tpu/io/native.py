@@ -27,6 +27,7 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "libfqnative.so")
 _I64P = ctypes.POINTER(ctypes.c_int64)
 _I32P = ctypes.POINTER(ctypes.c_int32)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
+_U64P = ctypes.POINTER(ctypes.c_uint64)
 
 
 def _build() -> bool:
@@ -146,7 +147,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                     _I64P, _U8P]
     lib.fq_align_batch.restype = None
     lib.fq_align_batch.argtypes = [
-        _u32p2, ctypes.c_int64, _i32p,            # keys, nk, offsets
+        _U64P, ctypes.c_int64, _i32p,             # keys (u64), nk, offsets
         _i32p, ctypes.c_int64,                    # positions, npos
         _u32p2, ctypes.c_int64,                   # packed, nw
         _i32p, _i32, _i32,                        # l1, l1_shift, steps
@@ -157,6 +158,18 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _i32, _i32, _i32,                         # n_seeds, excl_bp, probe_k
         _i32, _i32,                               # strand_mode, both_strands
         _U8P, _i32p, _U8P, _U8P]                  # mapped, pos, rev, mis_mask
+    lib.fq_indel_batch.restype = None
+    lib.fq_indel_batch.argtypes = [
+        _U64P, ctypes.c_int64, _i32p,             # keys (u64), nk, offsets
+        _i32p, ctypes.c_int64,                    # positions, npos
+        _u32p2, ctypes.c_int64,                   # packed, nw
+        _i32p, _i32, _i32,                        # l1, l1_shift, steps
+        _i32,                                     # ref_len
+        _U8P, _U8P, _I64P, _i32p,                 # codes, dege, roffs, lens
+        ctypes.c_int64, _i32,                     # R, lp
+        _i32, _i32, _i32, _i32,                   # k, stride, n_cand, max_mis
+        _i32, _i32, _i32, _i32,                   # n_seeds, excl, probe_k, G
+        _U8P, _i32p, _i32p, _i32p, _U8P, _U8P]    # found,pos,split,gap,rev,mm
     lib.fq_window_batch.restype = None
     lib.fq_window_batch.argtypes = [
         _u32p2, ctypes.c_int64, _i32,             # packed, nw, ref_len
@@ -619,6 +632,52 @@ def adapt_decode(A: int, n_ctx: int, init: int, inc: int, cap: int,
     return out[:nsym]
 
 
+def indel_batch(keys: np.ndarray, offsets: np.ndarray,
+                positions: np.ndarray, packed: np.ndarray, l1: np.ndarray,
+                l1_shift: int, search_steps: int, ref_len: int,
+                codes_flat: np.ndarray, dege_flat: np.ndarray,
+                roffs: np.ndarray, lengths: np.ndarray, lp: int,
+                k: int, stride: int, n_cand: int, max_mis: int,
+                n_seeds: int, excl_bp: int, probe_k: int, G: int):
+    """Host-native one-indel rescue (native/alignhost.cpp
+    fq_indel_batch) — decision mirror of align/hash.py _indel_batch.
+    Returns (found bool, pos i32, split i32, gap i32, is_rev bool,
+    mis_mask (R, lp) bool) or None."""
+    lib = get_lib()
+    if lib is None or keys.dtype != np.uint64:
+        return None
+    R = len(roffs)
+    keys = np.ascontiguousarray(keys, np.uint64)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    positions = np.ascontiguousarray(positions, np.int32)
+    packed = np.ascontiguousarray(packed, np.uint32)
+    l1 = np.ascontiguousarray(l1, np.int32)
+    codes_flat = np.ascontiguousarray(codes_flat, np.uint8)
+    dege_flat = np.ascontiguousarray(dege_flat.astype(np.uint8))
+    roffs = np.ascontiguousarray(roffs, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    found = np.empty(R, np.uint8)
+    pos = np.empty(R, np.int32)
+    split = np.empty(R, np.int32)
+    gap = np.empty(R, np.int32)
+    rev = np.empty(R, np.uint8)
+    mm = np.empty((R, lp), np.uint8)
+    lib.fq_indel_batch(
+        keys.ctypes.data_as(_U64P), len(keys),
+        offsets.ctypes.data_as(_I32P),
+        positions.ctypes.data_as(_I32P), len(positions),
+        packed.ctypes.data_as(_U32P), len(packed),
+        l1.ctypes.data_as(_I32P), l1_shift, search_steps, ref_len,
+        _u8p(codes_flat), _u8p(dege_flat), _i64p(roffs),
+        lengths.ctypes.data_as(_I32P),
+        R, lp, k, stride, n_cand, max_mis, n_seeds, excl_bp, probe_k, G,
+        _u8p(found), pos.ctypes.data_as(_I32P),
+        split.ctypes.data_as(_I32P), gap.ctypes.data_as(_I32P),
+        _u8p(rev), _u8p(mm))
+    return (found.astype(bool), pos, split, gap, rev.astype(bool),
+            mm.astype(bool))
+
+
 def window_batch(packed: np.ndarray, ref_len: int, codes_flat: np.ndarray,
                  dege_flat: np.ndarray, roffs: np.ndarray,
                  lengths: np.ndarray, centers: np.ndarray, lp: int,
@@ -684,10 +743,10 @@ def align_batch(keys: np.ndarray, offsets: np.ndarray,
     Returns (mapped bool, pos int32, is_rev bool, mis_mask (R, lp) bool)
     or None."""
     lib = get_lib()
-    if lib is None or keys.dtype != np.uint32:
+    if lib is None or keys.dtype != np.uint64:
         return None
     R = len(roffs)
-    keys = np.ascontiguousarray(keys, np.uint32)
+    keys = np.ascontiguousarray(keys, np.uint64)
     offsets = np.ascontiguousarray(offsets, np.int32)
     positions = np.ascontiguousarray(positions, np.int32)
     packed = np.ascontiguousarray(packed, np.uint32)
@@ -701,7 +760,7 @@ def align_batch(keys: np.ndarray, offsets: np.ndarray,
     rev = np.empty(R, np.uint8)
     mm = np.empty((R, lp), np.uint8)
     lib.fq_align_batch(
-        keys.ctypes.data_as(_U32P), len(keys),
+        keys.ctypes.data_as(_U64P), len(keys),
         offsets.ctypes.data_as(_I32P),
         positions.ctypes.data_as(_I32P), len(positions),
         packed.ctypes.data_as(_U32P), len(packed),

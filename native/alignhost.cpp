@@ -31,8 +31,10 @@
 //     probe counts are copied from the first occurrence;
 //   * a running best of 0 mismatches cannot be strictly improved.
 //
-// Anything this mirror does not cover (wide keys k > 15, the sharded
-// index, the one-indel tier) stays on the device path.  fq_window_batch
+// Keys are uint64 (narrow k <= 15 keys zero-extended; wide k <= 31 keys
+// are the device's (hi, lo30) pairs re-joined — pair-lexicographic order
+// IS plain u64 order, so the bucket search mirrors both modes with one
+// code path).  Only the sharded index stays device-only.  fq_window_batch
 // below mirrors the anchored PE mate-rescue verify the same way.
 
 #include <cstdint>
@@ -49,7 +51,7 @@ static inline int mis2bit(uint32_t x) {
 }
 
 struct Index {
-    const uint32_t* keys; int64_t nk;
+    const uint64_t* keys; int64_t nk;
     const int32_t* offsets;
     const int32_t* positions; int64_t npos;
     const uint32_t* packed; int64_t nw;
@@ -77,7 +79,7 @@ static inline uint32_t frame_word(const uint32_t* arr, int W, int j,
 // Per-call scratch: one allocation set reused across every read and
 // strand (the old per-read std::vectors were ~20 mallocs per read).
 struct Workspace {
-    std::vector<uint32_t> kv;     // rolling k-mer at every window start
+    std::vector<uint64_t> kv;     // rolling k-mer at every window start
     std::vector<int32_t> cs;      // degenerate prefix sums (lp + 1)
     std::vector<int64_t> ii;      // per-sample CSR key index
     std::vector<int32_t> occ;     // per-sample occurrence count (or BIG)
@@ -167,9 +169,10 @@ static void one_strand(const Index& ix, const Cfg& cfg, Workspace& ws,
     // already invalid (ok_s), but their kv still feeds the (discarded-
     // result) searches, whose ii values the junk-candidate path of a
     // no-match seed can observe.
-    const uint32_t kmask = (k >= 16) ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1);
+    const uint64_t kmask = (k >= 32) ? ~uint64_t(0)
+                                     : ((uint64_t(1) << (2 * k)) - 1);
     {
-        uint32_t v = 0;
+        uint64_t v = 0;
         int32_t c = 0;
         ws.cs[0] = 0;
         for (int i = 0; i < len; i++) {
@@ -188,7 +191,7 @@ static void one_strand(const Index& ix, const Cfg& cfg, Workspace& ws,
     for (int s = 0; s < S; s++) {
         int q = s * cfg.stride;
         ws.psv[s] = q;
-        const uint32_t v = ws.kv[q];
+        const uint64_t v = ws.kv[q];
         bool ok_s = (q <= len - k) && (ws.cs[q + k] - ws.cs[q]) == 0;
         // bucket-bounded lower_bound, fixed search_steps (exact mirror)
         int64_t bq = (int64_t)(v >> ix.l1_shift);
@@ -287,6 +290,7 @@ static void one_strand(const Index& ix, const Cfg& cfg, Workspace& ws,
             if (clamped && base + cj > ix.npos - 1) ptr = ix.npos - 1 - base;
             int32_t cp_i = posp[ptr] - pb;          // int32 frame, as device
             const int c = it * C + cj;
+            if (c == 0) ws.cand[0] = (uint32_t)cp_i;   // all-invalid fallback
             if (cp_i < 0 || cp_i + len > ix.ref_len) continue;
             ws.cand[c] = (uint32_t)cp_i;
             any_valid = true;
@@ -326,10 +330,12 @@ static void one_strand(const Index& ix, const Cfg& cfg, Workspace& ws,
         }
     }
     if (!any_valid) {
-        // no candidate can map: the read is unmapped on this strand and
-        // its position never reaches the bitstream
+        // no candidate can map: the read is unmapped on this strand.
+        // The device's argmin over an all-BIG row returns its first
+        // candidate, so the fallback position is cand[0] — observable
+        // only through the indel tier's anchor of an unmapped read.
         *mis_out = BIG;
-        *pos_out = 0;
+        *pos_out = (C > 0 && NS > 0) ? (int32_t)ws.cand[0] : 0;
         return;
     }
     if (prefiltered) {
@@ -435,7 +441,7 @@ extern "C" void fq_align_stats(int64_t* out, int32_t reset) {
 // per-read offsets — no grid marshaling).  lp only sizes the mis_mask
 // rows.
 extern "C" void fq_align_batch(
-    const uint32_t* keys, int64_t nk, const int32_t* offsets,
+    const uint64_t* keys, int64_t nk, const int32_t* offsets,
     const int32_t* positions, int64_t npos,
     const uint32_t* packed, int64_t nw,
     const int32_t* l1, int32_t l1_shift, int32_t search_steps,
@@ -604,6 +610,168 @@ extern "C" void fq_window_batch(
                 uint8_t refb =
                     (uint8_t)((ix.packed[idx >> 4] >> shv) & 3u);
                 mm[i] = eff[i] != refb ? 1 : 0;
+            }
+        }
+    }
+}
+
+// One-indel rescue — decision-for-decision mirror of align/hash.py
+// _indel_batch (strand_eval's exclusive-cumsum split scoring over +-G
+// shifted compare windows, evaluated in the device's exact variant
+// order so strict-< tie-breaks agree).  Anchors on each strand's best
+// GAPLESS candidate from the seed search, whose position one_strand
+// reproduces exactly for mapped AND unmapped reads (including the
+// all-pruned and all-invalid fallbacks) — the indel tier observes the
+// anchor of reads the gapless tiers failed.
+extern "C" void fq_indel_batch(
+    const uint64_t* keys, int64_t nk, const int32_t* offsets,
+    const int32_t* positions, int64_t npos,
+    const uint32_t* packed, int64_t nw,
+    const int32_t* l1, int32_t l1_shift, int32_t search_steps,
+    int32_t ref_len,
+    const uint8_t* codes, const uint8_t* dege, const int64_t* roffs,
+    const int32_t* lengths, int64_t R, int32_t lp,
+    int32_t k, int32_t stride, int32_t n_cand, int32_t max_mis,
+    int32_t n_seeds, int32_t excl_bp, int32_t probe_k, int32_t G,
+    uint8_t* found_out, int32_t* pos_out, int32_t* split_out,
+    int32_t* gap_out, uint8_t* rev_out, uint8_t* mis_mask) {
+    Index ix{keys, nk, offsets, positions, npos, packed, nw,
+             l1, l1_shift, search_steps, ref_len};
+    Cfg cfg{k, stride, n_cand, max_mis, n_seeds, excl_bp, probe_k, lp};
+    Workspace ws;
+    ws.init(cfg);
+    const int NG = 2 * G + 1;
+    // per-strand scratch: E[(2G+1) x (len+1)], F[len+1], cmp rows
+    std::vector<int32_t> E(NG * (lp + 1)), F(lp + 1);
+    std::vector<uint8_t> cmp(NG * lp), lit(lp), rc(lp), rdege(lp);
+
+    struct SRes {       // strand_eval outputs
+        int32_t tot, s, g, po, pg, sg;
+    };
+
+    for (int64_t r = 0; r < R; r++) {
+        const uint8_t* row = codes + roffs[r];
+        const uint8_t* drow = dege + roffs[r];
+        int32_t len = lengths[r];
+        if (len > lp) len = lp;
+        bool has_dege = false;
+        for (int i = 0; i < len && !has_dege; i++) has_dege = drow[i];
+
+        auto strand_eval = [&](const uint8_t* c, const uint8_t* d) {
+            int32_t mis_g, posi;
+            one_strand(ix, cfg, ws, c, d, len, &mis_g, &posi);
+            const bool ok_b = posi >= 2 * G &&
+                (int64_t)posi + len + 2 * G <= ref_len;
+            // compare rows vs the ref at shifts -G..+G and their
+            // exclusive cumsums (only s <= len is ever unmasked)
+            for (int j = 0; j < NG; j++) {
+                const int g = j - G;
+                int32_t* Ej = E.data() + j * (lp + 1);
+                uint8_t* cj = cmp.data() + j * lp;
+                Ej[0] = 0;
+                for (int i = 0; i < len; i++) {
+                    int64_t idx = (int64_t)posi + g + i;
+                    if (idx < 0) idx = 0;
+                    if (idx > ref_len - 1) idx = ref_len - 1;
+                    const uint32_t shv = 2u * (15 - (idx & 15));
+                    const uint8_t rb =
+                        (uint8_t)((ix.packed[idx >> 4] >> shv) & 3u);
+                    cj[i] = c[i] != rb ? 1 : 0;
+                    Ej[i + 1] = Ej[i] + cj[i];
+                }
+            }
+            F[0] = 0;
+            for (int i = 0; i < len; i++) {
+                lit[i] = c[i] != 0 ? 1 : 0;
+                F[i + 1] = F[i] + lit[i];
+            }
+            const int32_t* E0 = E.data() + G * (lp + 1);
+            SRes b{BIG, 0, 0, posi, 0, 0};
+
+            // first-occurrence argmin over s in [0, len - h], strict-<
+            // variant chaining (the device's consider() order).  Every
+            // variant is prefix-mismatches at one shift + suffix at
+            // another, plus the literal-vs-filler cost of h inserted
+            // bases between them:
+            //   tot[s] = pref[s] + (F[s+h] - F[s]) + (suf[len] - suf[s+h])
+            auto consider = [&](const int32_t* pref, const int32_t* suf,
+                                int h, int32_t g_out, int32_t d_pos,
+                                int32_t pg, int32_t sg) {
+                const int32_t slim = len - h;
+                int32_t tb = BIG, sb = 0;
+                for (int32_t s = 0; s <= slim; s++) {
+                    const int32_t tot = pref[s] + (F[s + h] - F[s])
+                                        + (suf[len] - suf[s + h]);
+                    if (tot < tb) { tb = tot; sb = s; }
+                }
+                if (tb < b.tot) {
+                    b.tot = tb;
+                    b.s = sb;
+                    b.g = g_out;
+                    b.po = posi + d_pos;
+                    b.pg = pg + G;
+                    b.sg = sg + G;
+                }
+            };
+            for (int g = -G; g <= G; g++) {
+                if (g == 0) continue;
+                const int32_t* Eg = E.data() + (g + G) * (lp + 1);
+                const int h = g > 0 ? g : -g;
+                if (g > 0) {
+                    // A: seed in prefix, read DELETES g ref bases at s
+                    consider(E0, Eg, 0, g, 0, 0, g);
+                    // B: seed in suffix, gap -g = insertion of g bases
+                    consider(Eg, E0, h, -g, g, g, 0);
+                } else {
+                    // A: seed in prefix, read INSERTS h bases at s
+                    consider(E0, Eg, h, g, 0, 0, g);
+                    // B: seed in suffix, gap -g = deletion of h bases
+                    consider(Eg, E0, 0, -g, g, g, 0);
+                }
+            }
+            if (!ok_b) b.tot = BIG;
+            return b;
+        };
+
+        SRes f = strand_eval(row, drow);
+        SRes rv{BIG, 0, 0, 0, 0, 0};
+        bool rc_ran = false;
+        if (f.tot > 0) {       // tot_r < tot_f needs tot_f > 0
+            for (int i = 0; i < lp; i++) {
+                rc[i] = i < len ? (uint8_t)(3 - row[len - 1 - i]) : 0;
+                rdege[i] = i < len ? drow[len - 1 - i] : 0;
+            }
+            rv = strand_eval(rc.data(), rdege.data());
+            rc_ran = true;
+            // cmp/E/F/lit now hold the RC strand's rows — consistent
+            // with the mask construction below when use_rev
+        }
+        const bool use_rev = rv.tot < f.tot;
+        const SRes& b = use_rev ? rv : f;
+        const bool is_found =
+            b.tot <= max_mis && !has_dege && len >= k;
+        found_out[r] = is_found ? 1 : 0;
+        pos_out[r] = b.po;
+        split_out[r] = b.s;
+        gap_out[r] = b.g;
+        rev_out[r] = (use_rev && is_found) ? 1 : 0;
+        uint8_t* mm = mis_mask + r * lp;
+        std::memset(mm, 0, lp);
+        if (is_found) {
+            if (!use_rev && rc_ran) {
+                // RC ran last and overwrote the scratch: rebuild the
+                // forward strand's cmp/lit rows for the mask
+                (void)strand_eval(row, drow);
+            }
+            const int32_t h_b = b.g < 0 ? -b.g : 0;
+            const uint8_t* pre = cmp.data() + b.pg * lp;
+            const uint8_t* suf = cmp.data() + b.sg * lp;
+            for (int i = 0; i < len; i++) {
+                uint8_t v;
+                if (i < b.s) v = pre[i];
+                else if (i < b.s + h_b) v = h_b > 0 ? lit[i] : suf[i];
+                else v = suf[i];
+                mm[i] = v;
             }
         }
     }

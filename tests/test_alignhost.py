@@ -146,3 +146,111 @@ def test_window_rescue_mirror_matches_device(tmp_path):
     np.testing.assert_array_equal(rh.pos[m], rd.pos[m])
     np.testing.assert_array_equal(rh.is_rev[m], rd.is_rev[m])
     np.testing.assert_array_equal(rh.mis_mask[m], rd.mis_mask[m])
+
+@pytest.mark.skipif(native.get_lib() is None,
+                    reason="native aligner unavailable")
+def test_wide_key_mirror_matches_device(tmp_path):
+    """Wide (-q long-seed, k > 15) keys: u64 host search vs the device's
+    (hi, lo30) pair-lexicographic search."""
+    from fastqueeze_tpu.align.hash import Aligner
+
+    rng = np.random.default_rng(23)
+    ref = _mk_ref(rng, 24000)
+    unit = ref[:80]
+    for j in range(25):
+        p = 9000 + j * 95
+        ref[p:p + 80] = unit
+    reads = _reads_from_ref(rng, ref, 140, 100)
+    lengths = np.array([len(r) for r in reads], np.int64)
+    codes = np.concatenate(reads)
+    dege = np.zeros(len(codes), bool)
+
+    fa = tmp_path / "ref.fa"
+    fa.write_bytes(b">r\n" + _BASES[ref].tobytes() + b"\n")
+    p = CodecParams(seed_len=22)
+    idx = build_from_ref(load_fasta(str(fa)), p)
+    assert idx.k == 22
+    p.aligned = 1
+    p.ref_len = len(ref)
+    p.seed_len = idx.k
+
+    results = {}
+    for mode in ("host", "device"):
+        os.environ["FASTQUEEZE_ALIGN_EXEC"] = mode
+        try:
+            al = Aligner(idx, p)
+            results[mode] = al.align(codes, dege, lengths)
+        finally:
+            del os.environ["FASTQUEEZE_ALIGN_EXEC"]
+
+    rh, rd = results["host"], results["device"]
+    assert rh.mapped.sum() > 90
+    np.testing.assert_array_equal(rh.mapped, rd.mapped)
+    m = rd.mapped
+    np.testing.assert_array_equal(rh.pos[m], rd.pos[m])
+    np.testing.assert_array_equal(rh.is_rev[m], rd.is_rev[m])
+    np.testing.assert_array_equal(rh.mis_mask[m], rd.mis_mask[m])
+
+@pytest.mark.skipif(native.get_lib() is None,
+                    reason="native aligner unavailable")
+def test_indel_tier_mirror_matches_device(tmp_path):
+    """fq_indel_batch vs the device _indel_batch: found flags identical;
+    pos / split / gap / is_rev / mis_mask identical on found reads."""
+    from fastqueeze_tpu.align.hash import Aligner
+
+    rng = np.random.default_rng(31)
+    ref = _mk_ref(rng, 25000)
+    reads = []
+    for i in range(100):
+        p = int(rng.integers(100, len(ref) - 300))
+        r = ref[p:p + 103].copy()
+        kind = i % 4
+        if kind == 0:      # deletion in the read (skips ref bases)
+            g = int(rng.integers(1, 4))
+            s = int(rng.integers(20, 80))
+            r = np.concatenate([r[:s], r[s + g:]])[:100]
+        elif kind == 1:    # insertion in the read
+            g = int(rng.integers(1, 4))
+            s = int(rng.integers(20, 80))
+            ins = rng.integers(0, 4, g).astype(np.uint8)
+            r = np.concatenate([r[:s], ins, r[s:]])[:100]
+        elif kind == 2:    # heavy point errors (often unmappable)
+            r = r[:100]
+            at = rng.integers(0, 100, 12)
+            r[at] = (r[at] + rng.integers(1, 4, 12)) % 4
+        else:              # clean (mapped by the gapless tiers already)
+            r = r[:100]
+        if rng.random() < 0.4:
+            r = (3 - r)[::-1].copy()
+        reads.append(r)
+    lengths = np.array([len(r) for r in reads], np.int64)
+    codes = np.concatenate(reads)
+    dege = np.zeros(len(codes), bool)
+
+    fa = tmp_path / "ref.fa"
+    fa.write_bytes(b">r\n" + _BASES[ref].tobytes() + b"\n")
+    p = CodecParams(max_indel=3)
+    idx = build_from_ref(load_fasta(str(fa)), p)
+    p.aligned = 1
+    p.ref_len = len(ref)
+    p.seed_len = idx.k
+
+    results = {}
+    for mode in ("host", "device"):
+        os.environ["FASTQUEEZE_ALIGN_EXEC"] = mode
+        try:
+            al = Aligner(idx, p)
+            results[mode] = al.align(codes, dege, lengths)
+        finally:
+            del os.environ["FASTQUEEZE_ALIGN_EXEC"]
+
+    rh, rd = results["host"], results["device"]
+    assert rh.mapped.sum() > 60
+    assert (rh.gap_len != 0).sum() > 10      # indel tier actually fired
+    np.testing.assert_array_equal(rh.mapped, rd.mapped)
+    m = rd.mapped
+    np.testing.assert_array_equal(rh.pos[m], rd.pos[m])
+    np.testing.assert_array_equal(rh.gap_pos[m], rd.gap_pos[m])
+    np.testing.assert_array_equal(rh.gap_len[m], rd.gap_len[m])
+    np.testing.assert_array_equal(rh.is_rev[m], rd.is_rev[m])
+    np.testing.assert_array_equal(rh.mis_mask[m], rd.mis_mask[m])
