@@ -52,7 +52,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_window_batch"):       # newest required symbol
+    if not hasattr(lib, "fq_qctx_hist3"):         # newest required symbol
         # stale .so from before a symbol was added (or before the
         # read-sampling rule, a C<->numpy contract, last changed):
         # rebuild and reload
@@ -62,7 +62,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_window_batch"):
+        if not hasattr(lib, "fq_qctx_hist3"):
             return None
     lib.fq_record_boundary.restype = ctypes.c_int64
     lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]
@@ -98,10 +98,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fq_train_prefix.argtypes = [_U8P, _U8P, _I64P, ctypes.c_int64,
                                     ctypes.c_int64, _i32, ctypes.c_uint32,
                                     _i32, _i32, _i32, _U8P, _i32p, _i32p]
-    lib.fq_qctx_hist2.restype = None
-    lib.fq_qctx_hist2.argtypes = [_U8P, _I64P, ctypes.c_int64,
+    lib.fq_qctx_hist3.restype = None
+    lib.fq_qctx_hist3.argtypes = [_U8P, _I64P, ctypes.c_int64,
                                   ctypes.c_int64, _U8P, _i32, _i32, _i32,
-                                  _i32, _i32, _i32, _i32, _i32p]
+                                  _i32, _i32, _i32, _i32, _i32, _i32p,
+                                  _i32p]
     lib.fq_render_dec.restype = ctypes.c_int64
     lib.fq_render_dec.argtypes = [_I64P, ctypes.c_int64, _U8P,
                                   ctypes.c_int64]
@@ -452,22 +453,33 @@ def train_prefix(seq_flat: np.ndarray, qual_flat: np.ndarray,
 def qctx_hist(qual: np.ndarray, lengths: np.ndarray, stride: int,
               qlut: np.ndarray, alphabet: int, k: int, cbase: int,
               drop_bits: int, pos_bits: int, drop_init: int,
-              hash_bits: int = 0):
-    """Rank-chain quality-context histogram (frozen-train candidate
-    scheme); returns (n_ctx, alphabet) int32 or None (numpy fallback)."""
+              hash_bits: int = 0, qlevel: int = 1,
+              n_ctx: int = 0, holdout: bool = False):
+    """Quality-context histogram (frozen-train candidate scheme): rank
+    chains (k >= 2) or the fqzcomp formula (k < 2, pass n_ctx + qlevel).
+    Returns (n_ctx, alphabet) int32, or with holdout=True the pair
+    (full_hist, odd_parity_half_hist) — the hash-parity holdout split
+    of frozen._select_qctx — or None (numpy fallback)."""
     lib = get_lib()
     if lib is None:
         return None
     qual = np.ascontiguousarray(qual, np.uint8)
     lengths = np.ascontiguousarray(lengths, np.int64)
     qlut = np.ascontiguousarray(qlut, np.uint8)
-    rows = (1 << hash_bits) if hash_bits else cbase ** k
-    n_ctx = rows << (drop_bits + pos_bits)
+    if not n_ctx:
+        rows = (1 << hash_bits) if hash_bits else cbase ** k
+        n_ctx = rows << (drop_bits + pos_bits)
     hist = np.zeros(n_ctx * alphabet, np.int32)
     _p = ctypes.POINTER(ctypes.c_int32)
-    lib.fq_qctx_hist2(_u8p(qual), _i64p(lengths), len(lengths), stride,
+    hist_b = np.zeros(n_ctx * alphabet, np.int32) if holdout else None
+    lib.fq_qctx_hist3(_u8p(qual), _i64p(lengths), len(lengths), stride,
                       _u8p(qlut), alphabet, k, cbase, drop_bits, pos_bits,
-                      hash_bits, drop_init, hist.ctypes.data_as(_p))
+                      hash_bits, drop_init, qlevel,
+                      hist.ctypes.data_as(_p),
+                      hist_b.ctypes.data_as(_p) if holdout else None)
+    if holdout:
+        return (hist.reshape(n_ctx, alphabet),
+                hist_b.reshape(n_ctx, alphabet))
     return hist.reshape(n_ctx, alphabet)
 
 

@@ -335,23 +335,36 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
             hold_mask = np.repeat(odd.astype(bool), lengths)
         return qsyms_cache, hold_mask
 
-    def model_hists(model, full_hist):
+    def native_pair(model):
+        """One native pass -> (full_hist, odd_half_hist), or None."""
+        if native_args is None:
+            return None
+        qraw, lens_full, stride, lut = native_args
+        return native.qctx_hist(
+            qraw, lens_full, stride, lut, model.alphabet, model.k,
+            model.ctx_base or 1, model.drop_bits, model.pos_bits,
+            model.drop_init, hash_bits=model.hash_bits,
+            qlevel=model.qlevel, n_ctx=model.n_ctx, holdout=True)
+
+    def model_hists(model, full_hist, hB=None):
         """(train_hist, eval_hist): full/full in-sample, A/B on holdout."""
         if not holdout:
             return full_hist, full_hist, 1.0
-        qs, mB = sampled()
-        ctx = qual_ctx_flat(model, qs, lengths)
-        n = model.n_ctx * model.alphabet
-        key = ctx * model.alphabet + qs
-        hB = np.bincount(key[mB], minlength=n)[:n].reshape(
-            model.n_ctx, model.alphabet)
-        if full_hist is not None:
-            # the host mirror and the native trainer walk identical
-            # contexts (cross-checked in tests); clip is belt-and-braces
-            hA = np.maximum(full_hist - hB, 0)
-        else:
-            hA = np.bincount(key[~mB], minlength=n)[:n].reshape(
+        if hB is None:
+            qs, mB = sampled()
+            ctx = qual_ctx_flat(model, qs, lengths)
+            n = model.n_ctx * model.alphabet
+            key = ctx * model.alphabet + qs
+            hB = np.bincount(key[mB], minlength=n)[:n].reshape(
                 model.n_ctx, model.alphabet)
+            if full_hist is None:
+                hA = np.bincount(key[~mB], minlength=n)[:n].reshape(
+                    model.n_ctx, model.alphabet)
+                nB = int(hB.sum())
+                return hA, hB, proj_syms / max(nB, 1)
+        # the host mirror and the native trainer walk identical
+        # contexts (cross-checked in tests); clip is belt-and-braces
+        hA = np.maximum(full_hist - hB, 0)
         nB = int(hB.sum())
         return hA, hB, proj_syms / max(nB, 1)
 
@@ -368,7 +381,9 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
     if not forced:
         bprobe = QualModel(alphabet=qmodel.alphabet, qlevel=p.qlevel,
                            drop_init=p.q_drop_init)
-        hA, hB, esc = model_hists(bprobe, np.asarray(qhist))
+        bpair = native_pair(bprobe) if holdout else None
+        hA, hB, esc = model_hists(bprobe, np.asarray(qhist),
+                                  bpair[1] if bpair is not None else None)
         for a in alphas:
             bm = QualModel(alphabet=qmodel.alphabet,
                            init=a[0] or p.qual_init,
@@ -385,12 +400,17 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
         if (not forced and probe.n_ctx * probe.alphabet > _BIG_TABLE
                 and proj_syms < _BIG_TABLE_MIN_SYMS):
             continue
-        chist = None
+        chist = chist_b = None
         if native_args is not None:
-            qraw, lens_full, stride, lut = native_args
-            chist = native.qctx_hist(qraw, lens_full, stride, lut,
-                                     probe.alphabet, k, base, db, pb,
-                                     probe.drop_init, hash_bits=hb)
+            if holdout:
+                pair = native_pair(probe)
+                if pair is not None:
+                    chist, chist_b = pair
+            else:
+                qraw, lens_full, stride, lut = native_args
+                chist = native.qctx_hist(qraw, lens_full, stride, lut,
+                                         probe.alphabet, k, base, db, pb,
+                                         probe.drop_init, hash_bits=hb)
         if chist is None:
             qs, _ = sampled()
             ctx = qual_ctx_flat(probe, qs, lengths)
@@ -398,7 +418,7 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
             chist = np.bincount(
                 ctx * probe.alphabet + qs.astype(np.int64),
                 minlength=n)[:n].reshape(probe.n_ctx, probe.alphabet)
-        hA, hB, esc = model_hists(probe, chist)
+        hA, hB, esc = model_hists(probe, chist, chist_b)
         for a in alphas:
             cand = QualModel(alphabet=qmodel.alphabet,
                              init=a[0] or p.qual_init,

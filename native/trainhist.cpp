@@ -353,3 +353,52 @@ int64_t fq_id_tokenize(const uint8_t* buf, const int64_t* offs, int64_t R,
 }
 
 }  // extern "C"
+
+#include "wavemodels.h"
+
+extern "C" {
+
+// Quality-context histogram v3: one pass emits BOTH the full stride-
+// sampled histogram and the odd-parity-half histogram used as the
+// holdout evaluation weights in frozen.py _select_qctx (parity =
+// ((kept_read_index * 2654435761) >> 16) & 1, matching the hash-parity
+// split in model_hists — kept_read_index counts sampled reads in input
+// order).  The model walk is the canonical fqwave::QualM mirror, so
+// this covers the fqzcomp-formula path (k < 2, qlevel 1..3) as well as
+// the rank chains, replacing the numpy qual_ctx_flat holdout pass that
+// dominated large-input training (~30 s per train at 64 M symbols).
+void fq_qctx_hist3(const uint8_t* qual, const int64_t* lengths,
+                   int64_t n_reads, int64_t stride, const uint8_t* qlut,
+                   int32_t alphabet, int32_t k, int32_t cbase,
+                   int32_t drop_bits, int32_t pos_bits, int32_t hash_bits,
+                   int32_t drop_init, int32_t qlevel,
+                   int32_t* hist, int32_t* histB) {
+    fqwave::QualM m;
+    m.k = k;
+    m.base = cbase;
+    m.hash_bits = hash_bits;
+    m.drop_bits = drop_bits;
+    m.pos_bits = pos_bits;
+    m.qlevel = qlevel;
+    m.drop_init = drop_init;
+    int64_t off = 0;
+    uint32_t kept = 0;
+    for (int64_t r = 0; r < n_reads; ++r) {
+        const int64_t len = lengths[r];
+        if (!fq_keep_read(r, stride)) { off += len; continue; }
+        const bool odd = ((kept * 2654435761u) >> 16) & 1u;
+        ++kept;
+        fqwave::QualM::State st;
+        m.reset(st);
+        for (int64_t i = 0; i < len; ++i) {
+            const int32_t sym = static_cast<int32_t>(qlut[qual[off + i]]);
+            const int64_t cell = m.ctx(st, i) * alphabet + sym;
+            ++hist[cell];
+            if (histB != nullptr && odd) ++histB[cell];
+            m.update(st, sym);
+        }
+        off += len;
+    }
+}
+
+}  // extern "C" (fq_qctx_hist3)

@@ -238,3 +238,50 @@ def test_train_frozen_numpy_fallback_path(tmp_path, monkeypatch):
            (p_np.qctx_k, p_np.qctx_base, p_np.qctx_drop_bits)
     assert np.array_equal(np.asarray(f_nat["qual_counts"]),
                           np.asarray(f_np["qual_counts"]))
+
+
+def test_native_holdout_pair_matches_host_mirror():
+    """fq_qctx_hist3's odd-parity half must equal the hash-parity
+    bincount over qual_ctx_flat for both rank chains and the fqzcomp
+    formula — the holdout split drives qctx selection, so a mismatch
+    would silently change archives."""
+    from fastqueeze_tpu.io import native
+    from fastqueeze_tpu.models.base import QualModel
+    from fastqueeze_tpu.pipeline.frozen import qual_ctx_flat
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(33)
+    lengths = rng.integers(1, 90, 120).astype(np.int64)
+    n = int(lengths.sum())
+    vals = np.array([35, 40, 52, 60], np.uint8)
+    raw = vals[rng.integers(0, len(vals), n)]
+    lut = np.zeros(256, np.uint8)
+    lut[vals] = np.arange(len(vals))
+    A = len(vals)
+    models = [QualModel(alphabet=A, qlevel=2, drop_init=5, k=3,
+                        ctx_base=A, drop_bits=3),
+              QualModel(alphabet=A, qlevel=2, drop_init=5, k=4,
+                        ctx_base=A, hash_bits=11),
+              QualModel(alphabet=A, qlevel=2, drop_init=5),     # formula
+              QualModel(alphabet=A, qlevel=3, drop_init=5)]
+    qs = lut[raw].astype(np.int32)
+    ridx = np.arange(len(lengths), dtype=np.uint32)
+    odd = ((ridx * np.uint32(2654435761)) >> np.uint32(16)) & 1
+    mB = np.repeat(odd.astype(bool), lengths)
+    for m in models:
+        out = native.qctx_hist(raw, lengths, 1, lut, A, m.k,
+                               m.ctx_base or 1, m.drop_bits, m.pos_bits,
+                               m.drop_init, hash_bits=m.hash_bits,
+                               qlevel=m.qlevel, n_ctx=m.n_ctx,
+                               holdout=True)
+        assert out is not None
+        full, half = out
+        ctx = qual_ctx_flat(m, qs, lengths)
+        nn = m.n_ctx * m.alphabet
+        key = ctx * m.alphabet + qs
+        ref_full = np.bincount(key, minlength=nn)[:nn].reshape(
+            m.n_ctx, m.alphabet)
+        ref_half = np.bincount(key[mB], minlength=nn)[:nn].reshape(
+            m.n_ctx, m.alphabet)
+        np.testing.assert_array_equal(full, ref_full)
+        np.testing.assert_array_equal(half, ref_half)
