@@ -467,7 +467,9 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
             dbg.add("sz_align", sum(len(x) for _, x in align_sections))
             dbg.add("raw_seq", nsym)
             dbg.add("raw_qual", nsym)
-            dbg.add("raw_id", sum(len(i) for i in block.ids))
+            cat = getattr(block.ids, "cat", None)   # LazyLines fast path:
+            dbg.add("raw_id", len(cat) if cat is not None   # don't force R
+                    else sum(len(i) for i in block.ids))    # bytes objects
         return out.getvalue()
 
     return finalize
@@ -726,8 +728,11 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
     else:
         plus = [b""] * R
 
-    raw_len = (int(lengths.sum()) * 2 + sum(len(i) for i in ids)
-               + sum(len(x) for x in plus) + 6 * R
+    def _tot(lines):
+        cat = getattr(lines, "cat", None)
+        return len(cat) if cat is not None else sum(len(x) for x in lines)
+
+    raw_len = (int(lengths.sum()) * 2 + _tot(ids) + _tot(plus) + 6 * R
                - (0 if meta["fnl"] else 1))
     return FastqBlock(n_reads=R, ids=ids, plus=plus, seq_flat=seq_flat,
                       qual_flat=qual_flat, lengths=lengths, raw_len=raw_len,

@@ -368,13 +368,12 @@ def _reconstruct_ids_vec(schema: IdBinSchema, n_reads: int,
             return NotImplemented
         prefix = prefix + w
     raw = out.tobytes()
-    bounds = np.cumsum(id_lens).tolist()
-    lo = 0
-    ids = []
-    for hi in bounds:
-        ids.append(raw[lo:hi])
-        lo = hi
-    return ids
+    # LazyLines: downstream (assemble_block, raw_len accounting, pipe-out)
+    # consumes the concatenated form; R small bytes objects materialize
+    # only if someone indexes
+    from fastqueeze_tpu.io.fastq import LazyLines
+    offs = np.concatenate(([0], np.cumsum(id_lens, dtype=np.int64)))
+    return LazyLines(raw, offs)
 
 
 def reconstruct_ids(schema: IdBinSchema, n_reads: int,
