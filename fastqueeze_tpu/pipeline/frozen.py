@@ -254,6 +254,16 @@ def _qctx_candidates(A: int):
     if k < 4 and A ** 4 < (1 << 31):            # deeper chain, hashed
         cands.append((4, 0, 0, 17))
         cands.append((4, 0, 0, 18))
+    # very deep hashed chains (k = 5, 6): the 2^18-row table only clears
+    # the _BIG_TABLE gate on >= 64M-symbol projections, where the
+    # hash-parity holdout scores them honestly; on highly redundant or
+    # low-diversity quality streams the deeper conditioning wins big
+    # (replicated 166 MB input: 7.93x -> 9.46x), and the cost model
+    # simply drops them elsewhere.  Native scoring (fq_qctx_hist3) makes
+    # each extra candidate ~1 s of train time at that scale.
+    if k >= 2:
+        cands.append((5, 0, 0, 18))
+        cands.append((6, 0, 0, 18))
     return list(dict.fromkeys(cands))
 
 

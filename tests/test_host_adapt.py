@@ -59,7 +59,11 @@ def test_qlevel3_and_deep_qctx_routes():
     nsym = int(lens.sum())
     syms = np.minimum(rng.poisson(4, nsym), 15).astype(np.uint8)
     for pp in (CodecParams(qlevel=3),
-               CodecParams(qctx_k=4, qctx_base=16, qctx_hash_bits=12)):
+               CodecParams(qctx_k=4, qctx_base=16, qctx_hash_bits=12),
+               # very deep hashed chain (the k=6 candidate scheme): the
+               # chain value overflows 32 bits — every backend must wrap
+               # mod 2^32 identically before the Knuth hash
+               CodecParams(qctx_k=6, qctx_base=16, qctx_hash_bits=14)):
         model = qual_model_for(pp, 16)
         if pp.qlevel > 2:
             # qlevel 3 keeps the fqzcomp formula with pos bits

@@ -69,6 +69,12 @@ def test_qual_hashed_chain_payload_identical():
                   drop_init=5, k=4, ctx_base=8, hash_bits=13, pos_bits=3)
     c0 = rng.integers(1, 30, (m.n_ctx, 8)).astype(np.int32)
     _check_equal(m, c0, q, counts)
+    # k=6 deep chain: the raw chain value exceeds 32 bits — jnp int32,
+    # numpy int64 and C int64 must wrap mod 2^32 identically pre-hash
+    m6 = QualModel(alphabet=8, init=1, inc=16, cap=8192, qlevel=2,
+                   drop_init=5, k=6, ctx_base=8, hash_bits=14)
+    c6 = rng.integers(1, 30, (m6.n_ctx, 8)).astype(np.int32)
+    _check_equal(m6, c6, q, counts)
 
 
 def test_empty_stream_payload_identical():

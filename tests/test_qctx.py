@@ -41,11 +41,14 @@ def test_qctx_candidates():
     assert c36[0] == (3, 0, 0, 0)
     assert (3, 0, 3, 0) in c36               # pos variant fits 2^19 rows
     assert (4, 0, 0, 17) in c36              # hashed deeper chain
-    assert all(k <= 4 for k, _, _, _ in c36)
+    # very deep hashed chains (scored only where the big-table gates /
+    # holdout allow them to win)
+    assert (5, 0, 0, 18) in c36 and (6, 0, 0, 18) in c36
+    assert all(k <= 6 for k, _, _, _ in c36)
     c50 = _qctx_candidates(50)               # 50^2 = 2500 rows
     assert c50[0] == (2, 3, 0, 0)
     c4 = _qctx_candidates(4)                 # 4^4 exact fits: no hashing
-    assert all(hb == 0 for _, _, _, hb in c4)
+    assert all(hb == 0 for k4, _, _, hb in c4 if k4 <= 4)
 
 
 def test_pack_counts_roundtrip():
