@@ -228,6 +228,8 @@ def _hist_counts(model, ctx: np.ndarray, syms: np.ndarray) -> np.ndarray:
 # requires at least _BIG_TABLE_MIN_SYMS projected symbols.
 _BIG_TABLE = 6 << 20            # u16 entries ~ 12 MB upload
 _BIG_TABLE_MIN_SYMS = 64 << 20
+_LADDER_DRY = 2                 # deep-candidate sweep stops after this
+                                # many consecutive non-improvements
 
 
 def _qctx_candidates(A: int):
@@ -254,16 +256,16 @@ def _qctx_candidates(A: int):
     if k < 4 and A ** 4 < (1 << 31):            # deeper chain, hashed
         cands.append((4, 0, 0, 17))
         cands.append((4, 0, 0, 18))
-    # very deep hashed chains (k = 5, 6): the 2^18-row table only clears
-    # the _BIG_TABLE gate on >= 64M-symbol projections, where the
-    # hash-parity holdout scores them honestly; on highly redundant or
-    # low-diversity quality streams the deeper conditioning wins big
-    # (replicated 166 MB input: 7.93x -> 9.46x), and the cost model
-    # simply drops them elsewhere.  Native scoring (fq_qctx_hist3) makes
-    # each extra candidate ~1 s of train time at that scale.
+    # very deep hashed chains (k = 5..8, up to 2^20 rows): they only
+    # clear the big-table gates on >= 64M-symbol (>= 128M for 2^20-row)
+    # projections, where the hash-parity holdout scores them honestly;
+    # on redundant or low-diversity quality streams the deeper
+    # conditioning wins big (166 MB scale input: 7.93x -> 11.7x) and
+    # the cost model simply drops them elsewhere.  The ladder is ordered
+    # shallow -> deep so _select_qctx's dry-stop bounds train time.
     if k >= 2:
-        cands.append((5, 0, 0, 18))
-        cands.append((6, 0, 0, 18))
+        cands += [(5, 0, 0, 18), (6, 0, 0, 18), (6, 0, 0, 20),
+                  (8, 0, 0, 20)]
     return list(dict.fromkeys(cands))
 
 
@@ -384,8 +386,16 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
             model.cap)
         ship = counts if ship_hist is train_hist else _narrow_np(
             _cap_rescale(model, np.array(ship_hist, np.int32)), model.cap)
+        if ship.size > _BIG_TABLE:
+            # zlib over a multi-hundred-MB table costs seconds; rows are
+            # hash-distributed, so every-8th-row compression extrapolates
+            # the blob size within ~1% — deterministic, and the margins
+            # between big candidates are stream-bits-dominated anyway
+            blob_len = 8 * len(_pack_counts(ship[::8], level=1)["blob"])
+        else:
+            blob_len = len(_pack_counts(ship, level=1)["blob"])
         return (_hist_nll_bits(counts, eval_hist) / 8.0 * eval_scale
-                + len(_pack_counts(ship, level=1)["blob"]), ship)
+                + blob_len, ship)
 
     best = None
     if not forced:
@@ -403,11 +413,25 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
                                  np.asarray(qhist))
             if best is None or cost < best[0]:
                 best = (cost, None, a, counts)
+    # Candidate ladder: the list is ordered shallow -> deep (and narrow ->
+    # wide hash for equal depth).  Deep candidates (the k >= 5 hashed
+    # chains) are scored with ONLY the best alpha found so far (their
+    # table-vs-stream tradeoff is dominated by the conditioning depth,
+    # not the pseudo-counts), and after `_LADDER_DRY` consecutive deep
+    # candidates fail to improve the running best, the rest are skipped —
+    # each deep score costs a full pass + cap-rescale + zlib over a
+    # multi-hundred-MB table pair, so an unbounded sweep would dominate
+    # train time.
+    dry = 0
     for (k, db, pb, hb) in cands:
+        deep = k >= 5
+        if deep and dry >= _LADDER_DRY:
+            continue
         probe = QualModel(alphabet=qmodel.alphabet, qlevel=p.qlevel,
                           drop_init=p.q_drop_init, k=k, ctx_base=base,
                           drop_bits=db, pos_bits=pb, hash_bits=hb)
-        if (not forced and probe.n_ctx * probe.alphabet > _BIG_TABLE
+        entries = probe.n_ctx * probe.alphabet
+        if (not forced and entries > _BIG_TABLE
                 and proj_syms < _BIG_TABLE_MIN_SYMS):
             continue
         chist = chist_b = None
@@ -429,7 +453,11 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
                 ctx * probe.alphabet + qs.astype(np.int64),
                 minlength=n)[:n].reshape(probe.n_ctx, probe.alphabet)
         hA, hB, esc = model_hists(probe, chist, chist_b)
-        for a in alphas:
+        cand_alphas = alphas
+        if deep and best is not None:
+            cand_alphas = [best[2]]
+        improved = False
+        for a in cand_alphas:
             cand = QualModel(alphabet=qmodel.alphabet,
                              init=a[0] or p.qual_init,
                              inc=a[1] or p.qual_inc, cap=p.qual_cap,
@@ -440,6 +468,9 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
                                  chist)
             if best is None or cost < best[0]:
                 best = (cost, (k, db, pb, hb), a, counts)
+                improved = True
+        if deep:
+            dry = 0 if improved else dry + 1
     _, scheme, alpha, counts = best
     if scheme is not None:
         p.qctx_k, p.qctx_base = scheme[0], base

@@ -44,7 +44,11 @@ def test_qctx_candidates():
     # very deep hashed chains (scored only where the big-table gates /
     # holdout allow them to win)
     assert (5, 0, 0, 18) in c36 and (6, 0, 0, 18) in c36
-    assert all(k <= 6 for k, _, _, _ in c36)
+    assert (8, 0, 0, 20) in c36              # ladder top
+    assert all(k <= 8 for k, _, _, _ in c36)
+    # ladder must be ordered shallow -> deep so the dry-stop works
+    deep = [k for k, _, _, _ in c36 if k >= 5]
+    assert deep == sorted(deep)
     c50 = _qctx_candidates(50)               # 50^2 = 2500 rows
     assert c50[0] == (2, 3, 0, 0)
     c4 = _qctx_candidates(4)                 # 4^4 exact fits: no hashing
