@@ -431,8 +431,14 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
                           drop_init=p.q_drop_init, k=k, ctx_base=base,
                           drop_bits=db, pos_bits=pb, hash_bits=hb)
         entries = probe.n_ctx * probe.alphabet
+        # admission: a dense table bigger than _BIG_TABLE entries can
+        # only pay for itself when the projected stream is of the same
+        # order as the table (its serialized size grows with entries
+        # while the achievable stream saving is bounded by ~1 bit/sym);
+        # below that, skip the multi-hundred-MB scoring pass outright.
+        # The exact cost model (NLL + blob bytes) arbitrates the rest.
         if (not forced and entries > _BIG_TABLE
-                and proj_syms < _BIG_TABLE_MIN_SYMS):
+                and proj_syms < entries // 2):
             continue
         chist = chist_b = None
         if native_args is not None:
