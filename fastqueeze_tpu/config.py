@@ -260,4 +260,61 @@ class CodecParams:
     def from_bytes(cls, raw: bytes) -> "CodecParams":
         d = json.loads(raw.decode())
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        p = cls(**{k: v for k, v in d.items() if k in known})
+        p.validate_untrusted()
+        return p
+
+    # Bounds for every parameter that sizes an allocation or drives a
+    # native loop.  An archive's PARAM section is untrusted input: a
+    # hostile qctx_hash_bits=40 would otherwise allocate a 2^40-row
+    # model table at decode time instead of failing cleanly.
+    _BOUNDS = {
+        "slevel": (0, 9),           # seq order = slevel + 7 <= 16 (u32 reg)
+        "qlevel": (1, 3),
+        "qmax": (0, 255),
+        "qctx_k": (0, 8),           # native QualM keeps 8 ranks
+        "qctx_base": (0, 256),
+        "qctx_drop_bits": (0, 8),
+        "qctx_pos_bits": (0, 8),
+        "qctx_hash_bits": (0, 24),
+        "qctx_init": (0, 1 << 14),
+        "qctx_inc": (0, 1 << 14),
+        "seq_init": (1, 1 << 14),
+        "seq_inc": (0, 1 << 14),
+        "seq_cap": (4, 1 << 14),    # quantization needs cap <= M = 2^14
+        "qual_init": (1, 1 << 14),
+        "qual_inc": (0, 1 << 14),
+        "qual_cap": (4, 1 << 14),
+        "q_drop_init": (0, 1 << 16),
+        "byte_init": (1, 1 << 14),
+        "byte_inc": (0, 1 << 14),
+        "byte_cap": (4, 1 << 14),
+        "seed_len": (4, 31),
+        "max_mis": (0, 255),
+        "max_insr": (0, 1 << 24),
+        "max_indel": (0, 255),
+        "align_max_len": (32, 1 << 20),
+        "lanes_min": (1, 1 << 16),
+        "lanes_max": (1, 1 << 16),
+        "lane_target_symbols": (1, 1 << 30),
+        "adapt_chunk": (0, 1 << 20),
+        "block_size_mb": (1, 1 << 12),
+        "ref_len": (0, (1 << 48)),
+    }
+
+    def validate_untrusted(self) -> None:
+        """Range-check parameters arriving from an archive (or any other
+        untrusted source); raises ValueError naming the bad field."""
+        for name, (lo, hi) in self._BOUNDS.items():
+            v = getattr(self, name)
+            if not isinstance(v, int) or isinstance(v, bool) \
+                    or not lo <= v <= hi:
+                raise ValueError(
+                    f"corrupt archive: parameter {name}={v!r} outside "
+                    f"[{lo}, {hi}]")
+        if self.qctx_k >= 2 and not 2 <= self.qctx_base <= 256:
+            raise ValueError(
+                "corrupt archive: qctx_base must be in [2, 256] when a "
+                "rank chain is selected")
+        if self.qual_nctx() > (1 << 28):
+            raise ValueError("corrupt archive: quality model too large")

@@ -94,3 +94,32 @@ def test_corrupt_frozen_archives_fail_cleanly(tmp_path):
             continue
         assert open(outs[0], "rb").read() == raw, \
             f"silent corruption (trial {trial}, mode {mode})"
+
+
+def test_hostile_param_values_rejected():
+    """PARAM is untrusted input: parameters that size model tables or
+    drive native loops must be range-checked at load, not allocated —
+    qctx_hash_bits=40 would otherwise try a 2^40-row table."""
+    import pytest
+    from fastqueeze_tpu.config import CodecParams
+    base = CodecParams().to_bytes()
+    import json
+    d = json.loads(base.decode())
+    for field, bad in (("qctx_hash_bits", 40), ("qctx_k", 60),
+                       ("slevel", 30), ("qlevel", 9),
+                       ("qual_cap", 1 << 30), ("seq_cap", 0),
+                       ("lanes_max", 1 << 30), ("qmax", 100000),
+                       ("align_max_len", 1 << 40),
+                       ("block_size_mb", -3),
+                       ("qctx_hash_bits", "40")):
+        bd = dict(d)
+        bd[field] = bad
+        with pytest.raises(ValueError):
+            CodecParams.from_bytes(json.dumps(bd).encode())
+    # a chain scheme with an absurd base must be rejected too
+    bd = dict(d)
+    bd.update(qctx_k=4, qctx_base=1)
+    with pytest.raises(ValueError):
+        CodecParams.from_bytes(json.dumps(bd).encode())
+    # round-trip of healthy params still loads
+    CodecParams.from_bytes(base)
