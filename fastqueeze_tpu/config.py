@@ -45,6 +45,15 @@ class CodecParams:
                                    # Does NOT shape the bitstream (payloads
                                    # are device-count invariant, like -t)
 
+    # --- duplicate-read tier (no reference equivalent): a read whose
+    #     sequence (or quality string) is byte-identical to an earlier
+    #     read in the same block is coded as a back-reference instead of
+    #     re-coding its symbols.  Real-world hook: PCR/optical duplicates
+    #     (identical sequence, usually different qualities) and replicated
+    #     inputs.  Per-block and deterministic, so -t/--mesh invariance
+    #     holds; costs one hash pass when the block has no duplicates. ---
+    dedup: int = 1
+
     # --- sequence model (reference: Slevel:3 → order = Slevel+7) ---
     slevel: int = 3                 # context order = slevel + 7 (2 bits/base)
     seq_init: int = 3               # per-symbol initial count
@@ -222,6 +231,7 @@ class CodecParams:
         "SeedExclBp": "seed_excl_bp",
         "SeedStride": "seed_stride",
         "Usemodel": "use_model",
+        "Dedup": "dedup",
         "Qctx": "qctx_auto",
         "ModelTrain(M)": "model_train_mb",
         "HostStreamMax": "host_stream_max",

@@ -55,6 +55,11 @@ TAG_APD = 21      # PE -I: zigzag insert deltas for flagged mate-2s
 TAG_ACIGF = 22    # mapped: has-indel flag (reference CigaL/CigaV parity)
 TAG_ACIGS = 23    # indel reads: split position s in the read
 TAG_ACIGL = 24    # indel reads: zigzag signed gap size g
+TAG_SDUPF = 25    # duplicate tier: per-read seq-duplicate flag
+TAG_SDUPD = 26    # seq-dup reads: back-distance (in reads) to the first
+                  #   identical earlier read
+TAG_QDUPF = 27    # duplicate tier: per-read qual-duplicate flag
+TAG_QDUPD = 28    # qual-dup reads: back-distance to the first identical
 
 _VAR_CHUNK = 256  # var byte streams are cut into pseudo-reads for lane ||ism
 
@@ -62,6 +67,128 @@ _BASE_MAP = np.full(256, 255, np.uint8)
 for _i, _c in enumerate(b"ACGT"):
     _BASE_MAP[_c] = _i
 _BASE_INV = np.frombuffer(b"ACGT", np.uint8)
+
+
+# --- duplicate-read tier (CodecParams.dedup) ---------------------------
+# A read byte-identical to an earlier read of the same block is coded as a
+# back-reference: flag + distance (in reads) to its FIRST identical earlier
+# occurrence.  Sequence and quality are deduplicated independently (PCR
+# duplicates share the sequence but not the qualities).  Sources are by
+# construction non-duplicates themselves, so decode restores every
+# duplicate with one vectorized gather after the unique reads are filled.
+
+_HASH_W: Dict[int, np.ndarray] = {}
+
+
+def _row_hash_weights(L: int) -> np.ndarray:
+    w = _HASH_W.get(L)
+    if w is None:
+        # deterministic per length (dup decisions must be identical across
+        # threads/devices/processes: -t N ≡ -t 1 payload invariance)
+        rng = np.random.default_rng(0x5EED5EED + L)
+        w = rng.integers(1, 1 << 63, size=L, dtype=np.uint64) | np.uint64(1)
+        _HASH_W[L] = w
+    return w
+
+
+def _dup_group(mat: np.ndarray, rows: np.ndarray, src: np.ndarray) -> bool:
+    """mat: (n, L) uint8 rows (same length); rows: their block read
+    indices (ascending).  Writes first-occurrence indices into src for
+    verified duplicates; returns True if any were found."""
+    n, L = mat.shape
+    h = (mat.astype(np.uint64) * _row_hash_weights(L)[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = hs[1:] != hs[:-1]
+    n_groups = int(new.sum())
+    if n_groups == n:
+        return False
+    gid = np.cumsum(new) - 1
+    first = np.full(n_groups, n, np.int64)
+    np.minimum.at(first, gid, order)
+    cand = np.empty(n, np.int64)
+    cand[order] = first[gid]
+    dup = cand < np.arange(n)
+    d = np.flatnonzero(dup)
+    if not len(d):
+        return False
+    # verify content equality (hash collisions: the colliding read simply
+    # stays unique — never a wrong back-reference)
+    eq = (mat[d] == mat[cand[d]]).all(axis=1)
+    d = d[eq]
+    if not len(d):
+        return False
+    src[rows[d]] = rows[cand[d]]
+    return True
+
+
+def _dup_sources(flat: np.ndarray, lengths: np.ndarray):
+    """Per-read index of the first identical earlier read (same length,
+    same bytes), or -1.  None when the block has no duplicates."""
+    R = len(lengths)
+    if R < 2:
+        return None
+    src = np.full(R, -1, np.int64)
+    offs = np.cumsum(lengths) - lengths
+    found = False
+    uls = np.unique(lengths)
+    for L in uls.tolist():
+        if L <= 0:
+            continue
+        if len(uls) == 1:
+            rows = np.arange(R)
+            mat = flat[:R * L].reshape(R, L)      # no gather: one length
+        else:
+            rows = np.flatnonzero(lengths == L)
+            if len(rows) < 2:
+                continue
+            idx = offs[rows][:, None] + np.arange(L, dtype=np.int64)[None, :]
+            mat = flat[idx]
+        if len(rows) >= 2 and _dup_group(mat, rows, src):
+            found = True
+    return src if found else None
+
+
+def dup_masks(block: FastqBlock):
+    """(seq_src, qual_src) duplicate back-references for a block, cached on
+    the block object (the driver precomputes them for training blocks)."""
+    cached = getattr(block, "_dup_masks", None)
+    if cached is None:
+        cached = (_dup_sources(block.seq_flat, block.lengths),
+                  _dup_sources(block.qual_flat, block.lengths))
+        block._dup_masks = cached
+    return cached
+
+
+def unique_qual_frac(block: FastqBlock, p: CodecParams) -> float:
+    """Fraction of quality symbols the duplicate tier will actually code,
+    measured on (at most) one block-sized slice of `block` — duplicate
+    back-references never cross block boundaries, so a multi-block
+    training prefix must not over-count its internal duplication.  Feeds
+    the frozen-training stream-size projection (qctx table admission)."""
+    if not p.dedup or block.n_reads < 2:
+        return 1.0
+    bs = p.block_bytes or p.block_size_mb * (1 << 20)
+    if block.raw_len and block.raw_len > bs:
+        nlim = max(2, int(block.n_reads * bs / block.raw_len))
+        lens = block.lengths[:nlim]
+        q = _dup_sources(block.qual_flat[:int(lens.sum())], lens)
+    else:
+        lens = block.lengths
+        _, q = dup_masks(block)
+    if q is None:
+        return 1.0
+    return int(lens[q < 0].sum()) / max(int(lens.sum()), 1)
+
+
+def _intra_of(lens: np.ndarray) -> np.ndarray:
+    """Per-symbol position-within-read for concatenated reads of lens."""
+    offs = np.cumsum(lens) - lens
+    return (np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(offs, lens))
 
 
 def _chunk_counts(n: int, chunk: int = _VAR_CHUNK) -> np.ndarray:
@@ -290,9 +417,27 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     lengths = block.lengths
     out = io.BytesIO()
 
+    # --- duplicate-read tier: seq/qual back-references to the first
+    #     identical earlier read in this block (CodecParams.dedup) ---
+    sdup = qdup = None
+    s_src = q_src = None
+    if p.dedup and R > 1:
+        s_src, q_src = dup_masks(block)
+    if s_src is not None:
+        sdup = s_src >= 0
+    if q_src is not None:
+        qdup = q_src >= 0
+    n_sd = int(sdup.sum()) if sdup is not None else 0
+    n_qd = int(qdup.sum()) if qdup is not None else 0
+    sdup_sym = np.repeat(sdup, lengths) if n_sd else None
+
     # --- degenerate (non-ACGT) bases (reference: NDege*/Dege* streams) ---
     codes = _BASE_MAP[block.seq_flat]
     dege_mask = codes == 255
+    if n_sd:
+        # a seq-dup read is restored by copying its source read wholesale;
+        # its degenerate bases must not double-code
+        dege_mask &= ~sdup_sym
     n_dege = int(dege_mask.sum())
     dege_cnt = np.zeros(R, np.int64)
     dege_pos = np.zeros(0, np.int64)       # in-read positions of dege bases
@@ -322,6 +467,10 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     qmax = max(len(qvals) - 1, 0)
 
     mapped = align.mapped if align is not None else np.zeros(R, bool)
+    if n_sd:
+        # dedup beats the aligned streams on cost (a back-distance vs
+        # pos+rev+mis streams); a read that is both stays a duplicate
+        mapped = mapped & ~sdup
     n_mapped = int(mapped.sum())
     const_len = int(lengths[0]) if R and (lengths == lengths[0]).all() else None
     meta = {
@@ -338,10 +487,19 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     #     are coded while the device crunches, then the jobs are finalized
     adapt = frozen is None or bool(p.frozen_adapt)
     mapped_sym = np.repeat(mapped, lengths)
-    seq_counts = (lengths - dege_cnt)[~mapped]
+    seq_keep = ~mapped & ~sdup if n_sd else ~mapped
+    seq_counts = (lengths - dege_cnt)[seq_keep]
     seq_model = seq_model_from_params(p)
     qmodel = qual_model_for(p, _qual_alphabet(qmax))
-    seq_syms = codes[~dege_mask & ~mapped_sym]
+    seq_sel = ~dege_mask & ~mapped_sym
+    if n_sd:
+        seq_sel &= ~sdup_sym
+    seq_syms = codes[seq_sel]
+    if n_qd:
+        qsyms = qsyms[np.repeat(~qdup, lengths)]
+        qlens = lengths[~qdup]
+    else:
+        qlens = lengths
     seq_job = qual_job = None
     if frozen is not None and not adapt:
         # host-native frozen coder (bit-identical bitstream; routing is an
@@ -358,7 +516,7 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
                                                  seq_counts, sc_cum)
             if route_q:
                 qual_job = host_frozen.encode_job(qmodel, p, qsyms,
-                                                  lengths, qc_cum)
+                                                  qlens, qc_cum)
     if (seq_job is None or qual_job is None) and adapt and frozen is None:
         # host-native adaptive coder (bit-identical bitstream; routing is
         # an execution choice — see ops/host_adapt.py)
@@ -367,7 +525,7 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
             seq_job = host_adapt.encode_job(seq_model, p, seq_syms,
                                             seq_counts)
         if qual_job is None and host_adapt.route(p, qmodel):
-            qual_job = host_adapt.encode_job(qmodel, p, qsyms, lengths)
+            qual_job = host_adapt.encode_job(qmodel, p, qsyms, qlens)
     if seq_job is None or qual_job is None:
         sc0 = qc0 = None
         if frozen is not None:
@@ -378,7 +536,7 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
             seq_job = encode_stream_job(seq_model, p, seq_syms, seq_counts,
                                         counts0=sc0, adapt=adapt)
         if qual_job is None:
-            qual_job = encode_stream_job(qmodel, p, qsyms, lengths,
+            qual_job = encode_stream_job(qmodel, p, qsyms, qlens,
                                          counts0=qc0, adapt=adapt)
 
     # --- lengths (reference: encode_len_short/encode_len_long, SURVEY.md
@@ -413,6 +571,21 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         else:
             plus_sections.append((TAG_PLUSRAW,
                                   _code_lines(p, block.plus, R)))
+
+    # --- duplicate-tier streams ---
+    dup_sections = []
+    if n_sd:
+        d = (np.arange(R, dtype=np.int64) - s_src)[sdup]
+        meta["nsd"] = n_sd
+        meta["sdb"] = _width_of(int(d.max()))
+        dup_sections += [(TAG_SDUPF, _code_flags(p, sdup)),
+                         (TAG_SDUPD, _code_le(p, d, meta["sdb"]))]
+    if n_qd:
+        d = (np.arange(R, dtype=np.int64) - q_src)[qdup]
+        meta["nqd"] = n_qd
+        meta["qdb"] = _width_of(int(d.max()))
+        dup_sections += [(TAG_QDUPF, _code_flags(p, qdup)),
+                         (TAG_QDUPD, _code_le(p, d, meta["qdb"]))]
 
     # --- degenerate streams ---
     dege_sections = []
@@ -450,8 +623,8 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         out.write(write_tlv(TAG_META, json.dumps(meta).encode()))
         if len_payload is not None:
             out.write(write_tlv(TAG_LEN, len_payload))
-        for tag, payload in (dege_sections + id_sections + plus_sections
-                             + align_sections):
+        for tag, payload in (dup_sections + dege_sections + id_sections
+                             + plus_sections + align_sections):
             out.write(write_tlv(tag, payload))
         out.write(write_tlv(TAG_SEQ, seq_payload))
         out.write(write_tlv(TAG_QUAL, qual_payload))
@@ -465,6 +638,9 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
             dbg.add("sz_plus", sum(len(x) for _, x in plus_sections))
             dbg.add("sz_dege", sum(len(x) for _, x in dege_sections))
             dbg.add("sz_align", sum(len(x) for _, x in align_sections))
+            dbg.add("sz_dup", sum(len(x) for _, x in dup_sections))
+            dbg.add("dup_seq_reads", n_sd)
+            dbg.add("dup_qual_reads", n_qd)
             dbg.add("raw_seq", nsym)
             dbg.add("raw_qual", nsym)
             cat = getattr(block.ids, "cat", None)   # LazyLines fast path:
@@ -640,10 +816,35 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
     if TAG_AMAP in sections:
         mapped = _decode_flags(p, sections[TAG_AMAP], R)
 
+    # --- duplicate-tier back-references ---
+    def _dup_refs(tag_f, tag_d, n_dup, width):
+        flags = _decode_flags(p, sections[tag_f], R)
+        rows = np.flatnonzero(flags)
+        if len(rows) != n_dup:
+            raise ValueError("corrupt block payload: dup flag count")
+        d = _decode_le(p, sections[tag_d], n_dup, width)
+        src = rows - d
+        if ((d <= 0).any() or (src < 0).any() or flags[src].any()
+                or (lengths[src] != lengths[rows]).any()):
+            raise ValueError("corrupt block payload: bad dup back-refs")
+        return flags, rows, src
+
+    n_sd = meta.get("nsd", 0)
+    n_qd = meta.get("nqd", 0)
+    sdup = np.zeros(R, bool)
+    if n_sd:
+        sdup, sd_rows, sd_src = _dup_refs(TAG_SDUPF, TAG_SDUPD, n_sd,
+                                          meta["sdb"])
+    qdup = np.zeros(R, bool)
+    if n_qd:
+        qdup, qd_rows, qd_src = _dup_refs(TAG_QDUPF, TAG_QDUPD, n_qd,
+                                          meta["qdb"])
+
     # --- dispatch device streams (seq + qual), then do host work ---
     adapt = frozen is None or bool(p.frozen_adapt)
     mapped_sym = np.repeat(mapped, lengths)
-    seq_counts = (lengths - dege_cnt)[~mapped]
+    seq_counts = (lengths - dege_cnt)[~mapped & ~sdup]
+    qlens = lengths[~qdup] if n_qd else lengths
     seq_model = seq_model_from_params(p)
     qmodel = qual_model_for(p, _qual_alphabet(qmax))
     seq_job = qual_job = None
@@ -660,7 +861,7 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
                     seq_model, p, sections[TAG_SEQ], seq_counts, sc_cum)
             if route_q:
                 qual_job = host_frozen.decode_job(
-                    qmodel, p, sections[TAG_QUAL], lengths, qc_cum)
+                    qmodel, p, sections[TAG_QUAL], qlens, qc_cum)
     if (seq_job is None or qual_job is None) and adapt and frozen is None:
         from fastqueeze_tpu.ops import host_adapt
         if seq_job is None and host_adapt.route(p, seq_model):
@@ -668,7 +869,7 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
                                             seq_counts)
         if qual_job is None and host_adapt.route(p, qmodel):
             qual_job = host_adapt.decode_job(qmodel, p, sections[TAG_QUAL],
-                                             lengths)
+                                             qlens)
     if seq_job is None or qual_job is None:
         sc0 = qc0 = None
         if frozen is not None:
@@ -681,7 +882,7 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
                 counts0=sc0, adapt=adapt)
         if qual_job is None:
             qual_job = decode_stream_job(qmodel, p, sections[TAG_QUAL],
-                                         lengths, counts0=qc0, adapt=adapt)
+                                         qlens, counts0=qc0, adapt=adapt)
 
     # --- sequence assembly (host) ---
     seq_flat = np.empty(int(lengths.sum()), np.uint8)
@@ -695,8 +896,17 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
         _decode_align_streams(p, sections, meta, mapped, lengths, read_off,
                               ref_codes, seq_flat)
         fill |= mapped_sym
+    if n_sd:
+        fill |= np.repeat(sdup, lengths)
     acgt = seq_job.finalize()
     seq_flat[~fill] = _BASE_INV[acgt]
+    if n_sd:
+        # duplicate reads: one vectorized copy from their (non-duplicate,
+        # already filled) first occurrences
+        lsd = lengths[sd_rows]
+        intra = _intra_of(lsd)
+        dst = np.repeat(read_off[sd_rows], lsd) + intra
+        seq_flat[dst] = seq_flat[np.repeat(read_off[sd_src], lsd) + intra]
 
     # --- quality (ranks -> phred values via the block's vocabulary) ---
     qsyms = qual_job.finalize()
@@ -704,9 +914,18 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
         qv_chars = np.asarray(meta["qv"], np.uint8) + 33
         # clamp: a corrupt stream can decode the alphabet's round-up
         # padding ranks — garbage bytes here get caught by the block MD5
-        qual_flat = qv_chars[np.minimum(qsyms, len(qv_chars) - 1)]
+        qvals_dec = qv_chars[np.minimum(qsyms, len(qv_chars) - 1)]
     else:
-        qual_flat = (qsyms.astype(np.uint8) + 33)
+        qvals_dec = (qsyms.astype(np.uint8) + 33)
+    if n_qd:
+        qual_flat = np.empty(len(seq_flat), np.uint8)
+        qual_flat[~np.repeat(qdup, lengths)] = qvals_dec
+        lqd = lengths[qd_rows]
+        intra = _intra_of(lqd)
+        dst = np.repeat(read_off[qd_rows], lqd) + intra
+        qual_flat[dst] = qual_flat[np.repeat(read_off[qd_src], lqd) + intra]
+    else:
+        qual_flat = qvals_dec
 
     # --- IDs ---
     if TAG_IDSCHEMA in sections:

@@ -51,6 +51,11 @@ def train_frozen_prefix(params: CodecParams, in_path: str,
         _, block = apply_lossy(params, block)
     syms = int(block.lengths.sum())
     est = int(_gate_bytes(in_path) * syms / max(block.raw_len, 1))
+    if params.dedup:
+        # the duplicate tier shrinks the coded qual stream; the qctx
+        # table-admission cost model must see the post-dedup projection
+        from fastqueeze_tpu.pipeline.blockcodec import unique_qual_frac
+        est = int(est * unique_qual_frac(block, params))
     frozen = train_frozen(params, block, est_total_syms=est)
     blob = serialize_frozen(frozen)
     # start the (~10 MB) table upload now, overlapping the first block's
@@ -102,9 +107,20 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             if got >= need:
                 break
         syms = sum(int(b.lengths.sum()) for _, _, b in prefix_items)
+        est = int(_gate_bytes(in_path) * syms / max(got, 1))
+        if params.dedup:
+            # post-dedup qual-stream projection for the qctx cost model;
+            # dup_masks() caches on each block, so the per-block encode
+            # below reuses this work instead of rehashing
+            from fastqueeze_tpu.pipeline.blockcodec import dup_masks
+            uq = 0
+            for _, _, b in prefix_items:
+                _, q_src = dup_masks(b)
+                uq += int(b.lengths.sum() if q_src is None
+                          else b.lengths[q_src < 0].sum())
+            est = int(est * uq / max(syms, 1))
         frozen = train_frozen_blocks(
-            params, [b for _, _, b in prefix_items],
-            est_total_syms=int(_gate_bytes(in_path) * syms / max(got, 1)))
+            params, [b for _, _, b in prefix_items], est_total_syms=est)
         writer.set_model(serialize_frozen(frozen))
         # start the (~10 MB) table upload now, overlapping the first
         # block's host work (transfers are async)
