@@ -117,10 +117,10 @@ def main() -> None:
         dt = d if dt is None else min(dt, d)
         # stop once a clearly-healthy sample is in hand (more passes only
         # chase noise), or when the time budget is gone.  The threshold
-        # tracks current capability (~0.71 s warm): the box's wall-clock
-        # varies +-60% between phases, so a stale threshold makes the
-        # early-stop accept a degraded-phase sample.
-        if (k >= 2 and dt < 0.80) or time.time() > budget:
+        # tracks current capability (~0.54 s warm since the duplicate
+        # tier): the box's wall-clock varies +-60% between phases, so a
+        # stale threshold makes the early-stop accept a degraded sample.
+        if (k >= 2 and dt < 0.60) or time.time() > budget:
             break
     reads_per_s = n_reads / dt
 
@@ -134,7 +134,7 @@ def main() -> None:
                           os.path.join(tmp, "back"), force=True, threads=1)
         d = time.time() - t0
         dec_dt = d if dec_dt is None else min(dec_dt, d)
-        if (k >= 2 and dec_dt < 0.75) or time.time() > budget:
+        if (k >= 2 and dec_dt < 0.70) or time.time() > budget:
             break
     with open(outs[0], "rb") as fh:
         ok = fh.read(1 << 20) == raw1[:1 << 20]
@@ -208,7 +208,7 @@ def _bench_aligned(tmp: str, raw1: bytes) -> dict:
                                     os.path.join(tmp, "al.fqz"))
         d = time.time() - t0
         dt = d if dt is None else min(dt, d)
-        if (k >= 1 and dt < 0.23) or time.time() > budget:
+        if (k >= 1 and dt < 0.27) or time.time() > budget:
             break
     out = {
         "reads_per_s": round(stats["reads"] / dt, 1),
@@ -230,7 +230,7 @@ def _bench_aligned(tmp: str, raw1: bytes) -> dict:
         sq = compress_se_aligned(pq, fa, src1, os.path.join(tmp, "q.fqz"))
         d = time.time() - t0
         dq = d if dq is None else min(dq, d)
-        if (k >= 1 and dq < 0.32) or time.time() > budget:
+        if (k >= 1 and dq < 0.35) or time.time() > budget:
             break
     out["q_mode"] = {"reads_per_s": round(sq["reads"] / dq, 1),
                      "mapped": sq["mapped"], "ratio": round(sq["ratio"], 3)}
