@@ -52,7 +52,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_qctx_hist3"):         # newest required symbol
+    if not hasattr(lib, "fq_dup_sources"):        # newest required symbol
         # stale .so from before a symbol was added (or before the
         # read-sampling rule, a C<->numpy contract, last changed):
         # rebuild and reload
@@ -62,8 +62,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_qctx_hist3"):
+        if not hasattr(lib, "fq_dup_sources"):
             return None
+    lib.fq_dup_sources.restype = ctypes.c_int64
+    lib.fq_dup_sources.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64,
+                                   _I64P]
     lib.fq_record_boundary.restype = ctypes.c_int64
     lib.fq_record_boundary.argtypes = [_U8P, ctypes.c_int64]
     lib.fq_parse_block.restype = ctypes.c_int64
@@ -195,6 +198,24 @@ def _u8p(a: np.ndarray):
 
 def _i64p(a: np.ndarray):
     return a.ctypes.data_as(_I64P)
+
+
+def dup_sources(flat: np.ndarray, lens: np.ndarray):
+    """(src, n_found) for the duplicate tier, or None when native is
+    unavailable (caller falls back to the numpy mirror; bit-identical —
+    cross-checked in tests/test_dedup.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(flat, np.uint8)
+    ln = np.ascontiguousarray(lens, np.int64)
+    R = len(ln)
+    offs = np.zeros(R, np.int64)
+    if R > 1:
+        np.cumsum(ln[:-1], out=offs[1:])
+    src = np.empty(R, np.int64)
+    n = lib.fq_dup_sources(_u8p(f), _i64p(offs), _i64p(ln), R, _i64p(src))
+    return src, int(n)
 
 
 def record_boundary(data: bytes) -> Optional[int]:

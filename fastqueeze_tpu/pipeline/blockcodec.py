@@ -77,18 +77,22 @@ _BASE_INV = np.frombuffer(b"ACGT", np.uint8)
 # construction non-duplicates themselves, so decode restores every
 # duplicate with one vectorized gather after the unique reads are filled.
 
-_HASH_W: Dict[int, np.ndarray] = {}
+_HASH_W = np.zeros(0, np.uint64)
 
 
 def _row_hash_weights(L: int) -> np.ndarray:
-    w = _HASH_W.get(L)
-    if w is None:
-        # deterministic per length (dup decisions must be identical across
-        # threads/devices/processes: -t N ≡ -t 1 payload invariance)
-        rng = np.random.default_rng(0x5EED5EED + L)
-        w = rng.integers(1, 1 << 63, size=L, dtype=np.uint64) | np.uint64(1)
-        _HASH_W[L] = w
-    return w
+    """Per-byte-position u64 weights: splitmix64(i + 1) | 1.  A pure
+    function of the position, identical in numpy and native/duphash.cpp
+    (dup decisions must match across backends/threads/processes:
+    -t N ≡ -t 1 payload invariance and the native/numpy twin invariant)."""
+    global _HASH_W
+    if len(_HASH_W) < L:
+        i = np.arange(1, L + 1, dtype=np.uint64)
+        z = i * np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        _HASH_W = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+    return _HASH_W[:L]
 
 
 def _dup_group(mat: np.ndarray, rows: np.ndarray, src: np.ndarray) -> bool:
@@ -127,10 +131,22 @@ def _dup_group(mat: np.ndarray, rows: np.ndarray, src: np.ndarray) -> bool:
 
 def _dup_sources(flat: np.ndarray, lengths: np.ndarray):
     """Per-read index of the first identical earlier read (same length,
-    same bytes), or -1.  None when the block has no duplicates."""
+    same bytes), or -1.  None when the block has no duplicates.  Native
+    one-pass (native/duphash.cpp) with this numpy mirror as fallback —
+    bit-identical results (same weights, grouping, and verify rule)."""
     R = len(lengths)
     if R < 2:
         return None
+    from fastqueeze_tpu.io import native
+    out = native.dup_sources(flat, lengths)
+    if out is not None:
+        src, n_found = out
+        return src if n_found else None
+    return _dup_sources_np(flat, lengths)
+
+
+def _dup_sources_np(flat: np.ndarray, lengths: np.ndarray):
+    R = len(lengths)
     src = np.full(R, -1, np.int64)
     offs = np.cumsum(lengths) - lengths
     found = False

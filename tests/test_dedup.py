@@ -66,6 +66,31 @@ def test_dup_masks_cached_on_block(tmp_path):
     assert q_src is None
 
 
+def test_dup_sources_native_numpy_twin():
+    # the native one-pass (duphash.cpp) must agree with the numpy mirror
+    # exactly, including first-occurrence choice on every group
+    from fastqueeze_tpu.io import native
+    from fastqueeze_tpu.pipeline.blockcodec import _dup_sources_np
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        R = int(rng.integers(5, 400))
+        lens = rng.integers(1, 40, R).astype(np.int64)
+        if trial % 2:
+            lens[:] = lens[0]                   # constant-length fast path
+        pool = rng.integers(0, 4, size=(8, 64)).astype(np.uint8)
+        flat = np.concatenate([
+            pool[rng.integers(0, 8), :L] for L in lens])
+        src_c, n_c = native.dup_sources(flat, lens)
+        src_py = _dup_sources_np(flat, lens)
+        if src_py is None:
+            assert n_c == 0
+        else:
+            assert n_c == int((src_py >= 0).sum())
+            assert np.array_equal(src_c, src_py)
+
+
 # --- end-to-end -----------------------------------------------------------
 
 def _roundtrip(tmp_path, raw, **kw):
