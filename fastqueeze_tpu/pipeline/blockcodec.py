@@ -207,6 +207,24 @@ def _intra_of(lens: np.ndarray) -> np.ndarray:
             - np.repeat(offs, lens))
 
 
+def _copy_read_ranges(arr: np.ndarray, src_off: np.ndarray,
+                      dst_off: np.ndarray, lens: np.ndarray) -> None:
+    """arr[dst_off[i]:+lens[i]] = arr[src_off[i]:+lens[i]] for all i —
+    the duplicate-restore copy.  Native gather+scatter when available
+    (the numpy fallback pays two big index vectors)."""
+    total = int(lens.sum())
+    if total == 0:
+        return
+    from fastqueeze_tpu.io import native
+    g = native.gather(arr, src_off, src_off + lens, total)
+    if g is not None:
+        native.scatter(g, dst_off, lens, arr)
+        return
+    intra = _intra_of(lens)
+    arr[np.repeat(dst_off, lens) + intra] = \
+        arr[np.repeat(src_off, lens) + intra]
+
+
 def _chunk_counts(n: int, chunk: int = _VAR_CHUNK) -> np.ndarray:
     if n == 0:
         return np.zeros(0, np.int64)
@@ -502,12 +520,13 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     # --- dispatch the big device streams first (seq + qual); host streams
     #     are coded while the device crunches, then the jobs are finalized
     adapt = frozen is None or bool(p.frozen_adapt)
-    mapped_sym = np.repeat(mapped, lengths)
     seq_keep = ~mapped & ~sdup if n_sd else ~mapped
     seq_counts = (lengths - dege_cnt)[seq_keep]
     seq_model = seq_model_from_params(p)
     qmodel = qual_model_for(p, _qual_alphabet(qmax))
-    seq_sel = ~dege_mask & ~mapped_sym
+    seq_sel = ~dege_mask
+    if n_mapped:
+        seq_sel &= ~np.repeat(mapped, lengths)
     if n_sd:
         seq_sel &= ~sdup_sym
     seq_syms = codes[seq_sel]
@@ -858,7 +877,6 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
 
     # --- dispatch device streams (seq + qual), then do host work ---
     adapt = frozen is None or bool(p.frozen_adapt)
-    mapped_sym = np.repeat(mapped, lengths)
     seq_counts = (lengths - dege_cnt)[~mapped & ~sdup]
     qlens = lengths[~qdup] if n_qd else lengths
     seq_model = seq_model_from_params(p)
@@ -911,18 +929,16 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
     if n_mapped:
         _decode_align_streams(p, sections, meta, mapped, lengths, read_off,
                               ref_codes, seq_flat)
-        fill |= mapped_sym
+        fill |= np.repeat(mapped, lengths)
     if n_sd:
         fill |= np.repeat(sdup, lengths)
     acgt = seq_job.finalize()
     seq_flat[~fill] = _BASE_INV[acgt]
     if n_sd:
-        # duplicate reads: one vectorized copy from their (non-duplicate,
+        # duplicate reads: one range copy from their (non-duplicate,
         # already filled) first occurrences
-        lsd = lengths[sd_rows]
-        intra = _intra_of(lsd)
-        dst = np.repeat(read_off[sd_rows], lsd) + intra
-        seq_flat[dst] = seq_flat[np.repeat(read_off[sd_src], lsd) + intra]
+        _copy_read_ranges(seq_flat, read_off[sd_src], read_off[sd_rows],
+                          lengths[sd_rows])
 
     # --- quality (ranks -> phred values via the block's vocabulary) ---
     qsyms = qual_job.finalize()
@@ -934,12 +950,14 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
     else:
         qvals_dec = (qsyms.astype(np.uint8) + 33)
     if n_qd:
+        from fastqueeze_tpu.io import native
         qual_flat = np.empty(len(seq_flat), np.uint8)
-        qual_flat[~np.repeat(qdup, lengths)] = qvals_dec
-        lqd = lengths[qd_rows]
-        intra = _intra_of(lqd)
-        dst = np.repeat(read_off[qd_rows], lqd) + intra
-        qual_flat[dst] = qual_flat[np.repeat(read_off[qd_src], lqd) + intra]
+        # unique reads' quals land at their read offsets (contiguous per
+        # read), then duplicates copy from their first occurrences
+        if not native.scatter(qvals_dec, read_off[~qdup], qlens, qual_flat):
+            qual_flat[~np.repeat(qdup, lengths)] = qvals_dec
+        _copy_read_ranges(qual_flat, read_off[qd_src], read_off[qd_rows],
+                          lengths[qd_rows])
     else:
         qual_flat = qvals_dec
 
