@@ -134,7 +134,7 @@ def main() -> None:
                           os.path.join(tmp, "back"), force=True, threads=1)
         d = time.time() - t0
         dec_dt = d if dec_dt is None else min(dec_dt, d)
-        if (k >= 2 and dec_dt < 0.70) or time.time() > budget:
+        if (k >= 2 and dec_dt < 0.40) or time.time() > budget:
             break
     with open(outs[0], "rb") as fh:
         ok = fh.read(1 << 20) == raw1[:1 << 20]
