@@ -39,9 +39,51 @@ def _read_codes(block: FastqBlock) -> Tuple[np.ndarray, np.ndarray]:
     return np.where(dege, 0, codes).astype(np.uint8), dege
 
 
-def align_block(aligner: Aligner, block: FastqBlock) -> AlignResult:
+def align_block(aligner: Aligner, block: FastqBlock,
+                dup_src: Optional[np.ndarray] = None) -> AlignResult:
+    """Align a block's reads.  With dup_src (the duplicate tier's
+    first-occurrence back-references), only unique reads run the aligner;
+    each duplicate inherits its source's result.  The aligner is
+    content-deterministic per read, so this IS what aligning the
+    duplicates would produce — archives are byte-identical — but on
+    repeat-heavy data (the bundled telomeric pair is 52% exact seq
+    duplicates) it halves the aligner's work.  encode_block's dedup
+    masking then keeps duplicates out of the alignment streams anyway."""
     codes, dege = _read_codes(block)
-    return aligner.align(codes, dege, block.lengths)
+    if dup_src is None:
+        return aligner.align(codes, dege, block.lengths)
+    sdup = dup_src >= 0
+    keep = ~sdup
+    sym_keep = np.repeat(keep, block.lengths)
+    sub = aligner.align(codes[sym_keep], dege[sym_keep],
+                        block.lengths[keep])
+    R = block.n_reads
+    lp = sub.mis_mask.shape[1]
+    mapped = np.zeros(R, bool)
+    pos = np.zeros(R, np.int64)
+    rev = np.zeros(R, bool)
+    mm = np.zeros((R, lp), bool)
+    gp = gl = None
+    rows = np.flatnonzero(keep)
+    mapped[rows] = sub.mapped
+    pos[rows] = sub.pos
+    rev[rows] = sub.is_rev
+    mm[rows] = sub.mis_mask
+    if sub.gap_pos is not None:
+        gp = np.zeros(R, np.int32)
+        gl = np.zeros(R, np.int32)
+        gp[rows] = sub.gap_pos
+        gl[rows] = sub.gap_len
+    d = np.flatnonzero(sdup)
+    src = dup_src[d]                 # first occurrences: always in `rows`
+    mapped[d] = mapped[src]
+    pos[d] = pos[src]
+    rev[d] = rev[src]
+    mm[d] = mm[src]
+    if gp is not None:
+        gp[d] = gp[src]
+        gl[d] = gl[src]
+    return AlignResult(mapped, pos, rev, mm, gp, gl)
 
 
 def _maybe_align(p: CodecParams, aligner: Aligner, block: FastqBlock,
@@ -50,7 +92,11 @@ def _maybe_align(p: CodecParams, aligner: Aligner, block: FastqBlock,
     mapping ratio is under min_map_ratio is coded entropy-only (the
     reference's per-block Align/Fqz decision)."""
     t0 = time.time()
-    res = align_block(aligner, block)
+    dup_src = None
+    if p.dedup and block.n_reads > 1:
+        from fastqueeze_tpu.pipeline.blockcodec import dup_masks
+        dup_src, _ = dup_masks(block)
+    res = align_block(aligner, block, dup_src)
     dbg.add("align_s", time.time() - t0)
     n_mapped = int(res.mapped.sum())
     if block.n_reads and n_mapped / block.n_reads < p.min_map_ratio:
