@@ -179,25 +179,43 @@ def dup_masks(block: FastqBlock):
     return cached
 
 
-def unique_qual_frac(block: FastqBlock, p: CodecParams) -> float:
-    """Fraction of quality symbols the duplicate tier will actually code,
-    measured on (at most) one block-sized slice of `block` — duplicate
-    back-references never cross block boundaries, so a multi-block
-    training prefix must not over-count its internal duplication.  Feeds
-    the frozen-training stream-size projection (qctx table admission)."""
-    if not p.dedup or block.n_reads < 2:
-        return 1.0
+def dedup_training_block(block: FastqBlock, p: CodecParams):
+    """(training_block, kept_sym_fraction): `block` with qual-duplicate
+    reads removed, chunked at block size — the duplicate tier codes each
+    block independently, so a multi-block training prefix must dedup per
+    block-sized chunk, not across the whole prefix.  Feeding the trainer
+    the deduped sample keeps the qctx cost model honest: the in-sample
+    projection (proj = max(est, sample)) otherwise counts duplicate
+    symbols the coder will never emit and over-buys big tables."""
+    R = block.n_reads
+    if not p.dedup or R < 2:
+        return block, 1.0
     bs = p.block_bytes or p.block_size_mb * (1 << 20)
     if block.raw_len and block.raw_len > bs:
-        nlim = max(2, int(block.n_reads * bs / block.raw_len))
-        lens = block.lengths[:nlim]
-        q = _dup_sources(block.qual_flat[:int(lens.sum())], lens)
+        n_chunk = max(2, int(R * bs / block.raw_len))
+        keep = np.ones(R, bool)
+        offs = np.cumsum(block.lengths) - block.lengths
+        for s in range(0, R, n_chunk):
+            e = min(s + n_chunk, R)
+            lo = int(offs[s])
+            hi = int(offs[e - 1] + block.lengths[e - 1])
+            q = _dup_sources(block.qual_flat[lo:hi], block.lengths[s:e])
+            if q is not None:
+                keep[s:e] = q < 0
     else:
-        lens = block.lengths
-        _, q = dup_masks(block)
-    if q is None:
-        return 1.0
-    return int(lens[q < 0].sum()) / max(int(lens.sum()), 1)
+        _, q = dup_masks(block)      # real block: reuse the cached masks
+        if q is None:
+            return block, 1.0
+        keep = q < 0
+    if keep.all():
+        return block, 1.0
+    sym = np.repeat(keep, block.lengths)
+    tb = FastqBlock(
+        n_reads=int(keep.sum()), ids=[], plus=[],
+        seq_flat=block.seq_flat[sym], qual_flat=block.qual_flat[sym],
+        lengths=block.lengths[keep], raw_len=0, final_newline=True)
+    frac = int(tb.lengths.sum()) / max(int(block.lengths.sum()), 1)
+    return tb, frac
 
 
 def _intra_of(lens: np.ndarray) -> np.ndarray:
@@ -608,19 +626,37 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
                                   _code_lines(p, block.plus, R)))
 
     # --- duplicate-tier streams ---
+    def _dup_dist(d):
+        """Distance payload: absolute or consecutive-delta (zigzag),
+        whichever codes smaller — replicated inputs give near-constant
+        distances whose deltas are ~all zero."""
+        w_abs = _width_of(int(d.max()))
+        pay_abs = _code_le(p, d, w_abs)
+        dd = np.diff(d, prepend=0)
+        zz = np.where(dd >= 0, 2 * dd, -2 * dd - 1)
+        w_dl = _width_of(int(zz.max()))
+        pay_dl = _code_le(p, zz, w_dl)
+        if len(pay_dl) < len(pay_abs):
+            return pay_dl, w_dl, 1
+        return pay_abs, w_abs, 0
+
     dup_sections = []
     if n_sd:
-        d = (np.arange(R, dtype=np.int64) - s_src)[sdup]
+        pay, w, dl = _dup_dist((np.arange(R, dtype=np.int64) - s_src)[sdup])
         meta["nsd"] = n_sd
-        meta["sdb"] = _width_of(int(d.max()))
+        meta["sdb"] = w
+        if dl:
+            meta["sdd"] = 1
         dup_sections += [(TAG_SDUPF, _code_flags(p, sdup)),
-                         (TAG_SDUPD, _code_le(p, d, meta["sdb"]))]
+                         (TAG_SDUPD, pay)]
     if n_qd:
-        d = (np.arange(R, dtype=np.int64) - q_src)[qdup]
+        pay, w, dl = _dup_dist((np.arange(R, dtype=np.int64) - q_src)[qdup])
         meta["nqd"] = n_qd
-        meta["qdb"] = _width_of(int(d.max()))
+        meta["qdb"] = w
+        if dl:
+            meta["qdd"] = 1
         dup_sections += [(TAG_QDUPF, _code_flags(p, qdup)),
-                         (TAG_QDUPD, _code_le(p, d, meta["qdb"]))]
+                         (TAG_QDUPD, pay)]
 
     # --- degenerate streams ---
     dege_sections = []
@@ -852,12 +888,15 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
         mapped = _decode_flags(p, sections[TAG_AMAP], R)
 
     # --- duplicate-tier back-references ---
-    def _dup_refs(tag_f, tag_d, n_dup, width):
+    def _dup_refs(tag_f, tag_d, n_dup, width, delta):
         flags = _decode_flags(p, sections[tag_f], R)
         rows = np.flatnonzero(flags)
         if len(rows) != n_dup:
             raise ValueError("corrupt block payload: dup flag count")
         d = _decode_le(p, sections[tag_d], n_dup, width)
+        if delta:
+            dd = np.where(d % 2 == 0, d // 2, -((d + 1) // 2))
+            d = np.cumsum(dd)
         src = rows - d
         if ((d <= 0).any() or (src < 0).any() or flags[src].any()
                 or (lengths[src] != lengths[rows]).any()):
@@ -869,11 +908,11 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
     sdup = np.zeros(R, bool)
     if n_sd:
         sdup, sd_rows, sd_src = _dup_refs(TAG_SDUPF, TAG_SDUPD, n_sd,
-                                          meta["sdb"])
+                                          meta["sdb"], meta.get("sdd", 0))
     qdup = np.zeros(R, bool)
     if n_qd:
         qdup, qd_rows, qd_src = _dup_refs(TAG_QDUPF, TAG_QDUPD, n_qd,
-                                          meta["qdb"])
+                                          meta["qdb"], meta.get("qdd", 0))
 
     # --- dispatch device streams (seq + qual), then do host work ---
     adapt = frozen is None or bool(p.frozen_adapt)

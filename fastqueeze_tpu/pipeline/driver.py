@@ -52,10 +52,11 @@ def train_frozen_prefix(params: CodecParams, in_path: str,
     syms = int(block.lengths.sum())
     est = int(_gate_bytes(in_path) * syms / max(block.raw_len, 1))
     if params.dedup:
-        # the duplicate tier shrinks the coded qual stream; the qctx
-        # table-admission cost model must see the post-dedup projection
-        from fastqueeze_tpu.pipeline.blockcodec import unique_qual_frac
-        est = int(est * unique_qual_frac(block, params))
+        # the duplicate tier shrinks the coded qual stream; train on the
+        # deduped sample so the qctx cost model prices tables honestly
+        from fastqueeze_tpu.pipeline.blockcodec import dedup_training_block
+        block, frac = dedup_training_block(block, params)
+        est = int(est * frac)
     frozen = train_frozen(params, block, est_total_syms=est)
     blob = serialize_frozen(frozen)
     # start the (~10 MB) table upload now, overlapping the first block's
@@ -108,19 +109,19 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
                 break
         syms = sum(int(b.lengths.sum()) for _, _, b in prefix_items)
         est = int(_gate_bytes(in_path) * syms / max(got, 1))
+        tblocks = [b for _, _, b in prefix_items]
         if params.dedup:
-            # post-dedup qual-stream projection for the qctx cost model;
+            # train on the deduped sample (what the coder will actually
+            # emit) so the qctx cost model prices tables honestly;
             # dup_masks() caches on each block, so the per-block encode
             # below reuses this work instead of rehashing
-            from fastqueeze_tpu.pipeline.blockcodec import dup_masks
-            uq = 0
-            for _, _, b in prefix_items:
-                _, q_src = dup_masks(b)
-                uq += int(b.lengths.sum() if q_src is None
-                          else b.lengths[q_src < 0].sum())
+            from fastqueeze_tpu.pipeline.blockcodec import (
+                dedup_training_block)
+            tblocks = [dedup_training_block(b, params)[0]
+                       for b in tblocks]
+            uq = sum(int(tb.lengths.sum()) for tb in tblocks)
             est = int(est * uq / max(syms, 1))
-        frozen = train_frozen_blocks(
-            params, [b for _, _, b in prefix_items], est_total_syms=est)
+        frozen = train_frozen_blocks(params, tblocks, est_total_syms=est)
         writer.set_model(serialize_frozen(frozen))
         # start the (~10 MB) table upload now, overlapping the first
         # block's host work (transfers are async)

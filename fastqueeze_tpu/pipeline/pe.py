@@ -251,8 +251,9 @@ def train_frozen_pe_prefix(p: CodecParams, in1: str, in2: str):
     est = (int(total * prefix_syms / max(b1.raw_len + b2.raw_len, 1))
            if (b1.raw_len and b2.raw_len) else prefix_syms)
     if p.dedup:
-        from fastqueeze_tpu.pipeline.blockcodec import unique_qual_frac
-        est = int(est * unique_qual_frac(merged, p))
+        from fastqueeze_tpu.pipeline.blockcodec import dedup_training_block
+        merged, frac = dedup_training_block(merged, p)
+        est = int(est * frac)
     frozen = train_frozen(p, merged, est_total_syms=est)
     return frozen, serialize_frozen(frozen)
 
