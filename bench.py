@@ -48,6 +48,7 @@ def main() -> None:
     cpu_mode = "--cpu" in sys.argv
     backend = "tpu"
     if cpu_mode:
+        backend = "cpu-validation"
         os.environ["FASTQUEEZE_NO_COMPILE_CACHE"] = "1"   # host-ISA AOT
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -235,6 +236,11 @@ def _bench_aligned(tmp: str, raw1: bytes) -> dict:
     out["q_mode"] = {"reads_per_s": round(sq["reads"] / dq, 1),
                      "mapped": sq["mapped"], "ratio": round(sq["ratio"], 3)}
 
+    # --- self-referential alignment (-S, no reference equivalent):
+    # synthetic 20x-coverage reads, where the block's own unmapped reads
+    # act as the reference (decode rebuilds it from the seq stream) ---
+    out["self_ref"] = _bench_selfref(tmp)
+
     # --- PE aligned (reference PE+HASH ratio 5.53x, 12,607/20k mapped) ---
     from fastqueeze_tpu.pipeline.aligned import compress_pe_aligned
     r2 = TEST_FQ.replace("_1.fq", "_2.fq")
@@ -254,6 +260,41 @@ def _bench_aligned(tmp: str, raw1: bytes) -> dict:
                              "mapped": sp["mapped"],
                              "ratio": round(sp["ratio"], 3)}
     return out
+
+
+def _bench_selfref(tmp: str) -> dict:
+    import time
+
+    import numpy as np
+
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.pipeline.driver import compress_se
+    rng = np.random.default_rng(42)
+    genome = rng.integers(0, 4, 60000).astype(np.uint8)
+    BASES = np.frombuffer(b"ACGT", np.uint8)
+    recs = []
+    for i in range(12000):
+        pos = int(rng.integers(0, 60000 - 100))
+        r = genome[pos:pos + 100].copy()
+        e = rng.random(100) < 0.005
+        r[e] = (r[e] + rng.integers(1, 4, int(e.sum()))) % 4
+        if rng.random() < 0.5:
+            r = 3 - r[::-1]
+        q = (rng.integers(30, 41, 100).astype(np.uint8) + 33).tobytes()
+        recs.append(b"@r.%d\n" % i + BASES[r].tobytes() + b"\n+\n" + q
+                    + b"\n")
+    src = os.path.join(tmp, "cov.fq")
+    with open(src, "wb") as fh:
+        fh.write(b"".join(recs))
+    s0 = compress_se(CodecParams(block_size_mb=8, threads=1), src,
+                     os.path.join(tmp, "cov0.fqz"))
+    p = CodecParams(block_size_mb=8, threads=1, self_align=1)
+    t0 = time.time()
+    s1 = compress_se(p, src, os.path.join(tmp, "covS.fqz"))
+    dt = time.time() - t0
+    return {"ratio": round(s1["ratio"], 3),
+            "plain_ratio": round(s0["ratio"], 3),
+            "reads_per_s": round(12000 / dt, 1)}
 
 
 if __name__ == "__main__":

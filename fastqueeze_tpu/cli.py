@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-q", dest="bwa", action="store_true",
                     help="long-seed aligner backend (wide 44-bit seeds, "
                     "higher specificity — the BWA-SMEM mode analogue)")
+    ap.add_argument("-S", dest="self_align", action="store_true",
+                    help="self-referential alignment: code each block's "
+                    "reads against its own unique unmapped reads (no FASTA "
+                    "needed on either side; wins on high-coverage / "
+                    "near-duplicate data)")
     ap.add_argument("-X", dest="extract", metavar="START:COUNT",
                     help="random-access decode: only reads (PE: pairs) "
                     "[START, START+COUNT) — touches just the covering "
@@ -185,6 +190,11 @@ def main(argv=None) -> int:
                     p.max_indel = 3    # -q: indel-capable (BWA-path parity)
             if args.shm:
                 p.shm_index = 1
+            if args.self_align:
+                if ref or args.in2 or args.multi:
+                    error("-S is a plain-SE mode (no reference / -2 / -m)")
+                    return 2
+                p.self_align = 1
             if args.multi:
                 if args.in2 or ref:
                     error("-m supports plain SE inputs (no -2 / reference)")

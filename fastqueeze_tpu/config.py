@@ -54,6 +54,13 @@ class CodecParams:
     #     holds; costs one hash pass when the block has no duplicates. ---
     dedup: int = 1
 
+    # --- self-referential alignment (-S; no reference equivalent): each
+    #     block's mapped reads code against a reference assembled from
+    #     the block's OWN unique unmapped reads — decode rebuilds it from
+    #     the seq stream, so no FASTA is needed on either side.  SPRING-
+    #     class gains on high-coverage / near-duplicate data. ---
+    self_align: int = 0
+
     # --- sequence model (reference: Slevel:3 → order = Slevel+7) ---
     slevel: int = 3                 # context order = slevel + 7 (2 bits/base)
     seq_init: int = 3               # per-symbol initial count

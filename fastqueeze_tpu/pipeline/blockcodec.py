@@ -450,16 +450,19 @@ def _decode_le(p: CodecParams, blob: bytes, n: int, nbytes: int) -> np.ndarray:
 def encode_block(p: CodecParams, block: FastqBlock,
                  frozen: Optional[Dict] = None,
                  align=None, ref_codes: Optional[np.ndarray] = None,
-                 dbg=None) -> bytes:
+                 dbg=None, self_ref: bool = False) -> bytes:
     """align: AlignResult over this block's reads (or None for entropy-only);
-    ref_codes: the reference 2-bit code array (required with align)."""
-    return encode_block_job(p, block, frozen, align, ref_codes, dbg)()
+    ref_codes: the reference 2-bit code array (required with align).
+    self_ref: ref_codes is the block's own unmapped-read concatenation
+    (pipeline/selfref.py) — decode rebuilds it, no FASTA involved."""
+    return encode_block_job(p, block, frozen, align, ref_codes, dbg,
+                            self_ref)()
 
 
 def encode_block_job(p: CodecParams, block: FastqBlock,
                      frozen: Optional[Dict] = None,
                      align=None, ref_codes: Optional[np.ndarray] = None,
-                     dbg=None):
+                     dbg=None, self_ref: bool = False):
     """Dispatch phase of encode_block: device streams are queued and host
     streams coded; the returned thunk syncs the device and assembles the
     block TLV.  Drivers keep the next block's host work running while the
@@ -534,6 +537,8 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         "nd": n_dege,
         "nm": n_mapped,
     }
+    if self_ref and n_mapped:
+        meta["sref"] = 1
 
     # --- dispatch the big device streams first (seq + qual); host streams
     #     are coded while the device crunches, then the jobs are finalized
@@ -855,7 +860,8 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
     n_dege = meta["nd"]
     qmax = meta["qmax"]
     n_mapped = meta.get("nm", 0)
-    if n_mapped and ref_codes is None:
+    self_ref = bool(meta.get("sref", 0))
+    if n_mapped and ref_codes is None and not self_ref:
         raise ValueError("archive was reference-aligned: decode needs the "
                          "reference FASTA")
 
@@ -966,13 +972,26 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
         seq_flat[dege_abs] = dchr
         fill[dege_abs] = True
     if n_mapped:
-        _decode_align_streams(p, sections, meta, mapped, lengths, read_off,
-                              ref_codes, seq_flat)
         fill |= np.repeat(mapped, lengths)
     if n_sd:
         fill |= np.repeat(sdup, lengths)
     acgt = seq_job.finalize()
     seq_flat[~fill] = _BASE_INV[acgt]
+    if n_mapped:
+        if self_ref:
+            # rebuild the block's self-reference from the (now filled)
+            # unmapped reads — identical to the encoder's construction
+            # (pipeline/selfref.ref_eligible; zero side data)
+            from fastqueeze_tpu.pipeline.selfref import ref_eligible
+            rows = np.flatnonzero(ref_eligible(mapped, sdup, dege_cnt,
+                                               lengths, p.seed_len))
+            lr = lengths[rows]
+            sel = np.repeat(read_off[rows], lr) + _intra_of(lr)
+            # clip: eligible reads are ACGT in valid archives; corrupt
+            # payloads must not drive out-of-range model contexts
+            ref_codes = np.minimum(_BASE_MAP[seq_flat[sel]], 3)
+        _decode_align_streams(p, sections, meta, mapped, lengths, read_off,
+                              ref_codes, seq_flat)
     if n_sd:
         # duplicate reads: one range copy from their (non-duplicate,
         # already filled) first occurrences

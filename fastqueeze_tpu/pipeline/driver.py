@@ -137,6 +137,12 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
         for raw, final_nl in gen:
             yield (raw, final_nl, None)
 
+    def _self_align(block):
+        if not params.self_align:
+            return None, None
+        from fastqueeze_tpu.pipeline.selfref import maybe_align_self
+        return maybe_align_self(params, block, dbg)
+
     if params.threads > 1:
         def work(i, item):
             raw, final_nl, block = item
@@ -144,7 +150,10 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
                 block = parse_block(raw, final_nl)
                 if params.lossy_factor > 1.0:
                     raw, block = apply_lossy(params, block)
-            payload = encode_block(params, block, frozen=frozen, dbg=dbg)
+            align, rc = _self_align(block)
+            payload = encode_block(params, block, frozen=frozen,
+                                   align=align, ref_codes=rc,
+                                   self_ref=align is not None, dbg=dbg)
             return raw, payload, block.n_reads
 
         t_all = time.time()
@@ -177,7 +186,10 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             whole_md5.update(raw)
             dbg.add("parse_s", time.time() - t0)
             t0 = time.time()
-            fin = encode_block_job(params, block, frozen=frozen, dbg=dbg)
+            align, rc = _self_align(block)
+            fin = encode_block_job(params, block, frozen=frozen,
+                                   align=align, ref_codes=rc,
+                                   self_ref=align is not None, dbg=dbg)
             dbg.add("dispatch_s", time.time() - t0)
             info = BlockInfo(payload_len=0, n_reads=block.n_reads,
                              raw_len1=len(raw),

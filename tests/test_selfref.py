@@ -1,0 +1,123 @@
+"""Self-referential alignment (-S / CodecParams.self_align): mapped reads
+code against a reference rebuilt at decode time from the block's own
+unmapped unique reads — no FASTA on either side, no permutation stream."""
+
+import numpy as np
+import pytest
+
+from fastqueeze_tpu.config import CodecParams
+from fastqueeze_tpu.pipeline.driver import compress_se, decompress
+
+SMALL = dict(slevel=0, lanes_min=16, lanes_max=32, lane_target_symbols=512,
+             seed_len=10)
+
+
+def _coverage_fastq(n_reads=1500, genome_len=20000, L=80, err=0.005,
+                    seed=42, with_n=False, dup_every=0):
+    """Reads sampled from a random genome at high coverage — the shape
+    self-referential alignment is built for (near-duplicates everywhere,
+    few exact duplicates)."""
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, genome_len).astype(np.uint8)
+    BASES = np.frombuffer(b"ACGT", np.uint8)
+    recs = []
+    for i in range(n_reads):
+        if dup_every and i % dup_every == 1 and i > dup_every:
+            recs.append(recs[i - dup_every])    # exact duplicate record
+            continue
+        pos = int(rng.integers(0, genome_len - L))
+        r = genome[pos:pos + L].copy()
+        e = rng.random(L) < err
+        r[e] = (r[e] + rng.integers(1, 4, int(e.sum()))) % 4
+        if rng.random() < 0.5:
+            r = 3 - r[::-1]
+        seq = BASES[r].tobytes()
+        if with_n and rng.random() < 0.1:
+            b = bytearray(seq)
+            b[int(rng.integers(0, L))] = ord("N")
+            seq = bytes(b)
+        q = (rng.integers(30, 41, L).astype(np.uint8) + 33).tobytes()
+        recs.append(b"@c.%d\n" % i + seq + b"\n+\n" + q + b"\n")
+    return b"".join(recs)
+
+
+def _roundtrip(tmp_path, raw, **kw):
+    p = CodecParams(**{**SMALL, **kw})
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    arc = str(tmp_path / "out.fqz")
+    stats = compress_se(p, str(src), arc)
+    outs = decompress(arc, str(tmp_path / "back"), force=True)
+    assert open(outs[0], "rb").read() == raw
+    return stats
+
+
+def test_selfref_beats_entropy_on_coverage_data(tmp_path):
+    raw = _coverage_fastq()
+    s_plain = _roundtrip(tmp_path, raw)
+    s_self = _roundtrip(tmp_path, raw, self_align=1)
+    assert s_self["compressed"] < s_plain["compressed"]
+
+
+def test_selfref_with_n_bases_and_duplicates(tmp_path):
+    # degenerate reads are excluded from the self-reference on both sides;
+    # exact duplicates ride the dedup tier, not the aligner
+    raw = _coverage_fastq(with_n=True, dup_every=7, seed=3)
+    _roundtrip(tmp_path, raw, self_align=1)
+
+
+def test_selfref_low_coverage_gate(tmp_path):
+    # unmappable data (every read unique random): the map-ratio gate keeps
+    # the block entropy-only and the archive stays loss-free
+    rng = np.random.default_rng(5)
+    recs = []
+    for i in range(200):
+        seq = "".join(rng.choice(list("ACGT"), 60))
+        q = "".join(chr(33 + int(x)) for x in rng.integers(0, 40, 60))
+        recs.append(f"@u.{i}\n{seq}\n+\n{q}\n")
+    raw = "".join(recs).encode()
+    stats = _roundtrip(tmp_path, raw, self_align=1)
+    assert stats["ratio"] > 1.0
+
+
+def test_selfref_multiblock_and_threads(tmp_path):
+    # per-block self-references; -t 2 payloads identical to -t 1
+    raw = _coverage_fastq(n_reads=2400, seed=9)
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    a1 = str(tmp_path / "t1.fqz")
+    a2 = str(tmp_path / "t2.fqz")
+    bb = len(raw) // 3 + 200
+    compress_se(CodecParams(**SMALL, self_align=1, block_bytes=bb,
+                            threads=1), str(src), a1)
+    compress_se(CodecParams(**SMALL, self_align=1, block_bytes=bb,
+                            threads=2), str(src), a2)
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    with ArcReader(a1) as r1, ArcReader(a2) as r2:
+        assert len(r1.blocks) > 1
+        assert all(r1.read_block(i) == r2.read_block(i)
+                   for i in range(len(r1.blocks)))
+    outs = decompress(a1, str(tmp_path / "back"), force=True)
+    assert open(outs[0], "rb").read() == raw
+
+
+def test_selfref_corrupt_fails_cleanly(tmp_path):
+    import random
+    raw = _coverage_fastq(n_reads=600, seed=11)
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    arc = tmp_path / "o.fqz"
+    compress_se(CodecParams(**SMALL, self_align=1), str(src), str(arc))
+    blob = arc.read_bytes()
+    random.seed(31)
+    for _ in range(10):
+        b = bytearray(blob)
+        i = random.randrange(len(b) // 2, len(b))
+        b[i] ^= random.randrange(1, 256)
+        bad = tmp_path / "bad.fqz"
+        bad.write_bytes(bytes(b))
+        try:
+            outs = decompress(str(bad), str(tmp_path / "bk"), force=True)
+            assert open(outs[0], "rb").read() == raw
+        except ValueError:
+            pass
