@@ -40,18 +40,25 @@ def compress(inputs: Inputs, out_path: str, *,
              params: Optional[CodecParams] = None,
              threads: Optional[int] = None,
              lossy: Optional[float] = None,
-             mesh: Optional[int] = None) -> Dict:
+             mesh: Optional[int] = None,
+             self_ref: Optional[bool] = None) -> Dict:
     """Compress FASTQ file(s) into a .fqz archive.
 
     inputs: one path (SE), a (r1, r2) pair (PE), or 3+ paths (multi-file
     archive, the reference's `-m`).  reference: FASTA path to align
     against (index built/cached automatically; the reference's
-    `-c ref.fa` mode).  Returns the driver's stats dict (raw/compressed
-    bytes, ratio, blocks, ...).
+    `-c ref.fa` mode).  self_ref: self-referential alignment (the CLI's
+    `-S`; SE or PE, mutually exclusive with `reference`).  Returns the
+    driver's stats dict (raw/compressed bytes, ratio, blocks, ...).
     """
     p = _params(params, threads=threads, mesh_n=mesh)
     if lossy is not None:
         p.lossy_factor = lossy
+    if self_ref:
+        if reference is not None:
+            raise ValueError("self_ref and reference are mutually "
+                             "exclusive")
+        p.self_align = 1
     paths = [inputs] if isinstance(inputs, str) else list(inputs)
     if reference is not None:
         from fastqueeze_tpu.pipeline.aligned import (

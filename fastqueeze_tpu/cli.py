@@ -191,8 +191,8 @@ def main(argv=None) -> int:
             if args.shm:
                 p.shm_index = 1
             if args.self_align:
-                if ref or args.in2 or args.multi:
-                    error("-S is a plain-SE mode (no reference / -2 / -m)")
+                if ref or args.multi:
+                    error("-S is reference-free (no ref.fa / -m)")
                     return 2
                 p.self_align = 1
             if args.multi:

@@ -165,8 +165,13 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
             raw1, b1 = apply_lossy(p, b1)
             raw2, b2 = apply_lossy(p, b2)
         merged = interleave_blocks(b1, b2)
+        align = rc = None
+        if p.self_align:
+            from fastqueeze_tpu.pipeline.selfref import maybe_align_self
+            align, rc = maybe_align_self(p, merged, dbg)
         t0 = time.time()
-        payload = _encode_pe_block(p, merged, b1, b2, frozen=frozen)
+        payload = _encode_pe_block(p, merged, b1, b2, frozen=frozen,
+                                   align=align, ref_codes=rc)
         dbg.add("encode_s", time.time() - t0)
         return raw1, raw2, payload, b1.n_reads
 
@@ -260,7 +265,7 @@ def train_frozen_pe_prefix(p: CodecParams, in1: str, in2: str):
 
 def _encode_pe_block(p: CodecParams, merged: FastqBlock,
                      b1: FastqBlock, b2: FastqBlock,
-                     frozen=None) -> bytes:
+                     frozen=None, align=None, ref_codes=None) -> bytes:
     """PE block = shared-model body over interleaved mates.
 
     The body coder sees the interleaved block; IDs of both mates are inside
@@ -270,7 +275,8 @@ def _encode_pe_block(p: CodecParams, merged: FastqBlock,
     alternating IDs already collapse; nothing extra is stored.
     """
     meta = {"fnl1": b1.final_newline, "fnl2": b2.final_newline}
-    body = encode_block(p, merged, frozen=frozen)
+    body = encode_block(p, merged, frozen=frozen, align=align,
+                        ref_codes=ref_codes, self_ref=align is not None)
     return (write_tlv(TAG_PE_META, json.dumps(meta).encode())
             + write_tlv(TAG_PE_BODY, body))
 

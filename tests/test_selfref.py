@@ -101,6 +101,22 @@ def test_selfref_multiblock_and_threads(tmp_path):
     assert open(outs[0], "rb").read() == raw
 
 
+def test_selfref_pe_roundtrip(tmp_path):
+    # -S over PE: mates interleave into one block; the self-reference is
+    # per merged block; decode rebuilds it inside decode_block unchanged
+    from fastqueeze_tpu.pipeline.pe import compress_pe
+    raw1 = _coverage_fastq(n_reads=700, seed=21)
+    raw2 = _coverage_fastq(n_reads=700, seed=22)
+    f1, f2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    f1.write_bytes(raw1)
+    f2.write_bytes(raw2)
+    arc = str(tmp_path / "pe.fqz")
+    compress_pe(CodecParams(**SMALL, self_align=1), str(f1), str(f2), arc)
+    outs = decompress(arc, str(tmp_path / "back"), force=True)
+    assert open(outs[0], "rb").read() == raw1
+    assert open(outs[1], "rb").read() == raw2
+
+
 def test_selfref_corrupt_fails_cleanly(tmp_path):
     import random
     raw = _coverage_fastq(n_reads=600, seed=11)
