@@ -52,6 +52,15 @@ _U32 = jnp.uint32
 _UNROLL = 4
 _MASK_M = RANS_M - 1
 
+# A/B knob (payload-identical): _wave_update_tot runs the row-halving fix
+# under a lax.cond, skipping the two (L, A) table round-trips on waves
+# where no touched row crossed the cap.  FASTQUEEZE_WAVE_COND=0 runs the
+# fix unconditionally instead (the pre-round-1 behavior) so tools/tpu_ab
+# can price the cond on real hardware.  Read at import: the choice shapes
+# the traced HLO, so A/B runs live in separate processes.
+import os as _os
+_WAVE_COND = _os.environ.get("FASTQUEEZE_WAVE_COND", "1") != "0"
+
 
 def init_counts(model: CtxModel) -> jnp.ndarray:
     return jnp.full((model.n_ctx, model.alphabet), model.init, jnp.int32)
@@ -127,6 +136,8 @@ def _wave_update_tot(counts, tot, ctx, sym, valid, model: CtxModel,
         return (cs.at[ctx].set(rows),
                 tt.at[ctx].set(rows.sum(axis=1)))
 
+    if not _WAVE_COND:          # A/B: unconditional fix (identical result)
+        return fix((counts, tot))
     over = jnp.any(tot[ctx] > model.cap)
     return lax.cond(over, fix, lambda x: x, (counts, tot))
 

@@ -75,6 +75,14 @@ def main():
         print(json.dumps({"error": "tunnel dead"}))
         return
 
+    # Every configuration here prices the DEVICE engine (that is the whole
+    # point of the A/B: plain runs auto-route to the bit-identical host
+    # backend, which has its own bench).  Force device routing for the
+    # coders and the aligner unless the caller already chose.
+    for var in ("FASTQUEEZE_FROZEN_EXEC", "FASTQUEEZE_ADAPT_EXEC",
+                "FASTQUEEZE_ALIGN_EXEC"):
+        os.environ.setdefault(var, "device")
+
     from fastqueeze_tpu.config import CodecParams
     from fastqueeze_tpu.pipeline.driver import compress_se, decompress
     import fastqueeze_tpu.ops.engine as E
@@ -158,6 +166,63 @@ def main():
                           "enc": round(n_reads / dt, 1),
                           "dec": round(n_reads / d2, 1),
                           "size": os.path.getsize(arc4)}), flush=True)
+
+    # --- adaptive path (use_model=-1): device wave-scan encode+decode,
+    # and the 3-round-old _wave_update_tot question — does running the
+    # row-halving fix under lax.cond (skipping ~half the waves' two (L,A)
+    # table round-trips) actually win on TPU?  The knob shapes traced HLO,
+    # so each arm runs in its own process (XLA disk cache keeps re-runs
+    # cheap).
+    import subprocess
+    adapt_script = (
+        "import json, os, sys, time, tempfile\n"
+        "sys.path.insert(0, %r)\n"
+        "from fastqueeze_tpu.config import CodecParams\n"
+        "from fastqueeze_tpu.pipeline.driver import compress_se, decompress\n"
+        "src, runs, budget = sys.argv[1], int(sys.argv[2]), float(sys.argv[3])\n"
+        "tmp = tempfile.mkdtemp(prefix='fqzwc')\n"
+        "out = os.path.join(tmp, 'a.fqz')\n"
+        "mk = lambda: CodecParams(block_size_mb=8, threads=3, use_model=-1)\n"
+        "compress_se(mk(), src, out)\n"
+        "best = None; t_end = time.time() + budget\n"
+        "for _ in range(runs):\n"
+        "    t0 = time.time(); compress_se(mk(), src, out)\n"
+        "    d = time.time() - t0\n"
+        "    best = d if best is None else min(best, d)\n"
+        "    if time.time() > t_end: break\n"
+        "bd = None\n"
+        "decompress(out, os.path.join(tmp, 'b'), force=True, threads=2)\n"
+        "for _ in range(runs):\n"
+        "    t0 = time.time()\n"
+        "    decompress(out, os.path.join(tmp, 'b'), force=True, threads=2)\n"
+        "    d = time.time() - t0\n"
+        "    bd = d if bd is None else min(bd, d)\n"
+        "    if time.time() > t_end + budget: break\n"
+        "print(json.dumps({'enc_s': best, 'dec_s': bd,"
+        " 'size': os.path.getsize(out)}))\n"
+    ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),)
+    for cond in ("1", "0"):
+        env = dict(os.environ, FASTQUEEZE_WAVE_COND=cond)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", adapt_script, src, str(runs),
+                 str(budget)],
+                capture_output=True, text=True, timeout=1800, env=env)
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() \
+                else ""
+            d = json.loads(line) if line.startswith("{") else {
+                "error": (r.stderr or "no output")[-400:]}
+        except Exception as e:  # noqa: BLE001 - record, keep sweeping
+            d = {"error": repr(e)[:400]}
+        out_d = {"cfg": f"adaptive_wave_cond={cond}"}
+        if "enc_s" in d:
+            out_d["enc"] = round(n_reads / d["enc_s"], 1)
+            if d.get("dec_s"):
+                out_d["dec"] = round(n_reads / d["dec_s"], 1)
+            out_d["size"] = d["size"]
+        else:
+            out_d.update(d)
+        print(json.dumps(out_d), flush=True)
 
     # --- aligned-SE: aligner batch-size sweep (fewer, larger dispatches
     # vs the ~36 ms round-trip; BASELINE row = 40k reads/s) ---
