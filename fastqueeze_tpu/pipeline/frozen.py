@@ -49,8 +49,12 @@ def qual_vocab(qual_flat: np.ndarray):
     seen = np.zeros(256, bool)
     seen[qual_flat] = True          # boolean scatter: no int64 widening
     present = np.flatnonzero(seen)
-    if len(present) and (present.min() < 33 or present.max() > 126):
-        raise ValueError("quality characters outside Phred+33 range")
+    # chars 33..255 all code as dense ranks (decode_qual_128 parity and
+    # beyond: the reference's 128-range variant covers chars 33..160,
+    # SURVEY.md §2.1 sym:decode_qual_128); <33 would collide with FASTQ
+    # record framing (control chars / newline) and is rejected there too
+    if len(present) and present.min() < 33:
+        raise ValueError("quality characters below Phred+33 range")
     qvals = (present - 33).astype(np.uint8)
     lut = np.full(256, 255, np.uint8)
     lut[present] = np.arange(len(present), dtype=np.uint8)

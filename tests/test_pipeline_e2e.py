@@ -264,3 +264,28 @@ def test_long_reads_ont_style(tmp_path):
     raw = b"".join(recs)
     stats = _se_roundtrip(tmp_path, raw, qlevel=1)
     assert stats["ratio"] > 1.5
+
+
+def test_qual_chars_above_126(tmp_path):
+    """decode_qual_128 parity (SURVEY.md §2.1): quality chars past '~'
+    (126) up to 255 round-trip — rank coding makes the raw char range
+    irrelevant.  Chars below 33 stay rejected (FASTQ framing)."""
+    rng = np.random.default_rng(12)
+    recs = []
+    for i in range(120):
+        seq = rng.choice(list(b"ACGT"), size=80).astype(np.uint8)
+        qual = rng.choice([33, 70, 126, 127, 160, 200, 255],
+                          size=80).astype(np.uint8)
+        recs.append(b"@hi.%d\n" % i + seq.tobytes() + b"\n+\n"
+                    + qual.tobytes() + b"\n")
+    _se_roundtrip(tmp_path, b"".join(recs))
+
+
+def test_qual_chars_below_33_rejected(tmp_path):
+    rng = np.random.default_rng(13)
+    rec = b"@lo.0\nACGTACGT\n+\n" + bytes([32] * 8) + b"\n"
+    src = tmp_path / "lo.fq"
+    src.write_bytes(rec)
+    p = CodecParams(**SMALL)
+    with pytest.raises(ValueError, match="quality"):
+        compress_se(p, str(src), str(tmp_path / "lo.fqz"))
