@@ -52,14 +52,19 @@ _U32 = jnp.uint32
 _UNROLL = 4
 _MASK_M = RANS_M - 1
 
-# A/B knob (payload-identical): _wave_update_tot runs the row-halving fix
-# under a lax.cond, skipping the two (L, A) table round-trips on waves
-# where no touched row crossed the cap.  FASTQUEEZE_WAVE_COND=0 runs the
-# fix unconditionally instead (the pre-round-1 behavior) so tools/tpu_ab
-# can price the cond on real hardware.  Read at import: the choice shapes
-# the traced HLO, so A/B runs live in separate processes.
+# A/B knob (payload-identical): _wave_update_tot can run the row-halving
+# fix under a lax.cond, skipping the two (L, A) table round-trips on waves
+# where no touched row crossed the cap.  MEASURED ON TPU (round 4,
+# tools/tpu_ab.py, v5e over the axon tunnel): the cond LOSES decisively —
+# adaptive encode 34.9k reads/s with the cond vs 51.6k without, decode
+# 36.0k vs 56.1k.  The branch predicate is a full-table-dependent scalar,
+# so every wave synchronizes on it before dispatch, costing far more than
+# the skipped table traffic ever saves.  Default is therefore the
+# unconditional fix; FASTQUEEZE_WAVE_COND=1 re-enables the cond for A/B.
+# Read at import: the choice shapes traced HLO, so A/B runs live in
+# separate processes.
 import os as _os
-_WAVE_COND = _os.environ.get("FASTQUEEZE_WAVE_COND", "1") != "0"
+_WAVE_COND = _os.environ.get("FASTQUEEZE_WAVE_COND", "0") == "1"
 
 
 def init_counts(model: CtxModel) -> jnp.ndarray:
