@@ -504,15 +504,22 @@ def _bench_selfref(tmp: str) -> dict:
     src = os.path.join(tmp, "cov.fq")
     with open(src, "wb") as fh:
         fh.write(b"".join(recs))
-    s0 = compress_se(CodecParams(block_size_mb=8, threads=1), src,
-                     os.path.join(tmp, "cov0.fqz"))
+    s0 = compress_se(CodecParams(block_size_mb=8, threads=1, self_align=0),
+                     src, os.path.join(tmp, "cov0.fqz"))
     p = CodecParams(block_size_mb=8, threads=1, self_align=1)
     t0 = time.time()
     s1 = compress_se(p, src, os.path.join(tmp, "covS.fqz"))
     dt = time.time() - t0
+    # auto gate (self_align=-1, the default): must pick -S here (high
+    # coverage) and skip it on the telomeric bundled data
+    pa = CodecParams(block_size_mb=8, threads=1)
+    auto_on = pa.self_align == -1 and compress_se(
+        pa, src, os.path.join(tmp, "covA.fqz"))["ratio"] > (
+        s0["ratio"] + s1["ratio"]) / 2
     return {"ratio": round(s1["ratio"], 3),
             "plain_ratio": round(s0["ratio"], 3),
-            "reads_per_s": round(12000 / dt, 1)}
+            "reads_per_s": round(12000 / dt, 1),
+            "auto_picks_selfref": bool(auto_on)}
 
 
 if __name__ == "__main__":

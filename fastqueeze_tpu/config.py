@@ -58,8 +58,12 @@ class CodecParams:
     #     block's mapped reads code against a reference assembled from
     #     the block's OWN unique unmapped reads — decode rebuilds it from
     #     the seq stream, so no FASTA is needed on either side.  SPRING-
-    #     class gains on high-coverage / near-duplicate data. ---
-    self_align: int = 0
+    #     class gains on high-coverage / near-duplicate data.
+    #     -1 = auto (default): a per-file probe on the first block enables
+    #     it only when the projected aligned stream beats the context
+    #     model (pipeline/selfref.py auto_self_align); 1 = force on (-S),
+    #     0 = force off.  Decode never reads this (per-block sref flag). ---
+    self_align: int = -1
 
     # --- sequence model (reference: Slevel:3 → order = Slevel+7) ---
     slevel: int = 3                 # context order = slevel + 7 (2 bits/base)
@@ -239,6 +243,7 @@ class CodecParams:
         "SeedStride": "seed_stride",
         "Usemodel": "use_model",
         "Dedup": "dedup",
+        "SelfAlign": "self_align",
         "Qctx": "qctx_auto",
         "ModelTrain(M)": "model_train_mb",
         "HostStreamMax": "host_stream_max",

@@ -28,6 +28,13 @@ from fastqueeze_tpu.pipeline.parallel_host import (
 from fastqueeze_tpu.utils.log import info
 from fastqueeze_tpu.utils.metrics import DebugInfo
 
+# Frozen qual tables with at least this many (rows x (A+1)) entries decode
+# ctx-SHARDED over an active mesh instead of replicated per device (u16
+# quantized entries: 32M entries = 64 MB/device saved at 8 devices; the
+# 2^20-row deep-qctx tables with a 40-rank alphabet sit at ~44M).  Tests
+# monkeypatch this to exercise the path at toy scale.
+CTX_SHARD_MIN_ENTRIES = 32 << 20
+
 
 def apply_lossy(params: CodecParams, block):
     """R-Block quality transform (encode-side only); returns the new
@@ -128,6 +135,22 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
         frozen_dev_tables(frozen, _qual_alphabet(frozen["qmax"]),
                           params.qctx_eff_init())
         dbg.add("train_s", time.time() - t0)
+    if params.self_align == -1:
+        # auto (-S default): decide once per file from the first block,
+        # BEFORE the (possibly threaded) encode loop — the decision must
+        # not depend on -t/--mesh scheduling
+        from fastqueeze_tpu.pipeline.selfref import auto_self_align
+        if not prefix_items:
+            first = next(gen, None)
+            if first is not None:
+                raw0, fnl0 = first
+                blk0 = parse_block(raw0, fnl0)
+                if params.lossy_factor > 1.0:
+                    raw0, blk0 = apply_lossy(params, blk0)
+                prefix_items.append((raw0, fnl0, blk0))
+        params.self_align = 1 if (
+            prefix_items
+            and auto_self_align(params, prefix_items[0][2], dbg)) else 0
     idx = 0
     total_raw = 0
 
@@ -253,12 +276,23 @@ def decompress(arc_path: str, out_prefix: Optional[str],
         if reader.model_blob is not None:
             from fastqueeze_tpu.pipeline.frozen import deserialize_frozen
             frozen = deserialize_frozen(reader.model_blob)
+        # big-table mesh gate: with a mesh active and a frozen qual table
+        # past the replication threshold, blocks decode sequentially with
+        # the table SHARDED over the mesh's devices ('ctx' axis — the TP
+        # analogue, parallel/mesh.decode_blocks_frozen_sharded) instead of
+        # replicating it per device for block round-robin
+        ctx_shard = None
+        if (devices and frozen is not None and not params.frozen_adapt
+                and params.qual_nctx() % len(devices) == 0
+                and params.qual_nctx() * (frozen["qmax"] + 2)
+                >= CTX_SHARD_MIN_ENTRIES):
+            ctx_shard, devices = devices, None
         whole_md5 = hashlib.md5()
         import contextlib
 
         def decode_one(i, payload):
             block = decode_block(params, payload, frozen=frozen,
-                                 ref_codes=ref_codes)
+                                 ref_codes=ref_codes, ctx_shard=ctx_shard)
             raw = assemble_block(block)
             if hashlib.md5(raw).digest() != reader.blocks[i].md5:
                 raise ValueError(
@@ -373,6 +407,8 @@ def compress_multi(params: CodecParams, in_paths: List[str], out_path: str,
     from fastqueeze_tpu.pipeline.frozen import decide_use_model
     dbg = dbg or DebugInfo()
     params.multi = 1
+    if params.self_align == -1:
+        params.self_align = 0      # multi-file blocks never self-align
     block_size = params.block_bytes or params.block_size_mb * (1 << 20)
     writer = ArcWriter(out_path, params,
                        [os.path.basename(x) for x in in_paths], [])

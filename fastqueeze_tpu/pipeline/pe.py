@@ -150,11 +150,30 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
     # file2 is consumed with the same record counts as file1's blocks
     f2_iter_state = _RecordReader(in2)
 
-    def items():
+    def raw_items():
         for raw1, fnl1 in read_blocks(in1, block_size // 2):
             n1 = (raw1.count(b"\n") + (0 if fnl1 else 1)) // 4
             raw2, fnl2 = f2_iter_state.take(n1)
             yield raw1, fnl1, raw2, fnl2
+
+    it = raw_items()
+    first = None
+    if p.self_align == -1:
+        # auto (-S default): decide once per file from the first block
+        # pair, before the threaded loop (-t/--mesh invariance)
+        from fastqueeze_tpu.pipeline.selfref import auto_self_align
+        first = next(it, None)
+        sa = 0
+        if first is not None:
+            m0 = interleave_blocks(parse_block(first[0], first[1]),
+                                   parse_block(first[2], first[3]))
+            sa = 1 if auto_self_align(p, m0, dbg) else 0
+        p.self_align = sa
+
+    def items():
+        if first is not None:
+            yield first
+        yield from it
 
     def work(i, item):
         raw1, fnl1, raw2, fnl2 = item

@@ -38,6 +38,142 @@ _WAVE0 = 256            # first-wave size: the whole first wave is blind
 _WAVE = 4096            # steady-state reads aligned per wave
 _GROW = 1.5             # rebuild the index when ref >= _GROW * indexed
 
+# --- auto gate (self_align = -1, the default): a per-file probe on the
+# first block decides whether -S pays.  Two stages, cheap-first:
+#   1. prefilter: projected seq-model bits/base on a hash-sampled read
+#      subset (hash-parity holdout NLL against the real order-(slevel+7)
+#      table).  Low-diversity data the context model already crushes
+#      (e.g. the telomeric fixture: ~0.3 b/b) rejects here for the cost
+#      of one histogram — no aligner work at all.
+#   2. mini self-align on the same sample; enable only when the projected
+#      aligned stream (pos + flags + mismatches for mapped reads, model
+#      cost for the rest) undercuts the pure model cost by a margin.
+# Decided once per file (before the block loop), so -t N / --mesh N
+# payload invariance holds.
+_AUTO_SAMPLE_READS = 1536
+_AUTO_PROBE_ORDER = 8   # stage-1 context order cap: 4^8 rows keep the
+                        # histogram ~1 ms (the real order-10 table costs
+                        # ~130 ms of full-table sums); a shorter context
+                        # can only OVERestimate model bits — at worst the
+                        # probe proceeds to stage 2, which measures
+_AUTO_MIN_MODEL_BPB = 0.9
+_AUTO_MARGIN = 0.95
+_MIS_BITS = 12.0        # per-mismatch stream cost (delta pos + 2-bit char)
+_AUTO_MIN_PROBE_MAP = 10  # fewer mapped probe reads => curve fit is noise
+
+
+def _map_frac_of(x: float) -> float:
+    """Block mapped fraction when reads-per-locus density gives x = R/G:
+    avg over reads of P(an earlier read covers this one) under a Poisson
+    start model = 1 - (1/x)(1 - exp(-x)).  Validated on the synthetic
+    20x fixture: G fit at a 1,536-read prefix predicts the 12,000-read
+    block's mapped fraction within 0.5 pp (57.8% measured, 58.3%
+    predicted)."""
+    import math
+    if x <= 1e-9:
+        return 0.0
+    return 1.0 - (1.0 - math.exp(-min(x, 50.0))) / min(x, 50.0)
+
+
+def _solve_density(m: float, n: int) -> float:
+    """Invert _map_frac_of: the G with avg-map-fraction m at n reads."""
+    m = min(max(m, 1e-6), _map_frac_of(50.0) - 1e-6)
+    lo, hi = 1e-6, 50.0
+    for _ in range(60):
+        mid = (lo + hi) / 2
+        if _map_frac_of(mid) < m:
+            lo = mid
+        else:
+            hi = mid
+    return n / ((lo + hi) / 2)
+
+
+def auto_self_align(p: CodecParams, block: FastqBlock, dbg=None) -> bool:
+    import dataclasses
+    import math
+    import time as _time
+
+    from fastqueeze_tpu.models.base import seq_model_from_params
+    from fastqueeze_tpu.pipeline.blockcodec import _BASE_MAP
+    from fastqueeze_tpu.pipeline.frozen import (
+        _cap_rescale, _hist_nll_bits, _sample_keep, seq_ctx_flat)
+    t0 = _time.time()
+    R = block.n_reads
+    if R < 64:
+        return False
+
+    # --- stage 1: seq-model bits/base on a hash-sampled read subset,
+    # hash-parity holdout NLL (in-sample NLL rewards big-table overfit) ---
+    stride = max(1, R // _AUTO_SAMPLE_READS)
+    keep = _sample_keep(R, stride)
+    if int(keep.sum()) < 64:
+        keep = np.ones(R, bool)
+    sym_keep = np.repeat(keep, block.lengths)
+    lengths = block.lengths[keep]
+    codes = _BASE_MAP[block.seq_flat[sym_keep]]
+    codes = np.where(codes == 255, 0, codes)
+    model = seq_model_from_params(
+        dataclasses.replace(p, slevel=min(p.slevel,
+                                          _AUTO_PROBE_ORDER - 7)))
+    ctx = seq_ctx_flat(model, codes, lengths)
+    ridx = np.arange(int(keep.sum()), dtype=np.uint32)
+    odd = (((ridx * np.uint32(2654435761)) >> np.uint32(16)) & 1).astype(bool)
+    hold = np.repeat(odd, lengths)
+    n = model.n_ctx * model.alphabet
+    key = ctx * model.alphabet + codes
+    h_train = np.bincount(key[~hold], minlength=n)[:n].reshape(
+        model.n_ctx, model.alphabet)
+    h_eval = np.bincount(key[hold], minlength=n)[:n].reshape(
+        model.n_ctx, model.alphabet)
+    counts = _cap_rescale(model, np.asarray(h_train, np.int32))
+    eval_syms = int(h_eval.sum())
+    if eval_syms == 0:
+        return False
+    bpb = _hist_nll_bits(counts, h_eval) / eval_syms
+    if dbg is not None:
+        dbg.add("selfref_probe_s", _time.time() - t0)
+        dbg.vals["selfref_probe_bpb"] = round(bpb, 3)
+    if bpb < _AUTO_MIN_MODEL_BPB:
+        return False
+
+    # --- stage 2: mini self-align on a CONTIGUOUS read prefix.  Self-ref
+    # mapping probability grows with how many reads precede a read, so a
+    # subsample maps far less than the block will: fit the density from
+    # the prefix's mapped fraction and extrapolate the full-block one ---
+    n_pre = min(R, _AUTO_SAMPLE_READS)
+    pre_syms = int(block.lengths[:n_pre].sum())
+    prefix = FastqBlock(
+        n_reads=n_pre, ids=[], plus=[],
+        seq_flat=block.seq_flat[:pre_syms],
+        qual_flat=block.qual_flat[:pre_syms],
+        lengths=block.lengths[:n_pre], raw_len=0, final_newline=True)
+    res, rc = maybe_align_self(
+        dataclasses.replace(p, min_map_ratio=0.0), prefix, None)
+    if dbg is not None:
+        dbg.add("selfref_probe_s", _time.time() - t0)
+    if res is None:
+        return False
+    n_map = int(res.mapped.sum())
+    if n_map < _AUTO_MIN_PROBE_MAP:
+        return False
+    g = _solve_density(n_map / n_pre, n_pre)
+    m_full = _map_frac_of(R / g)
+    if m_full < p.min_map_ratio:
+        return False
+    # projected stream bits per read at the extrapolated mapped fraction
+    L_avg = float(block.lengths.mean())
+    mis_per_map = float(res.mis_mask[res.mapped].sum()) / n_map
+    ref_syms = max((1.0 - m_full) * R * L_avg, 2.0)
+    pos_bits = math.log2(ref_syms) + 2.0             # pos + map/rev flags
+    aligned = (m_full * (pos_bits + mis_per_map * _MIS_BITS)
+               + (1.0 - m_full) * L_avg * bpb + 1.0)
+    model_only = L_avg * bpb
+    if dbg is not None:
+        dbg.vals["selfref_probe_map"] = round(m_full, 3)
+        dbg.vals["selfref_probe_gain"] = round(
+            1.0 - aligned / max(model_only, 1e-9), 3)
+    return aligned < _AUTO_MARGIN * model_only
+
 
 def ref_eligible(mapped: np.ndarray, sdup: np.ndarray,
                  dege_cnt: np.ndarray, lengths: np.ndarray,

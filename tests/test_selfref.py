@@ -54,9 +54,45 @@ def _roundtrip(tmp_path, raw, **kw):
 
 def test_selfref_beats_entropy_on_coverage_data(tmp_path):
     raw = _coverage_fastq()
-    s_plain = _roundtrip(tmp_path, raw)
+    s_plain = _roundtrip(tmp_path, raw, self_align=0)
     s_self = _roundtrip(tmp_path, raw, self_align=1)
     assert s_self["compressed"] < s_plain["compressed"]
+
+
+def test_auto_gate_probe_decisions():
+    """auto_self_align (self_align=-1, the default): ON for high-coverage
+    data, OFF when the context model already wins (low-entropy repeats)
+    and OFF for unmappable random reads."""
+    from fastqueeze_tpu.io.fastq import parse_block
+    from fastqueeze_tpu.pipeline.selfref import auto_self_align
+    p = CodecParams(**SMALL)
+    assert auto_self_align(p, parse_block(_coverage_fastq(), True))
+
+    rng = np.random.default_rng(17)
+    motif = b"TTAGGG" * 20
+    recs = []
+    for i in range(800):
+        off = int(rng.integers(0, 6))
+        recs.append(b"@t.%d\n" % i + motif[off:off + 80] + b"\n+\n"
+                    + bytes([33 + 35] * 80) + b"\n")
+    assert not auto_self_align(p, parse_block(b"".join(recs), True))
+
+    BASES = np.frombuffer(b"ACGT", np.uint8)
+    recs = [b"@x.%d\n" % i + BASES[rng.integers(0, 4, 80)].tobytes()
+            + b"\n+\n" + bytes([33 + 35] * 80) + b"\n" for i in range(800)]
+    assert not auto_self_align(p, parse_block(b"".join(recs), True))
+
+
+def test_auto_default_matches_forced_choice(tmp_path):
+    # when auto enables, the archive is byte-identical to -S (the
+    # resolved value also lands in PARAM)
+    raw = _coverage_fastq()
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    a_auto, a_forced = str(tmp_path / "a.fqz"), str(tmp_path / "f.fqz")
+    compress_se(CodecParams(**SMALL), str(src), a_auto)
+    compress_se(CodecParams(**SMALL, self_align=1), str(src), a_forced)
+    assert open(a_auto, "rb").read() == open(a_forced, "rb").read()
 
 
 def test_selfref_with_n_bases_and_duplicates(tmp_path):
