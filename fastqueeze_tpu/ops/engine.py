@@ -1250,8 +1250,14 @@ def decode_stream_job(model: CtxModel, params: CodecParams,
                       payload: bytes, counts_per_read: np.ndarray,
                       extra_aux: Optional[Dict[str, np.ndarray]] = None,
                       counts0: Optional[jnp.ndarray] = None,
-                      adapt: bool = True) -> DecodeJob:
-    """Dispatch one stream's decode to the device; returns a DecodeJob."""
+                      adapt: bool = True, ctx_shard=None) -> DecodeJob:
+    """Dispatch one stream's decode to the device; returns a DecodeJob.
+
+    ctx_shard: device list — frozen decode with the quantized table
+    SHARDED over those devices' 'ctx' mesh axis instead of replicated
+    (parallel/mesh.decode_blocks_frozen_sharded; bit-identical symbols).
+    Production gate in pipeline/driver.decompress: mesh active AND the
+    serialized table is past the replication threshold."""
     counts0 = counts0_dev(counts0)
     T, L, n_words, nsym = _HDR.unpack_from(payload, 0)
     off = _HDR.size
@@ -1279,6 +1285,20 @@ def decode_stream_job(model: CtxModel, params: CodecParams,
         if layout.T != T:
             raise ValueError(
                 f"corrupt stream: layout T={layout.T} vs payload T={T}")
+        if (not adapt and ctx_shard is not None and len(ctx_shard) >= 2
+                and model.n_ctx % len(ctx_shard) == 0):
+            assert counts0 is not None, "frozen decode needs counts0"
+            from fastqueeze_tpu.ops.lanes import aux_grids
+            from fastqueeze_tpu.parallel.mesh import (
+                Mesh, decode_blocks_frozen_sharded)
+            valid, aux = aux_grids(layout, with_pos=True)
+            mesh = Mesh(np.array(ctx_shard).reshape(1, -1),
+                        ("block", "ctx"))
+            syms, _x = decode_blocks_frozen_sharded(
+                mesh, model, counts0, states_dev[None], words_dev[None],
+                jnp.asarray(valid)[None],
+                jnp.asarray(aux["pos"], jnp.int32)[None])
+            return DecodeJob(layout, syms[0], counts0)
         pmode = _pack_mode(model, L)
         cg = jnp.asarray(_counts_grid(counts_per_read, L))
         if adapt:

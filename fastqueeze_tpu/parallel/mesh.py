@@ -262,9 +262,26 @@ def decode_blocks_frozen_sharded(mesh: Mesh, model: CtxModel,
     states/words/valid/pos are (B, ...) stacked blocks sharded over
     'block'; counts0 is the full raw count table (quantized per-shard —
     quantization is row-local, so sharding commutes with it).
+
+    The compiled fn is cached on (mesh devices, model, grid shapes) so
+    production per-block calls (driver.decompress ctx-shard gate) pay one
+    compile per shape bucket, not per block.
     """
-    from fastqueeze_tpu.ops.engine import (
-        _MASK_M, _freeze_invalid, _quant_full)
+    from fastqueeze_tpu.ops.engine import _quant_full
+    key = (tuple(mesh.devices.reshape(-1)), model, states.shape,
+           words.shape, valid.shape)
+    fn = _SHARD_DECODE_CACHE.get(key)
+    if fn is None:
+        fn = _SHARD_DECODE_CACHE[key] = _build_frozen_sharded(
+            mesh, model, words.shape[-1], valid.shape[-1])
+    return fn(_quant_full(counts0), states, words, valid, pos)
+
+
+_SHARD_DECODE_CACHE: Dict = {}
+
+
+def _build_frozen_sharded(mesh: Mesh, model: CtxModel, nwords: int, L: int):
+    from fastqueeze_tpu.ops.engine import _MASK_M, _freeze_invalid
     from fastqueeze_tpu.config import PROB_BITS, RANS_L, RANS_M
     import math
     A = model.alphabet
@@ -273,8 +290,6 @@ def decode_blocks_frozen_sharded(mesh: Mesh, model: CtxModel,
         raise ValueError(f"n_ctx={model.n_ctx} not divisible by ctx={D}")
     n_ctx_local = model.n_ctx // D
     steps = max(1, math.ceil(math.log2(A)))
-    nwords = words.shape[-1]
-    L = valid.shape[-1]
 
     def local(fq, st0, wds, vld, ps):
         ctx0 = jax.lax.axis_index("ctx") * n_ctx_local
@@ -329,7 +344,7 @@ def decode_blocks_frozen_sharded(mesh: Mesh, model: CtxModel,
         in_specs=(P("ctx"), P("block"), P("block"), P("block"), P("block")),
         out_specs=(P("block"), P("block")), check_vma=False,
     )
-    return jax.jit(fn)(_quant_full(counts0), states, words, valid, pos)
+    return jax.jit(fn)
 
 
 def encode_blocks_sharded(mesh: Mesh, model: CtxModel, n_halve: int,

@@ -837,13 +837,17 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
 
 def decode_block(p: CodecParams, payload: bytes,
                  frozen: Optional[Dict] = None,
-                 ref_codes: Optional[np.ndarray] = None) -> FastqBlock:
+                 ref_codes: Optional[np.ndarray] = None,
+                 ctx_shard=None) -> FastqBlock:
     """Decode one block payload.  Any structural damage a corrupt payload
     can cause downstream (bad lengths -> out-of-range indexing, mangled
     meta JSON, impossible stream sizes) is converted to ValueError — the
-    whole-block MD5 then reports it like every other corruption path."""
+    whole-block MD5 then reports it like every other corruption path.
+
+    ctx_shard: device list — frozen qual decode runs with its table
+    sharded over these devices (driver.decompress big-table mesh gate)."""
     try:
-        return _decode_block_impl(p, payload, frozen, ref_codes)
+        return _decode_block_impl(p, payload, frozen, ref_codes, ctx_shard)
     except ValueError:
         raise
     except (IndexError, KeyError, OverflowError, TypeError,
@@ -853,7 +857,8 @@ def decode_block(p: CodecParams, payload: bytes,
 
 def _decode_block_impl(p: CodecParams, payload: bytes,
                        frozen: Optional[Dict],
-                       ref_codes: Optional[np.ndarray]) -> FastqBlock:
+                       ref_codes: Optional[np.ndarray],
+                       ctx_shard=None) -> FastqBlock:
     sections = dict(iter_tlv(payload))
     meta = json.loads(sections[TAG_META].decode())
     R = meta["R"]
@@ -961,7 +966,8 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
                 counts0=sc0, adapt=adapt)
         if qual_job is None:
             qual_job = decode_stream_job(qmodel, p, sections[TAG_QUAL],
-                                         qlens, counts0=qc0, adapt=adapt)
+                                         qlens, counts0=qc0, adapt=adapt,
+                                         ctx_shard=ctx_shard)
 
     # --- sequence assembly (host) ---
     seq_flat = np.empty(int(lengths.sum()), np.uint8)
