@@ -670,23 +670,12 @@ class Aligner:
         keys = idx.keys.astype(np.uint64)
         if not len(keys):
             keys = np.zeros(1, np.uint64)
-        if self.wide:
-            self._keys = (jnp.asarray((keys >> np.uint64(30))
-                                      .astype(np.uint32)),
-                          jnp.asarray((keys & np.uint64(0x3FFFFFFF))
-                                      .astype(np.uint32)))
-        else:
-            self._keys = (jnp.asarray(keys.astype(np.uint32)),
-                          jnp.asarray(np.zeros(1, np.uint32)))
         offs = idx.offsets.astype(np.int32)
         if len(offs) < 2:
             offs = np.zeros(2, np.int32)
-        self._offsets = jnp.asarray(offs)
         pos = idx.positions.astype(np.int32)
         if not len(pos):
             pos = np.zeros(1, np.int32)
-        self._positions = jnp.asarray(pos)
-        self._packed = jnp.asarray(idx.packed.astype(np.uint32))
         # first-level prefix table: bounds the per-seed binary search to one
         # bucket (cuts scattered key gathers roughly in half)
         l1_bits = min(2 * self.k, 18)
@@ -694,7 +683,11 @@ class Aligner:
         l1 = np.searchsorted(
             keys >> np.uint64(self._l1_shift),
             np.arange((1 << l1_bits) + 1, dtype=np.uint64)).astype(np.int32)
-        self._l1 = jnp.asarray(l1)
+        # device copies are created LAZILY (_dev_arrays): off-mesh runs use
+        # the host-native tiers only, and on a tunnel-attached chip the
+        # eager upload costs real wall time — the self-ref wave loop
+        # rebuilds this index several times per block
+        self._dev_cache = None
         max_bucket = int(np.diff(l1).max()) if len(l1) > 1 else 1
         self._search_steps = max(1, int(np.ceil(np.log2(max_bucket + 1))))
         # host-native mirror (native/alignhost.cpp): keep numpy copies of
@@ -721,19 +714,57 @@ class Aligner:
         # each block device gets the index arrays once, not per batch
         self._replicas = {}
 
+    def _dev_arrays(self):
+        """Default-device index copies, built on first device-tier use."""
+        if self._dev_cache is None:
+            keys = self._h_keys
+            if self.wide:
+                dk = (jnp.asarray((keys >> np.uint64(30)).astype(np.uint32)),
+                      jnp.asarray((keys & np.uint64(0x3FFFFFFF))
+                                  .astype(np.uint32)))
+            else:
+                dk = (jnp.asarray(keys.astype(np.uint32)),
+                      jnp.asarray(np.zeros(1, np.uint32)))
+            self._dev_cache = (
+                dk, jnp.asarray(self._h_offsets),
+                jnp.asarray(self._h_positions),
+                jnp.asarray(self._h_packed[:len(self._h_packed)
+                                           - self._h_pad_words]),
+                jnp.asarray(self._h_l1))
+        return self._dev_cache
+
+    @property
+    def _keys(self):
+        return self._dev_arrays()[0]
+
+    @property
+    def _offsets(self):
+        return self._dev_arrays()[1]
+
+    @property
+    def _positions(self):
+        return self._dev_arrays()[2]
+
+    @property
+    def _packed(self):
+        return self._dev_arrays()[3]
+
+    @property
+    def _l1(self):
+        return self._dev_arrays()[4]
+
     def _arrays(self):
         """Index arrays for the calling thread's default device."""
         import jax
         dev = jax.config.jax_default_device
+        base = self._dev_arrays()
         if dev is None:
-            return (self._keys, self._offsets, self._positions,
-                    self._packed, self._l1)
+            return base
         rep = self._replicas.get(dev)
         if rep is None:
             put = lambda x: jax.device_put(x, dev)  # noqa: E731
-            rep = ((put(self._keys[0]), put(self._keys[1])),
-                   put(self._offsets), put(self._positions),
-                   put(self._packed), put(self._l1))
+            rep = ((put(base[0][0]), put(base[0][1])),
+                   put(base[1]), put(base[2]), put(base[3]), put(base[4]))
             self._replicas[dev] = rep
         return rep
 

@@ -84,24 +84,38 @@ def _rolling_kmers(codes: np.ndarray, amb: np.ndarray, k: int
 
 
 def build_from_ref(ref: RefSeq, params: CodecParams) -> RefIndex:
+    from fastqueeze_tpu.io import native
     k = params.seed_len
-    kv, valid = _rolling_kmers(ref.codes, ref.amb_mask, k)
-    pos_all = np.flatnonzero(valid)
-    kv = kv[pos_all]
-    order = np.argsort(kv, kind="stable")
-    kv_sorted = kv[order]
-    pos_sorted = pos_all[order]
-    keys, counts = np.unique(kv_sorted, return_counts=True)
+    r = native.csr_build(ref.codes, ref.amb_mask, k) \
+        if ref.length < (1 << 32) else None
+    if r is not None:
+        # native one-pass: rolling k-mers + stable LSD radix sort
+        # (bit-identical arrays to the argsort path below)
+        kv_sorted, pos_sorted = r
+    else:
+        kv, valid = _rolling_kmers(ref.codes, ref.amb_mask, k)
+        pos_all = np.flatnonzero(valid)
+        kv = kv[pos_all]
+        order = np.argsort(kv, kind="stable")
+        kv_sorted = kv[order]
+        pos_sorted = pos_all[order]
+    # run-length over the sorted keys (replaces np.unique: the array is
+    # already sorted, one diff pass suffices)
+    if len(kv_sorted):
+        change = np.empty(len(kv_sorted), bool)
+        change[0] = True
+        np.not_equal(kv_sorted[1:], kv_sorted[:-1], out=change[1:])
+        starts_idx = np.flatnonzero(change)
+        keys = kv_sorted[starts_idx]
+        counts = np.diff(np.append(starts_idx, len(kv_sorted)))
+    else:
+        keys = kv_sorted[:0]
+        counts = np.zeros(0, np.int64)
     # drop hyper-repetitive seeds (reference caps occurrences @0x4108d0;
     # verification-time candidate caps are separate: seed_max_occ/seed_big_occ)
     keep = counts <= max(params.seed_drop_occ, 1)
-    starts = np.cumsum(counts) - counts
     if not keep.all():
-        sel = np.concatenate([
-            np.arange(s, s + c)
-            for s, c in zip(starts[keep], counts[keep])]) if keep.any() \
-            else np.zeros(0, np.int64)
-        pos_sorted = pos_sorted[sel]
+        pos_sorted = pos_sorted[np.repeat(keep, counts)]
         keys, counts = keys[keep], counts[keep]
     offsets = np.zeros(len(keys) + 1, np.uint64)
     np.cumsum(counts, out=offsets[1:])

@@ -52,7 +52,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_dup_sources"):        # newest required symbol
+    if not hasattr(lib, "fq_csr_build"):          # newest required symbol
         # stale .so from before a symbol was added (or before the
         # read-sampling rule, a C<->numpy contract, last changed):
         # rebuild and reload
@@ -62,7 +62,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_dup_sources"):
+        if not hasattr(lib, "fq_csr_build"):
             return None
     lib.fq_dup_sources.restype = ctypes.c_int64
     lib.fq_dup_sources.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64,
@@ -121,6 +121,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fq_id_tokenize.restype = ctypes.c_int64
     lib.fq_id_tokenize.argtypes = [_U8P, _I64P, ctypes.c_int64,
                                    ctypes.c_int64, _I64P, _I64P, _I64P]
+    _u32p0 = ctypes.POINTER(ctypes.c_uint32)
+    lib.fq_csr_build.restype = ctypes.c_int64
+    lib.fq_csr_build.argtypes = [_U8P, _U8P, ctypes.c_int64, _i32,
+                                 _u32p0, _u32p0, _u32p0, _u32p0]
     lib.rc_encode_o1.restype = ctypes.c_int64
     lib.rc_encode_o1.argtypes = [_U8P, ctypes.c_int64, _i32, _i32, _i32,
                                  _i32, _U8P, ctypes.c_int64]
@@ -216,6 +220,29 @@ def dup_sources(flat: np.ndarray, lens: np.ndarray):
     src = np.empty(R, np.int64)
     n = lib.fq_dup_sources(_u8p(f), _i64p(offs), _i64p(ln), R, _i64p(src))
     return src, int(n)
+
+
+def csr_build(codes: np.ndarray, amb: np.ndarray, k: int):
+    """(kv_sorted u32, pos_sorted u32) for the CSR k-mer index — rolling
+    k-mers + stable LSD radix sort in one native pass — or None (caller
+    falls back to the numpy argsort path; arrays bit-identical either
+    way).  Narrow keys only (k <= 15) and refs under 2^31 windows."""
+    lib = get_lib()
+    n = len(codes)
+    P = n - k + 1
+    if lib is None or k > 15 or P <= 0 or P >= (1 << 31):
+        return None
+    c = np.ascontiguousarray(codes, np.uint8)
+    a = np.ascontiguousarray(amb, np.uint8)
+    _u = ctypes.POINTER(ctypes.c_uint32)
+    kv = np.empty(P, np.uint32)
+    pos = np.empty(P, np.uint32)
+    t1 = np.empty(P, np.uint32)
+    t2 = np.empty(P, np.uint32)
+    m = lib.fq_csr_build(_u8p(c), _u8p(a), n, k,
+                         kv.ctypes.data_as(_u), pos.ctypes.data_as(_u),
+                         t1.ctypes.data_as(_u), t2.ctypes.data_as(_u))
+    return kv[:m], pos[:m]
 
 
 def record_boundary(data: bytes) -> Optional[int]:

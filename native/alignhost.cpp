@@ -776,3 +776,61 @@ extern "C" void fq_indel_batch(
         }
     }
 }
+
+// ---------------------------------------------------------------------------
+// Radix CSR index build (narrow k <= 15).  Rolling k-mer scan + 2-pass LSD
+// counting sort on the 2k-bit key (stable, so positions stay ascending
+// within a key) — bit-identical arrays to the numpy argsort path in
+// align/index.py:build_from_ref, at O(n) instead of O(n log n).  The
+// self-referential mode (pipeline/selfref.py) rebuilds the index several
+// times per block, making build cost a first-order encode term.
+// kv_out/pos_out/tmp_kv/tmp_pos: caller-allocated, size n - k + 1.
+// Returns the number of valid (ambiguity-free) windows written.
+// ---------------------------------------------------------------------------
+extern "C" int64_t fq_csr_build(const uint8_t* codes, const uint8_t* amb,
+                                int64_t n, int32_t k,
+                                uint32_t* kv_out, uint32_t* pos_out,
+                                uint32_t* tmp_kv, uint32_t* tmp_pos) {
+    const int64_t P = n - (int64_t)k + 1;
+    if (P <= 0 || k < 1 || k > 15) return 0;
+    const uint32_t mask = (1u << (2 * k)) - 1;
+    int64_t m = 0;
+    uint32_t kv = 0;
+    int32_t clean = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        kv = ((kv << 2) | codes[i]) & mask;
+        clean = amb[i] ? 0 : clean + 1;
+        if (clean >= k) {
+            tmp_kv[m] = kv;
+            tmp_pos[m] = (uint32_t)(i - k + 1);
+            ++m;
+        }
+    }
+    const int b1 = k;                    // low/high halves: k bits each
+    const uint32_t m1 = (1u << b1) - 1;
+    {
+        std::vector<int64_t> cnt((size_t)1 << b1, 0);
+        for (int64_t i = 0; i < m; ++i) ++cnt[tmp_kv[i] & m1];
+        int64_t acc = 0;
+        for (auto& c : cnt) { const int64_t t = c; c = acc; acc += t; }
+        for (int64_t i = 0; i < m; ++i) {
+            const int64_t d = cnt[tmp_kv[i] & m1]++;
+            kv_out[d] = tmp_kv[i];
+            pos_out[d] = tmp_pos[i];
+        }
+    }
+    {
+        std::vector<int64_t> cnt((size_t)1 << b1, 0);
+        for (int64_t i = 0; i < m; ++i) ++cnt[kv_out[i] >> b1];
+        int64_t acc = 0;
+        for (auto& c : cnt) { const int64_t t = c; c = acc; acc += t; }
+        for (int64_t i = 0; i < m; ++i) {
+            const int64_t d = cnt[kv_out[i] >> b1]++;
+            tmp_kv[d] = kv_out[i];
+            tmp_pos[d] = pos_out[i];
+        }
+        std::memcpy(kv_out, tmp_kv, (size_t)m * 4);
+        std::memcpy(pos_out, tmp_pos, (size_t)m * 4);
+    }
+    return m;
+}
