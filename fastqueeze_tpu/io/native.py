@@ -166,6 +166,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _i32, _i32, _i32,                         # n_seeds, excl_bp, probe_k
         _i32, _i32,                               # strand_mode, both_strands
         _U8P, _i32p, _U8P, _U8P]                  # mapped, pos, rev, mis_mask
+    lib.fq_selfref_align.restype = ctypes.c_int64
+    lib.fq_selfref_align.argtypes = [
+        _U64P, ctypes.c_int64, _i32p,             # keys (u64), nk, offsets
+        _i32p, ctypes.c_int64,                    # positions, npos
+        _u32p2, ctypes.c_int64,                   # packed, nw
+        _i32p, _i32, _i32,                        # l1, l1_shift, steps
+        _i32,                                     # allref_len
+        _U8P, _U8P, _I64P, _i32p,                 # codes, dege, roffs, lens
+        ctypes.c_int64, _i32,                     # R, lp
+        _U8P, _U8P,                               # alignable, is_cand
+        _i32, _i32, _i32, _i32,                   # k, stride, c1, c2
+        _i32, _i32, _i32, _i32,                   # n_seeds, excl, mis, both
+        _U8P, _i32p, _U8P, _U8P]                  # mapped, pos, rev, mm
     lib.fq_indel_batch.restype = None
     lib.fq_indel_batch.argtypes = [
         _U64P, ctypes.c_int64, _i32p,             # keys (u64), nk, offsets
@@ -786,6 +799,55 @@ def id_tokenize(buf: np.ndarray, offs: np.ndarray, cap: int):
     if m < 0:
         return None
     return ntok, tstart[:m], tend[:m]
+
+
+def selfref_align(keys: np.ndarray, offsets: np.ndarray,
+                  positions: np.ndarray, packed: np.ndarray,
+                  l1: np.ndarray, l1_shift: int, search_steps: int,
+                  allref_len: int, codes_flat: np.ndarray,
+                  dege_flat: np.ndarray, roffs: np.ndarray,
+                  lengths: np.ndarray, lp: int,
+                  alignable: np.ndarray, is_cand: np.ndarray,
+                  k: int, stride: int, c1: int, c2: int,
+                  n_seeds: int, excl_bp: int, max_mis: int,
+                  both_strands: int):
+    """One-pass self-referential aligner (native/alignhost.cpp
+    fq_selfref_align): reads map only to windows inside EARLIER
+    still-kept candidate reads' spans; positions come back in FINAL
+    reference coordinates.  Mirror: pipeline/selfref._selfref_align_py
+    (cross-checked in tests/test_selfref.py).  Returns (mapped, pos,
+    is_rev, mis_mask) or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None or keys.dtype != np.uint64:
+        return None
+    R = len(roffs)
+    keys = np.ascontiguousarray(keys, np.uint64)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    positions = np.ascontiguousarray(positions, np.int32)
+    packed = np.ascontiguousarray(packed, np.uint32)
+    l1 = np.ascontiguousarray(l1, np.int32)
+    codes_flat = np.ascontiguousarray(codes_flat, np.uint8)
+    dege_flat = np.ascontiguousarray(dege_flat.astype(np.uint8))
+    roffs = np.ascontiguousarray(roffs, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    alignable = np.ascontiguousarray(alignable.astype(np.uint8))
+    is_cand = np.ascontiguousarray(is_cand.astype(np.uint8))
+    mapped = np.empty(R, np.uint8)
+    pos = np.empty(R, np.int32)
+    rev = np.empty(R, np.uint8)
+    mm = np.empty((R, lp), np.uint8)
+    lib.fq_selfref_align(
+        keys.ctypes.data_as(_U64P), len(keys),
+        offsets.ctypes.data_as(_I32P),
+        positions.ctypes.data_as(_I32P), len(positions),
+        packed.ctypes.data_as(_U32P), len(packed),
+        l1.ctypes.data_as(_I32P), l1_shift, search_steps, allref_len,
+        _u8p(codes_flat), _u8p(dege_flat), _i64p(roffs),
+        lengths.ctypes.data_as(_I32P), R, lp,
+        _u8p(alignable), _u8p(is_cand),
+        k, stride, c1, c2, n_seeds, excl_bp, max_mis, both_strands,
+        _u8p(mapped), pos.ctypes.data_as(_I32P), _u8p(rev), _u8p(mm))
+    return mapped.astype(bool), pos, rev.astype(bool), mm.astype(bool)
 
 
 def align_batch(keys: np.ndarray, offsets: np.ndarray,

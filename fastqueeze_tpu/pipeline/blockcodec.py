@@ -1124,7 +1124,11 @@ def _decode_align_streams(p: CodecParams, sections: Dict, meta: Dict,
         win[(g_sym < 0) & (intra >= s_sym)
             & (intra < s_sym - g_sym)] = 0
     else:
-        win = ref_codes[np.repeat(pos, mlens) + intra].copy()
+        # clip like the indel path: self-ref windows may overhang the
+        # reference edges by up to max_mis bases (anchored matches with
+        # the overhang force-masked — every clipped base is patched)
+        win = ref_codes[np.clip(np.repeat(pos, mlens) + intra, 0,
+                                max(ref_codes.size - 1, 0))].copy()
 
     if n_mis:
         deltas = _decode_le(p, sections[TAG_AMISP], n_mis, mposb)

@@ -12,13 +12,18 @@ the SURVEY.md C16 machinery, unchanged).  No permutation stream, no
 stored reference, no new decode kernels; a SPRING-class capability for
 high-coverage / near-duplicate data at the cost of one aligner pass.
 
-The encoder policy below is free to change without touching the format
-(decode only consumes the outcome): reads are scanned in waves, each wave
-aligns against the reference built so far, unmapped eligible reads are
-appended, and the CSR index is rebuilt geometrically (once the reference
-outgrows the indexed prefix by 50%) so total index-build cost stays ~3x
-the final build.  Exact duplicates are already handled by the cheaper
-duplicate tier and are neither aligned nor appended.
+The encoder policy is free to change without touching the format (decode
+only consumes the outcome).  Round-4 policy: ONE index over a reference
+built from ALL candidate reads, one sequential native pass
+(native/alignhost.cpp fq_selfref_align) where read r may map only to a
+window inside a single EARLIER still-kept read's span — every constraint
+input is decided before it is consulted, and positions are emitted
+directly in final-reference coordinates via the kept-prefix running sum.
+This replaced the wave loop (align against a growing prefix, geometric
+index rebuilds): one index build instead of ~5, no within-wave blindness
+(a read can map to ANY earlier kept read), measured ~3x the wave-loop
+encode speed at a better ratio.  Exact duplicates are already handled by
+the cheaper duplicate tier and are neither aligned nor appended.
 """
 
 from __future__ import annotations
@@ -30,13 +35,6 @@ import numpy as np
 
 from fastqueeze_tpu.config import CodecParams
 from fastqueeze_tpu.io.fastq import FastqBlock
-
-_WAVE0 = 256            # first-wave size: the whole first wave is blind
-                        # (no reference yet), so keep it small — the
-                        # content it appends is pure redundancy when later
-                        # reads cover the same loci
-_WAVE = 4096            # steady-state reads aligned per wave
-_GROW = 1.5             # rebuild the index when ref >= _GROW * indexed
 
 # --- auto gate (self_align = -1, the default): a per-file probe on the
 # first block decides whether -S pays.  Two stages, cheap-first:
@@ -206,7 +204,17 @@ def maybe_align_self(p: CodecParams, block: FastqBlock, dbg=None
                      ) -> Tuple[Optional[object], Optional[np.ndarray]]:
     """(AlignResult, ref_codes) for self-referential coding of `block`,
     or (None, None) when too few reads map to pay for the streams
-    (min_map_ratio gate, like the external-reference path)."""
+    (min_map_ratio gate, like the external-reference path).
+
+    One-pass policy (round 4; replaces the wave loop): ONE index over a
+    reference built from ALL candidate reads, one native pass
+    (fq_selfref_align) in which read r may map only to a window inside a
+    single EARLIER still-kept read's span — so every constraint is
+    decided by the time it is consulted, and positions are emitted
+    directly in final-reference coordinates.  Reads can map to any
+    earlier kept read (the wave loop was blind within a wave and paid
+    geometric index rebuilds).  Encoder policy only — decode rebuilds
+    the identical reference from the mapped flags (ref_eligible)."""
     from fastqueeze_tpu.align.hash import AlignResult
     from fastqueeze_tpu.pipeline.blockcodec import _BASE_MAP, dup_masks
     t0 = time.time()
@@ -228,69 +236,208 @@ def maybe_align_self(p: CodecParams, block: FastqBlock, dbg=None
         rows_d = np.searchsorted(read_off, np.flatnonzero(dege_flat),
                                  side="right") - 1
         dege_cnt = np.bincount(rows_d, minlength=R).astype(np.int64)
-    alignable = (~sdup & (dege_cnt == 0) & (lengths >= k)
-                 & (lengths <= p.align_max_len))
-
-    mapped = np.zeros(R, bool)
-    pos = np.zeros(R, np.int64)
-    is_rev = np.zeros(R, bool)
-    lp_max = 32
-    if alignable.any():
-        lp_max = max(lp_max, _lp_of(int(lengths[alignable].max())))
-    mis_mask = np.zeros((R, lp_max), bool)
-
-    ref_parts = []
-    ref_len = 0
-    indexed = 0
-    aligner = None
-    s = 0
-    wave = _WAVE0
-    while s < R:
-        rows = np.arange(s, min(s + wave, R))
-        s += wave
-        wave = min(_WAVE, wave * 2)
-        cand = rows[alignable[rows]]
-        if len(cand) and ref_len >= k:
-            if aligner is None or ref_len >= _GROW * max(indexed, 1):
-                ref_codes = (np.concatenate(ref_parts) if ref_parts
-                             else np.zeros(0, np.uint8))
-                ref_parts = [ref_codes]
-                aligner = _mk_aligner(p, ref_codes)
-                indexed = ref_len
-            idx = (np.repeat(read_off[cand], lengths[cand])
-                   + _intra(lengths[cand]))
-            sub = aligner.align(codes_flat[idx], dege_flat[idx],
-                                lengths[cand])
-            hit = sub.mapped
-            upd = cand[hit]
-            mapped[upd] = True
-            pos[upd] = sub.pos[hit]
-            is_rev[upd] = sub.is_rev[hit]
-            mis_mask[upd, :sub.mis_mask.shape[1]] = sub.mis_mask[hit]
-        # unmapped eligible reads of this wave extend the reference,
-        # in read order (= the decoder's reconstruction order)
-        grow = rows[ref_eligible(mapped[rows], sdup[rows], dege_cnt[rows],
-                                 lengths[rows], k)]
-        if len(grow):
-            idx = (np.repeat(read_off[grow], lengths[grow])
-                   + _intra(lengths[grow]))
-            ref_parts.append(codes_flat[idx])
-            ref_len += int(lengths[grow].sum())
-    if dbg is not None:
-        dbg.add("selfref_s", time.time() - t0)
-    n_mapped = int(mapped.sum())
+    is_cand = ~sdup & (dege_cnt == 0) & (lengths >= k)
+    alignable = is_cand & (lengths <= p.align_max_len)
     n_alignable = int(alignable.sum())
-    if n_alignable == 0 or n_mapped / n_alignable < p.min_map_ratio:
+    if n_alignable == 0:
         if dbg is not None:
             dbg.add("fqz_blocks", 1)
         return None, None
+    lp = _lp_of(int(lengths[alignable].max()))
+
+    # all-candidates reference (block order; final ref = kept subset)
+    sel = np.repeat(read_off[is_cand], lengths[is_cand]) \
+        + _intra(lengths[is_cand])
+    allref = codes_flat[sel]
+    aligner = _mk_aligner(p, allref)
+    args = (aligner._h_keys, aligner._h_offsets, aligner._h_positions,
+            aligner._h_packed, aligner._h_l1, aligner._l1_shift,
+            aligner._search_steps, len(allref), codes_flat, dege_flat,
+            read_off, lengths, lp, alignable, is_cand, k, p.seed_stride,
+            p.seed_max_occ, p.seed_big_occ, 1 + p.rescue_seeds,
+            p.seed_excl_bp, p.max_mis, p.both_strands)
+    from fastqueeze_tpu.io import native
+    res = native.selfref_align(*args)
+    if res is None:
+        res = _selfref_align_py(*args)
+    mapped, pos32, is_rev, mis_mask = res
+    if dbg is not None:
+        dbg.add("selfref_s", time.time() - t0)
+    n_mapped = int(mapped.sum())
+    if n_mapped / n_alignable < p.min_map_ratio:
+        if dbg is not None:
+            dbg.add("fqz_blocks", 1)
+        return None, None
+    kept = is_cand & ~mapped
+    sel = np.repeat(read_off[kept], lengths[kept]) + _intra(lengths[kept])
+    ref_codes = codes_flat[sel]
     if dbg is not None:
         dbg.add("align_blocks", 1)
         dbg.add("mapped_reads", n_mapped)
-        dbg.add("selfref_bases", ref_len)
-    ref_codes = (np.concatenate(ref_parts) if ref_parts
-                 else np.zeros(0, np.uint8))
-    return AlignResult(mapped, pos, is_rev, mis_mask), ref_codes
+        dbg.add("selfref_bases", len(ref_codes))
+    return AlignResult(mapped, pos32.astype(np.int64), is_rev,
+                       mis_mask), ref_codes
+
+
+def _selfref_align_py(keys, offsets, positions, packed, l1, l1_shift,
+                      search_steps, allref_len, codes_flat, dege_flat,
+                      roffs, lengths, lp, alignable, is_cand, k, stride,
+                      c1, c2, n_seeds, excl_bp, max_mis, both_strands):
+    """Bit-identical numpy mirror of native fq_selfref_align (the
+    fallback when the native library is unavailable, and the
+    cross-check oracle in tests/test_selfref.py).  Per-read sequential
+    loop — the kept[] constraint is inherently order-dependent."""
+    R = len(lengths)
+    cand_rows = np.flatnonzero(is_cand)
+    E = len(cand_rows)
+    span_start = np.zeros(E + 1, np.int64)
+    np.cumsum(lengths[cand_rows], out=span_start[1:])
+    fstart = np.zeros(E, np.int64)
+    kept = np.zeros(E, bool)
+    ord_of = np.full(R, -1, np.int64)
+    ord_of[cand_rows] = np.arange(E)
+    # all-reference as flat codes (mirror verifies by byte compare —
+    # equal to the native packed-word XOR count over valid bases)
+    allref = np.zeros(allref_len, np.uint8)
+    acc = 0
+    for r in cand_rows:
+        o = roffs[r]
+        allref[acc:acc + lengths[r]] = codes_flat[o:o + lengths[r]]
+        acc += int(lengths[r])
+    BIG = 1 << 30
+
+    def one_strand(row, drow, ln, my_start):
+        P = lp - k + 1
+        S = (P + stride - 1) // stride
+        q = np.arange(S) * stride
+        kv = np.zeros(S, np.uint64)
+        pad = np.zeros(lp, np.uint8)
+        pad[:ln] = row[:ln]
+        kmask = np.uint64((1 << (2 * k)) - 1) if k < 32 else np.uint64(-1)
+        v = np.uint64(0)
+        kv_all = np.zeros(P, np.uint64)
+        for i in range(lp):
+            v = ((v << np.uint64(2)) | np.uint64(pad[i])) & kmask
+            if i >= k - 1:
+                kv_all[i - k + 1] = v
+        kv = kv_all[q]
+        cs = np.zeros(lp + 1, np.int64)
+        cs[1:ln + 1] = np.cumsum(drow[:ln])
+        cs[ln + 1:] = cs[ln]
+        ok = (q <= ln - k) & ((cs[q + k] - cs[q]) == 0)
+        ii = np.searchsorted(keys, kv)
+        ii_c = np.minimum(ii, len(keys) - 1)
+        found = ok & (ii < len(keys)) & (keys[ii_c] == kv)
+        # EFFECTIVE occurrence (native parity): only windows overlapping
+        # a single earlier span by >= ln - max_mis bases count —
+        # pos <= my_start - ln + max_mis + q
+        occ = np.full(S, BIG, np.int64)
+        for s in np.flatnonzero(found):
+            b, e2 = int(offsets[ii_c[s]]), int(offsets[ii_c[s] + 1])
+            eff = int(np.searchsorted(positions[b:e2],
+                                      my_start - ln + max_mis + int(q[s]),
+                                      side="right"))
+            if eff > 0:
+                occ[s] = eff
+        # best = (mis_total, cp, fpos, v0, v1); anchored scoring: bases
+        # outside the anchor span [v0, v1) are force-masked and count as
+        # mismatches (native parity)
+        best = (BIG, 0, 0, 0, ln)
+        seen = set()
+        for it in range(n_seeds):
+            if best[0] <= max_mis:
+                break
+            jb = int(np.argmin(occ))          # first-occurrence argmin
+            if occ[jb] >= BIG:
+                break
+            occ_best = int(occ[jb])
+            pb = int(q[jb])
+            if excl_bp > 0:
+                occ[np.abs(q - pb) <= excl_bp] = BIG
+            else:
+                occ[jb] = BIG
+            cap = c1 if it == 0 else c2
+            lim = min(occ_best, cap)
+            base = int(offsets[ii_c[jb]])
+            for cj in range(lim):
+                cp = int(positions[base + cj]) - pb
+                if cp < 0:
+                    continue
+                e0 = int(np.searchsorted(span_start, cp, side="right")) - 1
+                se0 = int(span_start[e0 + 1])
+                anchor, v0, v1 = e0, 0, ln
+                if cp + ln > se0:
+                    l0 = se0 - cp
+                    r1 = 0
+                    if e0 + 1 < E:
+                        we = min(cp + ln, int(span_start[e0 + 2]))
+                        r1 = we - se0
+                    if l0 >= r1:
+                        v1 = l0
+                    else:
+                        anchor, v0, v1 = e0 + 1, l0, l0 + r1
+                ov = ln - (v1 - v0)
+                if ov > max_mis:
+                    continue
+                if span_start[anchor] >= my_start or not kept[anchor]:
+                    continue
+                fpos = int(fstart[anchor] + (cp - span_start[anchor]))
+                if fpos < 0:
+                    continue
+                if cp in seen:
+                    continue
+                seen.add(cp)
+                m = int(np.count_nonzero(
+                    row[v0:v1] != allref[cp + v0:cp + v1]))
+                tot = m + ov
+                if tot < best[0]:
+                    best = (tot, cp, fpos, v0, v1)
+                    if tot == 0:
+                        break
+            if best[0] == 0:
+                break
+        return best
+
+    mapped = np.zeros(R, bool)
+    pos_out = np.zeros(R, np.int32)
+    rev_out = np.zeros(R, bool)
+    mis_mask = np.zeros((R, lp), bool)
+    run_len = 0
+    for r in range(R):
+        ln = int(lengths[r])
+        e_r = ord_of[r]
+        my_start = int(span_start[e_r]) if e_r >= 0 else int(span_start[E])
+        o = int(roffs[r])
+        is_mapped = False
+        if alignable[r] and E > 0 and my_start >= k:
+            row = codes_flat[o:o + min(ln, lp)]
+            drow = dege_flat[o:o + min(ln, lp)].astype(np.int64)
+            ln_c = min(ln, lp)
+            hf = one_strand(row, drow, ln_c, my_start)
+            use_rev = False
+            rc = None
+            hr = (BIG, 0, 0, 0, ln_c)
+            if both_strands or hf[0] > max_mis:
+                rc = (3 - row[::-1]).astype(np.uint8)
+                rdege = drow[::-1]
+                hr = one_strand(rc, rdege, ln_c, my_start)
+                use_rev = hr[0] < hf[0] if both_strands else True
+            b = hr if use_rev else hf
+            if b[0] <= max_mis:
+                is_mapped = True
+                tot_b, cp, fpos, v0, v1 = b
+                pos_out[r] = fpos
+                rev_out[r] = use_rev
+                eff = rc if use_rev else row
+                mis_mask[r, :ln_c] = True
+                mis_mask[r, v0:v1] = (eff[v0:v1]
+                                      != allref[cp + v0:cp + v1])
+        mapped[r] = is_mapped
+        if e_r >= 0 and not is_mapped:
+            kept[e_r] = True
+            fstart[e_r] = run_len
+            run_len += ln
+    return mapped, pos_out, rev_out, mis_mask
 
 
 def _lp_of(max_len: int) -> int:

@@ -834,3 +834,350 @@ extern "C" int64_t fq_csr_build(const uint8_t* codes, const uint8_t* amb,
     }
     return m;
 }
+
+// ---------------------------------------------------------------------------
+// One-pass self-referential alignment (pipeline/selfref.py).
+//
+// The index covers a reference built from ALL candidate reads (block
+// order).  Reads are processed in block order; read r may map only to a
+// window that (a) ends at or before r's own span start (strictly earlier
+// reads — so every constraint input is already decided), (b) lies within
+// a SINGLE earlier read's span, and (c) that read is still KEPT
+// (unmapped).  Accepted reads are removed from the final reference, so
+// positions are emitted directly in FINAL reference coordinates via the
+// kept-prefix running sum.  This replaces the wave loop (align against a
+// growing prefix, rebuild the index geometrically): one index build, one
+// native pass, and reads can map to ANY earlier kept read instead of only
+// previous waves.  Encoder policy only — decode consumes the emitted
+// flags/positions and rebuilds the identical reference (ref_eligible).
+//
+// No device twin exists (self-ref forces host execution; the decision
+// loop is sequential by construction).  The bit-identical mirror is
+// pipeline/selfref._selfref_align_py, cross-checked in tests.
+// Decision rule per strand: seeds in least-occurrence-first order
+// (first-occurrence argmin, +-excl_bp masking after each pick), first
+// seed capped at c1 candidates, later seeds at c2; full-window verify of
+// every constraint-surviving candidate, first-occurrence strict-< argmin;
+// the seed loop stops once the running best is <= max_mis.  Forward
+// strand first; RC only when forward failed (fallback rule), or better-
+// of-both when both_strands.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct SelfCtx {
+    const int32_t* span_start;   // E + 1 (ends with allref_len)
+    const uint8_t* kept;
+    const int32_t* fstart;
+    int64_t n_spans;
+};
+
+// last span with start <= cp
+static inline int64_t owner_of(const SelfCtx& sc, int32_t cp) {
+    int64_t lo = 0, hi = sc.n_spans;        // invariant: start[lo] <= cp
+    while (lo + 1 < hi) {
+        const int64_t mid = (lo + hi) >> 1;
+        if (sc.span_start[mid] <= cp) lo = mid; else hi = mid;
+    }
+    return lo;
+}
+
+// Masked-range mismatch count: only window offsets in [v0, v1) compare;
+// everything else is pre-masked out (those bases are force-patched).
+static inline int32_t mis_range(const Index& ix, uint32_t cp,
+                                const uint32_t* rw, const uint32_t* mw,
+                                int W, int32_t bound, int32_t v0,
+                                int32_t v1) {
+    const int64_t w0 = (int64_t)(cp >> 4);
+    const uint32_t sh = 2u * (cp & 15u);
+    const int32_t ph = (int32_t)(cp & 15u);
+    int32_t m = 0;
+    for (int j = 0; j <= W && m < bound; j++) {
+        const int32_t o0 = 16 * j - ph;     // window offset of lane 0
+        int32_t lo = v0 - o0, hi = v1 - o0;
+        if (lo < 0) lo = 0;
+        if (hi > 16) hi = 16;
+        if (lo >= hi) continue;
+        const uint32_t rmask =
+            (lo >= 16 ? 0u : (0xFFFFFFFFu >> (2 * lo)))
+            & ~(hi >= 16 ? 0u : (0xFFFFFFFFu >> (2 * hi)));
+        uint32_t refw = ix.packed[w0 + j];
+        uint32_t rsel = frame_word(rw, W, j, sh);
+        uint32_t msel = frame_word(mw, W, j, sh);
+        m += mis2bit((rsel ^ refw) & msel & rmask);
+    }
+    return m;
+}
+
+struct SelfHit {
+    int32_t mis;     // anchored mismatches + masked-overflow penalty
+    int32_t cp;      // all-ref window start
+    int32_t fpos;    // FINAL-reference window start
+    int32_t v0, v1;  // verified (anchor-span) range in window offsets
+};
+
+static void one_strand_self(const Index& ix, const Cfg& cfg, Workspace& ws,
+                            const SelfCtx& sc, int32_t my_start,
+                            int32_t c2, const uint8_t* row,
+                            const uint8_t* drow, int32_t len,
+                            SelfHit* hit) {
+    const int lp = cfg.lp, k = cfg.k, W = cfg.n_words();
+    const int P = lp - k + 1;
+    const int S = (P + cfg.stride - 1) / cfg.stride;
+    ws.epoch++;
+
+    const uint64_t kmask = (k >= 32) ? ~uint64_t(0)
+                                     : ((uint64_t(1) << (2 * k)) - 1);
+    {
+        uint64_t v = 0;
+        int32_t c = 0;
+        ws.cs[0] = 0;
+        for (int i = 0; i < len; i++) {
+            v = ((v << 2) | row[i]) & kmask;
+            c += drow[i] ? 1 : 0;
+            ws.cs[i + 1] = c;
+            if (i >= k - 1) ws.kv[i - k + 1] = v;
+        }
+        for (int i = len; i < lp; i++) {
+            v = (v << 2) & kmask;
+            ws.cs[i + 1] = c;
+            if (i >= k - 1) ws.kv[i - k + 1] = v;
+        }
+    }
+    for (int s = 0; s < S; s++) {
+        int q = s * cfg.stride;
+        ws.psv[s] = q;
+        const uint64_t v = ws.kv[q];
+        bool ok_s = (q <= len - k) && (ws.cs[q + k] - ws.cs[q]) == 0;
+        int64_t bq = (int64_t)(v >> ix.l1_shift);
+        int64_t lo = ix.l1[bq], hi = ix.l1[bq + 1];
+        int64_t hi0 = hi;
+        for (int t = 0; t < ix.search_steps; t++) {
+            bool active = lo < hi;
+            int64_t mid = (lo + hi) >> 1;
+            int64_t m = mid < ix.nk - 1 ? mid : ix.nk - 1;
+            bool less = ix.keys[m] < v;
+            if (active && less) lo = mid + 1;
+            if (active && !less) hi = mid;
+        }
+        int64_t i2 = lo < ix.nk - 1 ? lo : ix.nk - 1;
+        ws.ii[s] = i2;
+        bool found = (ix.keys[i2] == v) && (lo < hi0) && ok_s;
+        // EFFECTIVE occurrence: only positions this read may use — the
+        // window must end at or before its own span (pos <= my_start -
+        // len + q; bucket positions are ascending, one upper_bound).
+        // In the all-reads index the read's own (and later reads')
+        // positions would otherwise dominate the least-occurrence seed
+        // choice: an error seed unique to the read itself has occ == 1
+        // and always looks "most specific" while yielding zero usable
+        // candidates.
+        int32_t eff = 0;
+        if (found) {
+            // window must overlap a single EARLIER span by at least
+            // len - max_mis bases: cp + (len - max_mis) <= my_start
+            const int32_t limit = my_start - len + cfg.max_mis + q;
+            const int32_t* b = ix.positions + ix.offsets[i2];
+            const int32_t* e2 = ix.positions + ix.offsets[i2 + 1];
+            eff = (int32_t)(std::upper_bound(b, e2, limit) - b);
+        }
+        ws.occ[s] = eff > 0 ? eff : BIG;
+    }
+
+    std::fill(ws.rw.begin(), ws.rw.end(), 0u);
+    std::fill(ws.mw.begin(), ws.mw.end(), 0u);
+    for (int i = 0; i < len; i++) {
+        uint32_t shv = 2u * (15 - (i & 15));
+        ws.rw[i >> 4] |= ((uint32_t)row[i]) << shv;
+        ws.mw[i >> 4] |= 3u << shv;
+    }
+    const uint32_t* rw = ws.rw.data();
+    const uint32_t* mw = ws.mw.data();
+
+    int32_t* occv = ws.occ.data();
+    SelfHit best{BIG, 0, 0, 0, len};
+    for (int it = 0; it < cfg.n_seeds; it++) {
+        if (best.mis <= cfg.max_mis) break;      // seed-level early stop
+        int jb = 0;
+        for (int s = 1; s < S; s++) if (occv[s] < occv[jb]) jb = s;
+        if (occv[jb] >= BIG) break;              // no seed hits the index
+        int32_t occ_best = occv[jb];
+        int32_t pb = ws.psv[jb];
+        if (cfg.excl_bp > 0) {
+            for (int s = 0; s < S; s++)
+                if (std::abs(ws.psv[s] - pb) <= cfg.excl_bp) occv[s] = BIG;
+        } else {
+            occv[jb] = BIG;
+        }
+        const int32_t cap = it == 0 ? cfg.n_cand : c2;
+        int64_t base = ix.offsets[ws.ii[jb]];
+        int32_t lim = occ_best < cap ? occ_best : cap;   // eff occ: all
+        const int32_t* posp = ix.positions + base;       // usable windows
+        for (int cj = 0; cj < lim; cj++) {
+            int32_t cp_i = posp[cj] - pb;
+            if (cp_i < 0) continue;
+            // anchor: the single earlier-kept span the window overlaps
+            // most; every base outside it is force-masked (patched) and
+            // counts as a mismatch — junction-crossing near-duplicates
+            // (the dominant match class at coverage) stay mappable
+            const int64_t e0 = owner_of(sc, cp_i);
+            const int32_t se0 = sc.span_start[e0 + 1];
+            int64_t anchor = e0;
+            int32_t v0 = 0, v1 = len;
+            if (cp_i + len > se0) {
+                const int32_t l0 = se0 - cp_i;
+                int32_t r1 = 0;
+                if (e0 + 1 < sc.n_spans) {
+                    const int32_t se1 = sc.span_start[e0 + 2];
+                    const int32_t we = cp_i + len < se1 ? cp_i + len : se1;
+                    r1 = we - sc.span_start[e0 + 1];
+                }
+                if (l0 >= r1) {
+                    v1 = l0;
+                } else {
+                    anchor = e0 + 1;
+                    v0 = l0;
+                    v1 = l0 + r1;
+                }
+            }
+            const int32_t ov = len - (v1 - v0);
+            if (ov > cfg.max_mis) continue;
+            if (sc.span_start[anchor] >= my_start || !sc.kept[anchor])
+                continue;
+            const int32_t fpos =
+                sc.fstart[anchor] + (cp_i - sc.span_start[anchor]);
+            if (fpos < 0) continue;
+            const uint32_t cp = (uint32_t)cp_i;
+            const uint32_t h = ws.slot(cp);
+            if (ws.hep[h] == ws.epoch) continue;   // duplicate position
+            ws.hep[h] = ws.epoch;
+            ws.hkey[h] = cp;
+            if (cj + 8 < lim) {
+                int32_t nxt = posp[cj + 8] - pb;
+                if (nxt >= 0) __builtin_prefetch(ix.packed + (nxt >> 4));
+            }
+            const int32_t bound = best.mis - ov;   // need range-mis < this
+            if (bound <= 0) continue;
+            const int32_t m = mis_range(ix, cp, rw, mw, W, bound, v0, v1);
+            const int32_t tot = m + ov;
+            if (tot < best.mis) {
+                best = SelfHit{tot, cp_i, fpos, v0, v1};
+                if (tot == 0) break;
+            }
+        }
+        if (best.mis == 0) break;
+    }
+    *hit = best;
+}
+
+}  // namespace
+
+extern "C" int64_t fq_selfref_align(
+    const uint64_t* keys, int64_t nk, const int32_t* offsets,
+    const int32_t* positions, int64_t npos,
+    const uint32_t* packed, int64_t nw,
+    const int32_t* l1, int32_t l1_shift, int32_t search_steps,
+    int32_t allref_len,
+    const uint8_t* codes, const uint8_t* dege, const int64_t* roffs,
+    const int32_t* lengths, int64_t R, int32_t lp,
+    const uint8_t* alignable, const uint8_t* is_cand,
+    int32_t k, int32_t stride, int32_t c1, int32_t c2,
+    int32_t n_seeds, int32_t excl_bp, int32_t max_mis,
+    int32_t both_strands,
+    uint8_t* mapped, int32_t* pos_out, uint8_t* rev_out,
+    uint8_t* mis_mask) {
+    Index ix{keys, nk, offsets, positions, npos, packed, nw,
+             l1, l1_shift, search_steps, allref_len};
+    Cfg cfg{k, stride, c1, max_mis, n_seeds, excl_bp, /*probe_k=*/0, lp};
+    Workspace ws;
+    {
+        // size the position-dedup hash for the LARGER per-seed cap (the
+        // rescue seeds use c2 > c1; an overfull open-address table would
+        // loop forever inside slot())
+        Cfg sizing = cfg;
+        sizing.n_cand = c2 > c1 ? c2 : c1;
+        ws.init(sizing);
+    }
+
+    // candidate span table (block order, contiguous in the all-ref)
+    int64_t E = 0;
+    for (int64_t r = 0; r < R; r++) E += is_cand[r] ? 1 : 0;
+    std::vector<int32_t> span_start(E + 1), fstart(E, 0), span_read(E);
+    std::vector<uint8_t> kept(E, 0);
+    {
+        int64_t e = 0;
+        int32_t acc = 0;
+        for (int64_t r = 0; r < R; r++) {
+            if (!is_cand[r]) continue;
+            span_start[e] = acc;
+            span_read[e] = (int32_t)r;
+            acc += lengths[r];
+            e++;
+        }
+        span_start[E] = acc;
+    }
+    SelfCtx sc{span_start.data(), kept.data(), fstart.data(), E};
+
+    int64_t n_mapped = 0;
+    int32_t run_len = 0;
+    int64_t e = 0;
+    for (int64_t r = 0; r < R; r++) {
+        const int32_t len0 = lengths[r];
+        const bool cand = is_cand[r] != 0;
+        const int32_t my_start = cand ? span_start[e] : span_start[E];
+        uint8_t* mm = mis_mask + r * lp;
+        std::memset(mm, 0, lp);
+        mapped[r] = 0;
+        pos_out[r] = 0;
+        rev_out[r] = 0;
+        bool is_mapped = false;
+        if (alignable[r] && E > 0 && my_start >= k) {
+            const uint8_t* row = codes + roffs[r];
+            const uint8_t* drow = dege + roffs[r];
+            int32_t len = len0 > lp ? lp : len0;
+            SelfHit hf{BIG, 0, 0, 0, len}, hr{BIG, 0, 0, 0, len};
+            one_strand_self(ix, cfg, ws, sc, my_start, c2, row, drow, len,
+                            &hf);
+            const bool need_rc = both_strands || hf.mis > max_mis;
+            if (need_rc) {
+                for (int i = 0; i < lp; i++) {
+                    ws.rc[i] = i < len ? (uint8_t)(3 - row[len - 1 - i]) : 0;
+                    ws.rdege[i] = i < len ? drow[len - 1 - i] : 0;
+                }
+                one_strand_self(ix, cfg, ws, sc, my_start, c2,
+                                ws.rc.data(), ws.rdege.data(), len, &hr);
+            }
+            bool use_rev;
+            if (both_strands) use_rev = hr.mis < hf.mis;
+            else use_rev = hf.mis > max_mis;
+            const SelfHit& b = use_rev ? hr : hf;
+            if (b.mis <= max_mis) {
+                is_mapped = true;
+                pos_out[r] = b.fpos;
+                rev_out[r] = use_rev ? 1 : 0;
+                const uint8_t* eff = use_rev ? ws.rc.data() : row;
+                for (int i = 0; i < len; i++) {
+                    if (i < b.v0 || i >= b.v1) {  // masked overflow:
+                        mm[i] = 1;                // always patched
+                        continue;
+                    }
+                    int64_t idx = (int64_t)(uint32_t)b.cp + i;
+                    int64_t wi = idx >> 4;
+                    if (wi > ix.nw - 1) wi = ix.nw - 1;
+                    uint32_t shv = 2u * (15 - (idx & 15));
+                    uint8_t refb = (uint8_t)((ix.packed[wi] >> shv) & 3u);
+                    mm[i] = eff[i] != refb ? 1 : 0;
+                }
+                n_mapped++;
+            }
+        }
+        mapped[r] = is_mapped ? 1 : 0;
+        if (cand) {
+            if (!is_mapped) {
+                kept[e] = 1;
+                fstart[e] = run_len;
+                run_len += len0;
+            }
+            e++;
+        }
+    }
+    return n_mapped;
+}

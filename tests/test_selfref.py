@@ -173,3 +173,34 @@ def test_selfref_corrupt_fails_cleanly(tmp_path):
             assert open(outs[0], "rb").read() == raw
         except ValueError:
             pass
+
+
+def test_selfref_native_mirror_bit_identical():
+    """native fq_selfref_align vs the numpy mirror (_selfref_align_py):
+    decisions, final positions, rev flags, masks, and the rebuilt
+    reference must agree exactly (the mirror is the no-native fallback
+    AND the review oracle for the sequential kept[] logic)."""
+    import dataclasses
+
+    import fastqueeze_tpu.io.native as N
+    from fastqueeze_tpu.io.fastq import parse_block
+    from fastqueeze_tpu.pipeline.selfref import maybe_align_self
+    if N.get_lib() is None:
+        pytest.skip("native library unavailable")
+    raw = _coverage_fastq(n_reads=900, genome_len=12000, seed=77,
+                          with_n=True, dup_every=9)
+    blk = parse_block(raw, True)
+    p = dataclasses.replace(CodecParams(**SMALL), min_map_ratio=0.0)
+    r1, c1 = maybe_align_self(p, blk)
+    orig = N.selfref_align
+    N.selfref_align = lambda *a, **k: None
+    try:
+        r2, c2 = maybe_align_self(p, blk)
+    finally:
+        N.selfref_align = orig
+    assert np.array_equal(r1.mapped, r2.mapped)
+    assert np.array_equal(r1.pos, r2.pos)
+    assert np.array_equal(r1.is_rev, r2.is_rev)
+    assert np.array_equal(r1.mis_mask, r2.mis_mask)
+    assert np.array_equal(c1, c2)
+    assert r1.mapped.sum() > 0
