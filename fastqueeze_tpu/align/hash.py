@@ -88,6 +88,11 @@ class AlignResult(NamedTuple):
     # ref[pos+g+i] (filler 0 under insertions).  None = all gapless.
     gap_pos: np.ndarray = None   # (R,) int32 split s (0 where gapless)
     gap_len: np.ndarray = None   # (R,) int32 signed gap g (0 = gapless)
+    # optional second op (reference multi-op CigaL/CigaV generality):
+    # applies after op1 at s2 >= s1 + max(-g1, 0); cumulative shift
+    # g1 + g2 past s2.  0 = read has at most one op.
+    gap_pos2: np.ndarray = None  # (R,) int32 second split s2
+    gap_len2: np.ndarray = None  # (R,) int32 second signed gap g2
 
 
 def config_from_params(p: CodecParams, lp: int) -> AlignConfig:
@@ -460,12 +465,16 @@ def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, l1,
     return mapped, pos, use_rev & mapped, mis_mask
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "G"))
-def _indel_batch(cfg: AlignConfig, G: int, keys, offsets, positions, packed,
-                 l1, ref_len, codes, dege, lengths):
-    """One-indel rescue for reads the gapless tiers failed (the BWA path's
+@functools.partial(jax.jit, static_argnames=("cfg", "G", "ops"))
+def _indel_batch(cfg: AlignConfig, G: int, ops: int, keys, offsets,
+                 positions, packed, l1, ref_len, codes, dege, lengths):
+    """Indel rescue for reads the gapless tiers failed (the BWA path's
     indel capability, reference compressAlignInfo_CigaL/CigaV +
     decomposeAlignInfo @0x433860, SURVEY.md §2.1, recast TPU-first).
+    Up to ``ops`` (1 or 2) gap operations per read: a greedy second pass
+    extends the 1-op argmin with another split in its tail when one op
+    alone cannot reach ``max_mis`` (reference multi-op CigaL/CigaV
+    stream generality).
 
     Per strand: take the best *gapless* candidate from the seed search,
     build per-base compare vectors against the reference at shifts
@@ -554,20 +563,148 @@ def _indel_batch(cfg: AlignConfig, G: int, keys, offsets, positions, packed,
                 consider(Eg + (T[G] - E0), s_grid <= len1, -g, g, g, 0)
 
         tot_b = jnp.where(ok_b, tot_b, _BIG)
-        # chosen-variant mismatch mask in spliced-window (== read) coords
-        cmp_st = jnp.stack(cmp, axis=1)                    # (B, 2G+1, Lp)
-        pre = jnp.take_along_axis(cmp_st, pg_b[:, None, None],
-                                  axis=1)[:, 0]
-        suf = jnp.take_along_axis(cmp_st, sg_b[:, None, None],
-                                  axis=1)[:, 0]
-        lit = (c != 0) & valid
-        h_b = jnp.maximum(-g_b, 0)[:, None]
-        mask = jnp.where(pos_i < s_b[:, None], pre,
-                         jnp.where(pos_i < s_b[:, None] + h_b,
-                                   jnp.where(h_b > 0, lit, suf), suf))
-        return tot_b, s_b, g_b, po_b, mask & valid
 
-    tot_f, s_f, g_f, po_f, mk_f = strand_eval(codes, dege)
+        # pass 2 (greedy second op, mirrors native/alignhost.cpp): where
+        # one op cannot reach max_mis, re-split the 1-op argmin.  Two
+        # symmetric candidate families from the same compare tensors:
+        #  TAIL: keep prefix [0,s1)@pg + op1; op2 at s2 >= s1+h1 moves
+        #        the remainder to row sg+g2.
+        #        tot = pref[s1] + lit1 + (Esg[s2]-Esg[s1+h1]) + lit2
+        #              + (E2[len]-E2[s2+h2])
+        #  HEAD: keep op1 + tail [s1+h1,len)@sg; a new first op at
+        #        s0 <= s1-hh re-bases the prefix [0,s0) to row pg+gh
+        #        (output pos shifts by gh; serialized gap -gh).
+        #        tot = Ej0[s0] + lit0 + (Epg[s1]-Epg[s0+hh]) + lit1
+        #              + (Esg[len]-Esg[s1+h1])
+        # Order: gap ascending then split ascending, strict-< chaining
+        # within each family; head wins only if strictly better — the
+        # identical tie-breaks to the host mirror.  Final fields are the
+        # decode splice's (sA,gA,sB,gB): shift gA past sA, +gB past sB,
+        # filler over [s,s+max(-g,0)); jb_b = window row of segment 0.
+        sA_b, gA_b = s_b, g_b
+        sB_b = jnp.zeros((B,), jnp.int32)
+        gB_b = jnp.zeros((B,), jnp.int32)
+        jb_b, poo_b = pg_b, po_b
+        E_st = jnp.stack(E, axis=1)                    # (B, 2G+1, Lp+1)
+        if ops >= 2:
+            def row_of(j):
+                return jnp.take_along_axis(
+                    E_st, jnp.clip(j, 0, 2 * G)[:, None, None],
+                    axis=1)[:, 0]
+
+            def at(X, i):
+                return jnp.take_along_axis(X, i[:, None], axis=1)[:, 0]
+
+            Epg, Esg = row_of(pg_b), row_of(sg_b)
+            h1 = jnp.maximum(-g_b, 0)
+            s1h = s_b + h1
+            lens = lengths.astype(jnp.int32)
+            op1_lit = at(F, s1h) - at(F, s_b)
+            elig = (tot_b > cfg.max_mis) & (tot_b < _BIG)
+
+            # TAIL family
+            base_c = at(Epg, s_b) + op1_lit - at(Esg, s1h)
+            t2_b = jnp.full((B,), _BIG, jnp.int32)
+            s2_b = jnp.zeros((B,), jnp.int32)
+            g2_b = jnp.zeros((B,), jnp.int32)
+            for g2 in range(-G, G + 1):
+                if g2 == 0:
+                    continue
+                j2 = sg_b + g2
+                okj = (j2 >= 0) & (j2 <= 2 * G)
+                E2 = row_of(j2)
+                e2len = at(E2, lens)[:, None]
+                h2 = -g2 if g2 < 0 else 0
+                if h2:
+                    tot = (Esg[:, :Lp + 1 - h2]
+                           + (F[:, h2:] - F[:, :Lp + 1 - h2])
+                           + (e2len - E2[:, h2:]))
+                    tot = jnp.pad(tot, ((0, 0), (0, h2)),
+                                  constant_values=1 << 28)
+                else:
+                    tot = Esg + (e2len - E2)
+                tot = base_c[:, None] + tot
+                ok_s = ((s_grid >= s1h[:, None]) & (s_grid <= len1 - h2)
+                        & okj[:, None] & elig[:, None])
+                tot = jnp.where(ok_s, tot, _BIG)
+                sb = jnp.argmin(tot, axis=1).astype(jnp.int32)
+                tb = jnp.take_along_axis(tot, sb[:, None], axis=1)[:, 0]
+                better = tb < t2_b
+                t2_b = jnp.where(better, tb, t2_b)
+                s2_b = jnp.where(better, sb, s2_b)
+                g2_b = jnp.where(better, jnp.int32(g2), g2_b)
+
+            # HEAD family
+            tail_c = op1_lit + at(Esg, lens) - at(Esg, s1h) + at(Epg, s_b)
+            th_b = jnp.full((B,), _BIG, jnp.int32)
+            s0_b = jnp.zeros((B,), jnp.int32)
+            gh_b = jnp.zeros((B,), jnp.int32)
+            for gh in range(-G, G + 1):
+                if gh == 0:
+                    continue
+                j0 = pg_b + gh
+                okj = (j0 >= 0) & (j0 <= 2 * G)
+                Ej0 = row_of(j0)
+                hh = gh if gh > 0 else 0
+                if hh:
+                    tot = (Ej0[:, :Lp + 1 - hh]
+                           + (F[:, hh:] - F[:, :Lp + 1 - hh])
+                           - Epg[:, hh:])
+                    tot = jnp.pad(tot, ((0, 0), (0, hh)),
+                                  constant_values=1 << 28)
+                else:
+                    tot = Ej0 - Epg
+                tot = tail_c[:, None] + tot
+                ok_s = ((s_grid <= s_b[:, None] - hh)
+                        & okj[:, None] & elig[:, None])
+                tot = jnp.where(ok_s, tot, _BIG)
+                sb = jnp.argmin(tot, axis=1).astype(jnp.int32)
+                tb = jnp.take_along_axis(tot, sb[:, None], axis=1)[:, 0]
+                better = tb < th_b
+                th_b = jnp.where(better, tb, th_b)
+                s0_b = jnp.where(better, sb, s0_b)
+                gh_b = jnp.where(better, jnp.int32(gh), gh_b)
+
+            use_head = th_b < t2_b
+            t_best = jnp.minimum(t2_b, th_b)
+            better2 = t_best < tot_b
+            tot_b = jnp.where(better2, t_best, tot_b)
+            uh = better2 & use_head
+            ut = better2 & ~use_head
+            sA_b = jnp.where(uh, s0_b, s_b)
+            gA_b = jnp.where(uh, -gh_b, g_b)
+            sB_b = jnp.where(uh, s_b, jnp.where(ut, s2_b, 0))
+            gB_b = jnp.where(uh, g_b, jnp.where(ut, g2_b, 0))
+            jb_b = jnp.where(uh, pg_b + gh_b, pg_b)
+            poo_b = jnp.where(uh, po_b + gh_b, po_b)
+
+        # chosen-variant mismatch mask in spliced-window (== read) coords:
+        # segment rows jb, jb+gA, jb+gA+gB; literal filler over the
+        # insertion ranges (identical for the 1-op case, where sB=gB=0)
+        cmp_st = jnp.stack(cmp, axis=1)                    # (B, 2G+1, Lp)
+
+        def seg_row(j):
+            return jnp.take_along_axis(
+                cmp_st, jnp.clip(j, 0, 2 * G)[:, None, None],
+                axis=1)[:, 0]
+
+        r0 = seg_row(jb_b)
+        r1 = seg_row(jb_b + gA_b)
+        r2 = seg_row(jb_b + gA_b + gB_b)
+        lit = (c != 0) & valid
+        hA = jnp.maximum(-gA_b, 0)[:, None]
+        hB = jnp.maximum(-gB_b, 0)[:, None]
+        sAm, sBm = sA_b[:, None], sB_b[:, None]
+        mask = jnp.where(
+            pos_i < sAm, r0,
+            jnp.where(pos_i < sAm + hA, jnp.where(hA > 0, lit, r1),
+                      jnp.where(pos_i < sBm, r1,
+                                jnp.where(pos_i < sBm + hB,
+                                          jnp.where(hB > 0, lit, r2),
+                                          r2))))
+        return tot_b, sA_b, gA_b, sB_b, gB_b, poo_b, mask & valid
+
+    tot_f, s_f, g_f, s2_f, g2_f, po_f, mk_f = strand_eval(codes, dege)
 
     ridx = jnp.clip(lengths[:, None] - 1 - pos_i, 0, Lp - 1)
     rc = jnp.where(valid, 3 - jnp.take_along_axis(codes.astype(jnp.int32),
@@ -575,7 +712,7 @@ def _indel_batch(cfg: AlignConfig, G: int, keys, offsets, positions, packed,
     rc = rc.astype(jnp.uint8)
     rdege = jnp.where(valid, jnp.take_along_axis(
         dege.astype(jnp.int32), ridx, axis=1), 0).astype(bool)
-    tot_r, s_r, g_r, po_r, mk_r = strand_eval(rc, rdege)
+    tot_r, s_r, g_r, s2_r, g2_r, po_r, mk_r = strand_eval(rc, rdege)
 
     use_rev = tot_r < tot_f
     tot = jnp.where(use_rev, tot_r, tot_f)
@@ -584,6 +721,8 @@ def _indel_batch(cfg: AlignConfig, G: int, keys, offsets, positions, packed,
             jnp.where(use_rev, po_r, po_f),
             jnp.where(use_rev, s_r, s_f),
             jnp.where(use_rev, g_r, g_f),
+            jnp.where(use_rev, s2_r, s2_f),
+            jnp.where(use_rev, g2_r, g2_f),
             use_rev & found,
             jnp.where(use_rev[:, None], mk_r, mk_f))
 
@@ -794,13 +933,15 @@ class Aligner:
             # aligner is equally short-read-only)
             sel = np.flatnonzero(lengths <= cap)
             lp = self._lp_bucket(int(lengths[sel].max()) if len(sel) else 32)
-            gp = gl = None
+            gp = gl = gp2 = gl2 = None
             if self.params.max_indel > 0:
                 gp = np.zeros(R, np.int32)
                 gl = np.zeros(R, np.int32)
+                gp2 = np.zeros(R, np.int32)
+                gl2 = np.zeros(R, np.int32)
             res = AlignResult(np.zeros(R, bool), np.zeros(R, np.int64),
                               np.zeros(R, bool), np.zeros((R, lp), bool),
-                              gp, gl)
+                              gp, gl, gp2, gl2)
             if len(sel):
                 off = np.cumsum(lengths) - lengths
                 idx = (np.repeat(off[sel], lengths[sel])
@@ -817,6 +958,8 @@ class Aligner:
                     # and corrupt the block (caught only by decode MD5)
                     res.gap_pos[sel] = sub.gap_pos
                     res.gap_len[sel] = sub.gap_len
+                    res.gap_pos2[sel] = sub.gap_pos2
+                    res.gap_len2[sel] = sub.gap_len2
             return res
         lp = self._lp_bucket(max_len)
         p = self.params
@@ -886,12 +1029,14 @@ class Aligner:
                 self._run_tier(cfg2, flat, grids, lengths, todo,
                                mapped, pos, is_rev, mis_mask, 512)
 
-        gap_pos = gap_len = None
+        gap_pos = gap_len = gap_pos2 = gap_len2 = None
         if p.max_indel > 0:
-            # tier 3: one-indel rescue for still-unmapped reads (the -q
-            # mode's CigaL/CigaV capability)
+            # tier 3: indel rescue for still-unmapped reads (the -q
+            # mode's CigaL/CigaV capability; up to p.indel_ops gaps)
             gap_pos = np.zeros(R, np.int32)
             gap_len = np.zeros(R, np.int32)
+            gap_pos2 = np.zeros(R, np.int32)
+            gap_len2 = np.zeros(R, np.int32)
             todo = np.flatnonzero(~mapped & (lengths >= self.k))
             if len(todo):
                 cfg3 = AlignConfig(k=self.k, stride=p.seed_stride,
@@ -914,18 +1059,21 @@ class Aligner:
                         codes_flat, dege_flat, roffs[todo], lengths[todo],
                         lp, self.k, p.seed_stride, big, p.max_mis,
                         p.rescue_seeds, p.seed_excl_bp, cfg3.probe_k,
-                        G_eff)
+                        G_eff, p.indel_ops)
                     if out is not None:
-                        f, p_, s_, g_, rv, mm = out
+                        f, p_, s_, g_, s2_, g2_, rv, mm = out
                         upd = todo[f]
                         mapped[upd] = True
                         pos[upd] = p_[f]
                         gap_pos[upd] = s_[f]
                         gap_len[upd] = g_[f]
+                        gap_pos2[upd] = s2_[f]
+                        gap_len2[upd] = g2_[f]
                         is_rev[upd] = rv[f]
                         mis_mask[upd] = mm[f]
                         return AlignResult(mapped, pos, is_rev, mis_mask,
-                                           gap_pos, gap_len)
+                                           gap_pos, gap_len,
+                                           gap_pos2, gap_len2)
                 arrs = self._arrays()
                 jobs = []
                 B = 512
@@ -938,21 +1086,24 @@ class Aligner:
                     lb = np.zeros(B, np.int32)
                     cb[:n], db[:n] = cg[sel], dg[sel]
                     lb[:n] = lengths[sel]
-                    out = _indel_batch(cfg3, G_eff, *arrs,
+                    out = _indel_batch(cfg3, G_eff, p.indel_ops, *arrs,
                                        jnp.int32(self.ref_len),
                                        jnp.asarray(cb), jnp.asarray(db),
                                        jnp.asarray(lb))
                     jobs.append((sel, n, out))
-                for sel, n, (f, p_, s_, g_, r, mm) in jobs:
+                for sel, n, (f, p_, s_, g_, s2_, g2_, r, mm) in jobs:
                     f = np.asarray(f)[:n]
                     upd = sel[f]
                     mapped[upd] = True
                     pos[upd] = np.asarray(p_)[:n][f]
                     gap_pos[upd] = np.asarray(s_)[:n][f]
                     gap_len[upd] = np.asarray(g_)[:n][f]
+                    gap_pos2[upd] = np.asarray(s2_)[:n][f]
+                    gap_len2[upd] = np.asarray(g2_)[:n][f]
                     is_rev[upd] = np.asarray(r)[:n][f]
                     mis_mask[upd] = np.asarray(mm)[:n][f]
-        return AlignResult(mapped, pos, is_rev, mis_mask, gap_pos, gap_len)
+        return AlignResult(mapped, pos, is_rev, mis_mask, gap_pos, gap_len,
+                           gap_pos2, gap_len2)
 
     def rescue_mates(self, codes_flat: np.ndarray, dege_flat: np.ndarray,
                      lengths: np.ndarray, res: AlignResult,
@@ -988,7 +1139,8 @@ class Aligner:
                 is_rev[upd] = r[m]
                 mis_mask[upd] = mm[m]
                 return AlignResult(mapped, pos, is_rev, mis_mask,
-                                   res.gap_pos, res.gap_len)
+                                   res.gap_pos, res.gap_len,
+                                   res.gap_pos2, res.gap_len2)
         # grid only the rescue candidates (long reads skipped alignment and
         # must not enter the (R, lp) grid)
         off = np.cumsum(lengths) - lengths
@@ -1022,7 +1174,8 @@ class Aligner:
             mis_mask[upd] = np.asarray(mm)[:n][m]
         # window-rescued reads are gapless; existing gap fields carry over
         return AlignResult(mapped, pos, is_rev, mis_mask,
-                           res.gap_pos, res.gap_len)
+                           res.gap_pos, res.gap_len,
+                           res.gap_pos2, res.gap_len2)
 
     def _host_ok(self, lp: int) -> bool:
         """Host-native alignment available and routed for this grid?

@@ -129,6 +129,11 @@ class CodecParams:
                                     # bp (0 = gapless only, the hash-path
                                     # default; -q enables 3 — the BWA
                                     # path's CigaL/CigaV capability)
+    indel_ops: int = 2              # max gap operations per read (1 or 2;
+                                    # 2 = greedy second split when one op
+                                    # cannot reach max_mis — the reference
+                                    # BWA path's multi-op CigaL/CigaV
+                                    # stream generality)
     align_max_len: int = 2048       # reads longer than this skip alignment
                                     # (short-read gapless aligner; longer
                                     # reads code entropy-only, no lp-bucket
@@ -234,6 +239,7 @@ class CodecParams:
         "Bothstrands": "both_strands",
         "Maxinsr": "max_insr",
         "Maxindel": "max_indel",
+        "Indelops": "indel_ops",
         "Threads": "threads",
         "Mesh": "mesh_n",
         "SeedMaxOcc": "seed_max_occ",
@@ -315,6 +321,7 @@ class CodecParams:
         "max_mis": (0, 255),
         "max_insr": (0, 1 << 24),
         "max_indel": (0, 255),
+        "indel_ops": (1, 2),
         "align_max_len": (32, 1 << 20),
         "lanes_min": (1, 1 << 16),
         "lanes_max": (1, 1 << 16),

@@ -189,8 +189,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         _U8P, _U8P, _I64P, _i32p,                 # codes, dege, roffs, lens
         ctypes.c_int64, _i32,                     # R, lp
         _i32, _i32, _i32, _i32,                   # k, stride, n_cand, max_mis
-        _i32, _i32, _i32, _i32,                   # n_seeds, excl, probe_k, G
-        _U8P, _i32p, _i32p, _i32p, _U8P, _U8P]    # found,pos,split,gap,rev,mm
+        _i32, _i32, _i32, _i32, _i32,             # n_seeds,excl,probe_k,G,ops
+        _U8P, _i32p, _i32p, _i32p, _i32p, _i32p,  # found,pos,s1,g1,s2,g2
+        _U8P, _U8P]                               # rev, mis_mask
     lib.fq_window_batch.restype = None
     lib.fq_window_batch.argtypes = [
         _u32p2, ctypes.c_int64, _i32,             # packed, nw, ref_len
@@ -711,11 +712,13 @@ def indel_batch(keys: np.ndarray, offsets: np.ndarray,
                 codes_flat: np.ndarray, dege_flat: np.ndarray,
                 roffs: np.ndarray, lengths: np.ndarray, lp: int,
                 k: int, stride: int, n_cand: int, max_mis: int,
-                n_seeds: int, excl_bp: int, probe_k: int, G: int):
-    """Host-native one-indel rescue (native/alignhost.cpp
-    fq_indel_batch) — decision mirror of align/hash.py _indel_batch.
-    Returns (found bool, pos i32, split i32, gap i32, is_rev bool,
-    mis_mask (R, lp) bool) or None."""
+                n_seeds: int, excl_bp: int, probe_k: int, G: int,
+                ops: int = 2):
+    """Host-native indel rescue, up to `ops` gap operations per read
+    (native/alignhost.cpp fq_indel_batch) — decision mirror of
+    align/hash.py _indel_batch.  Returns (found bool, pos i32, split i32,
+    gap i32, split2 i32, gap2 i32, is_rev bool, mis_mask (R, lp) bool)
+    or None."""
     lib = get_lib()
     if lib is None or keys.dtype != np.uint64:
         return None
@@ -733,6 +736,8 @@ def indel_batch(keys: np.ndarray, offsets: np.ndarray,
     pos = np.empty(R, np.int32)
     split = np.empty(R, np.int32)
     gap = np.empty(R, np.int32)
+    split2 = np.empty(R, np.int32)
+    gap2 = np.empty(R, np.int32)
     rev = np.empty(R, np.uint8)
     mm = np.empty((R, lp), np.uint8)
     lib.fq_indel_batch(
@@ -744,11 +749,13 @@ def indel_batch(keys: np.ndarray, offsets: np.ndarray,
         _u8p(codes_flat), _u8p(dege_flat), _i64p(roffs),
         lengths.ctypes.data_as(_I32P),
         R, lp, k, stride, n_cand, max_mis, n_seeds, excl_bp, probe_k, G,
+        ops,
         _u8p(found), pos.ctypes.data_as(_I32P),
         split.ctypes.data_as(_I32P), gap.ctypes.data_as(_I32P),
+        split2.ctypes.data_as(_I32P), gap2.ctypes.data_as(_I32P),
         _u8p(rev), _u8p(mm))
-    return (found.astype(bool), pos, split, gap, rev.astype(bool),
-            mm.astype(bool))
+    return (found.astype(bool), pos, split, gap, split2, gap2,
+            rev.astype(bool), mm.astype(bool))
 
 
 def window_batch(packed: np.ndarray, ref_len: int, codes_flat: np.ndarray,

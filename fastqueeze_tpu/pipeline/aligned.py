@@ -63,7 +63,7 @@ def align_block(aligner: Aligner, block: FastqBlock,
     pos = np.zeros(R, np.int64)
     rev = np.zeros(R, bool)
     mm = np.zeros((R, lp), bool)
-    gp = gl = None
+    gp = gl = gp2 = gl2 = None
     rows = np.flatnonzero(keep)
     mapped[rows] = sub.mapped
     pos[rows] = sub.pos
@@ -74,6 +74,11 @@ def align_block(aligner: Aligner, block: FastqBlock,
         gl = np.zeros(R, np.int32)
         gp[rows] = sub.gap_pos
         gl[rows] = sub.gap_len
+        if sub.gap_pos2 is not None:
+            gp2 = np.zeros(R, np.int32)
+            gl2 = np.zeros(R, np.int32)
+            gp2[rows] = sub.gap_pos2
+            gl2[rows] = sub.gap_len2
     d = np.flatnonzero(sdup)
     src = dup_src[d]                 # first occurrences: always in `rows`
     mapped[d] = mapped[src]
@@ -83,7 +88,10 @@ def align_block(aligner: Aligner, block: FastqBlock,
     if gp is not None:
         gp[d] = gp[src]
         gl[d] = gl[src]
-    return AlignResult(mapped, pos, rev, mm, gp, gl)
+    if gp2 is not None:
+        gp2[d] = gp2[src]
+        gl2[d] = gl2[src]
+    return AlignResult(mapped, pos, rev, mm, gp, gl, gp2, gl2)
 
 
 def _maybe_align(p: CodecParams, aligner: Aligner, block: FastqBlock,

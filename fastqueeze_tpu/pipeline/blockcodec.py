@@ -60,6 +60,9 @@ TAG_SDUPD = 26    # seq-dup reads: back-distance (in reads) to the first
                   #   identical earlier read
 TAG_QDUPF = 27    # duplicate tier: per-read qual-duplicate flag
 TAG_QDUPD = 28    # qual-dup reads: back-distance to the first identical
+TAG_ACG2F = 29    # indel reads: has-second-op flag (multi-op CigaL/CigaV)
+TAG_ACG2S = 30    # 2-op reads: second split position s2 (>= s1 + |g1<0|)
+TAG_ACG2L = 31    # 2-op reads: zigzag signed second gap g2
 
 _VAR_CHUNK = 256  # var byte streams are cut into pseudo-reads for lane ||ism
 
@@ -786,16 +789,20 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
     first[1:] = rows[1:] != rows[:-1]
     deltas = np.where(first, cols, cols - prev)
 
-    # one-indel cigar streams (reference compressAlignInfo_CigaL/CigaV,
-    # SURVEY.md §2.1): split s + signed gap g per flagged read; mismatch
-    # positions/chars stay in spliced-window coords so those streams are
-    # untouched
-    g_m = s_m = None
+    # indel cigar streams (reference compressAlignInfo_CigaL/CigaV,
+    # SURVEY.md §2.1): split s + signed gap g per flagged read, plus an
+    # optional second op (s2, g2) — the reference BWA path's multi-op
+    # stream generality.  Mismatch positions/chars stay in spliced-window
+    # coords so those streams are untouched.
+    g_m = s_m = g2_m = s2_m = None
     if align.gap_len is not None:
         g_all = align.gap_len[mapped].astype(np.int64)
         if (g_all != 0).any():
             g_m = g_all
             s_m = align.gap_pos[mapped].astype(np.int64)
+            if align.gap_len2 is not None and (align.gap_len2 != 0).any():
+                g2_m = align.gap_len2[mapped].astype(np.int64)
+                s2_m = align.gap_pos2[mapped].astype(np.int64)
 
     # substituted base = effective-strand read base at the window col;
     # context = the spliced reference base it replaced (filler 0 under
@@ -808,9 +815,14 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
         ref_base = ref_codes[pos[rows] + cols]
     else:
         shift = np.where(cols >= s_m[rows], g_m[rows], 0)
-        ridx = np.clip(pos[rows] + cols + shift, 0, ref_codes.size - 1)
         ins = ((g_m[rows] < 0) & (cols >= s_m[rows])
                & (cols < s_m[rows] - g_m[rows]))
+        if g2_m is not None:
+            # second op: cumulative shift past s2, its own insertion filler
+            shift = shift + np.where(cols >= s2_m[rows], g2_m[rows], 0)
+            ins |= ((g2_m[rows] < 0) & (cols >= s2_m[rows])
+                    & (cols < s2_m[rows] - g2_m[rows]))
+        ridx = np.clip(pos[rows] + cols + shift, 0, ref_codes.size - 1)
         ref_base = np.where(ins, 0, ref_codes[ridx])
 
     sections = pe_sections + [
@@ -826,12 +838,23 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
     if g_m is not None:
         has = g_m != 0
         meta["nidl"] = int(has.sum())
+        gb = 1 if p.max_indel <= 127 else 2
         sections.append((TAG_ACIGF, _code_flags(p, has)))
         sections.append((TAG_ACIGS, _code_le(p, s_m[has], mposb)))
         zz = np.where(g_m[has] >= 0, 2 * g_m[has], -2 * g_m[has] - 1)
         # zigzag range is 2*max_indel; 1 byte only holds max_indel <= 127
-        sections.append((TAG_ACIGL,
-                         _code_le(p, zz, 1 if p.max_indel <= 127 else 2)))
+        sections.append((TAG_ACIGL, _code_le(p, zz, gb)))
+        if g2_m is not None and (g2_m[has] != 0).any():
+            # second op streams, nested under the indel reads (pass 2
+            # only ever extends a pass-1 indel, so g2 != 0 => g1 != 0)
+            has2 = g2_m[has] != 0
+            meta["nidl2"] = int(has2.sum())
+            sections.append((TAG_ACG2F, _code_flags(p, has2)))
+            sections.append((TAG_ACG2S, _code_le(p, s2_m[has][has2],
+                                                 mposb)))
+            z2 = np.where(g2_m[has][has2] >= 0, 2 * g2_m[has][has2],
+                          -2 * g2_m[has][has2] - 1)
+            sections.append((TAG_ACG2L, _code_le(p, z2, gb)))
     return sections
 
 
@@ -1104,25 +1127,42 @@ def _decode_align_streams(p: CodecParams, sections: Dict, meta: Dict,
     sym_read = np.repeat(np.arange(M), mlens)
     intra = np.arange(total, dtype=np.int64) - np.repeat(win_off, mlens)
     if TAG_ACIGF in sections:
-        # one-indel reads: spliced window — ref[pos+i] for i < s, then
+        # indel reads: spliced window — ref[pos+i] for i < s, then
         # ref[pos+g+i]; filler 0 over inserted read bases (their actual
-        # values arrive through the ordinary mismatch patches)
+        # values arrive through the ordinary mismatch patches).  An
+        # optional second op (s2, g2) applies the cumulative shift g+g2
+        # past s2 with its own insertion filler (multi-op CigaL/CigaV).
         g_r = np.zeros(M, np.int64)
         s_r = np.zeros(M, np.int64)
+        g2_r = np.zeros(M, np.int64)
+        s2_r = np.zeros(M, np.int64)
         has = _decode_flags(p, sections[TAG_ACIGF], M)
         nidl = int(has.sum())
+        gb = 1 if p.max_indel <= 127 else 2
         if nidl:
             s_r[has] = _decode_le(p, sections[TAG_ACIGS], nidl, mposb)
-            zz = _decode_le(p, sections[TAG_ACIGL], nidl,
-                            1 if p.max_indel <= 127 else 2)
+            zz = _decode_le(p, sections[TAG_ACIGL], nidl, gb)
             g_r[has] = np.where(zz % 2 == 0, zz // 2, -((zz + 1) // 2))
+            if TAG_ACG2F in sections:
+                has2_i = _decode_flags(p, sections[TAG_ACG2F], nidl)
+                nidl2 = int(has2_i.sum())
+                has2 = np.zeros(M, bool)
+                has2[np.flatnonzero(has)[has2_i]] = True
+                s2_r[has2] = _decode_le(p, sections[TAG_ACG2S], nidl2,
+                                        mposb)
+                z2 = _decode_le(p, sections[TAG_ACG2L], nidl2, gb)
+                g2_r[has2] = np.where(z2 % 2 == 0, z2 // 2,
+                                      -((z2 + 1) // 2))
         g_sym, s_sym = g_r[sym_read], s_r[sym_read]
-        shift = np.where(intra >= s_sym, g_sym, 0)
+        g2_sym, s2_sym = g2_r[sym_read], s2_r[sym_read]
+        shift = (np.where(intra >= s_sym, g_sym, 0)
+                 + np.where(intra >= s2_sym, g2_sym, 0))
         widx = np.clip(np.repeat(pos, mlens) + intra + shift, 0,
                        ref_codes.size - 1)
         win = ref_codes[widx].copy()
-        win[(g_sym < 0) & (intra >= s_sym)
-            & (intra < s_sym - g_sym)] = 0
+        win[((g_sym < 0) & (intra >= s_sym) & (intra < s_sym - g_sym))
+            | ((g2_sym < 0) & (intra >= s2_sym)
+               & (intra < s2_sym - g2_sym))] = 0
     else:
         # clip like the indel path: self-ref windows may overhang the
         # reference edges by up to max_mis bases (anchored matches with

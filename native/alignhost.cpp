@@ -633,8 +633,10 @@ extern "C" void fq_indel_batch(
     const int32_t* lengths, int64_t R, int32_t lp,
     int32_t k, int32_t stride, int32_t n_cand, int32_t max_mis,
     int32_t n_seeds, int32_t excl_bp, int32_t probe_k, int32_t G,
+    int32_t ops,
     uint8_t* found_out, int32_t* pos_out, int32_t* split_out,
-    int32_t* gap_out, uint8_t* rev_out, uint8_t* mis_mask) {
+    int32_t* gap_out, int32_t* split2_out, int32_t* gap2_out,
+    uint8_t* rev_out, uint8_t* mis_mask) {
     Index ix{keys, nk, offsets, positions, npos, packed, nw,
              l1, l1_shift, search_steps, ref_len};
     Cfg cfg{k, stride, n_cand, max_mis, n_seeds, excl_bp, probe_k, lp};
@@ -645,8 +647,10 @@ extern "C" void fq_indel_batch(
     std::vector<int32_t> E(NG * (lp + 1)), F(lp + 1);
     std::vector<uint8_t> cmp(NG * lp), lit(lp), rc(lp), rdege(lp);
 
-    struct SRes {       // strand_eval outputs
-        int32_t tot, s, g, po, pg, sg;
+    struct SRes {       // strand_eval outputs, decode-splice fields:
+        // shift gA past sA, +gB past sB (sB=gB=0 when one op); jb is
+        // segment 0's window row; pg/sg the 1-op rows for pass 2
+        int32_t tot, sA, gA, sB, gB, po, jb, pg, sg;
     };
 
     for (int64_t r = 0; r < R; r++) {
@@ -686,7 +690,7 @@ extern "C" void fq_indel_batch(
                 F[i + 1] = F[i] + lit[i];
             }
             const int32_t* E0 = E.data() + G * (lp + 1);
-            SRes b{BIG, 0, 0, posi, 0, 0};
+            SRes b{BIG, 0, 0, 0, 0, posi, 0, 0, 0};
 
             // first-occurrence argmin over s in [0, len - h], strict-<
             // variant chaining (the device's consider() order).  Every
@@ -706,11 +710,12 @@ extern "C" void fq_indel_batch(
                 }
                 if (tb < b.tot) {
                     b.tot = tb;
-                    b.s = sb;
-                    b.g = g_out;
+                    b.sA = sb;
+                    b.gA = g_out;
                     b.po = posi + d_pos;
                     b.pg = pg + G;
                     b.sg = sg + G;
+                    b.jb = pg + G;
                 }
             };
             for (int g = -G; g <= G; g++) {
@@ -730,11 +735,75 @@ extern "C" void fq_indel_batch(
                 }
             }
             if (!ok_b) b.tot = BIG;
+            // pass 2 (greedy second op from the 1-op argmin): only when
+            // one op is not enough.  Two families, device parity:
+            //  TAIL: op2 at s2 >= s1+h1 moves the remainder to row
+            //        sg+g2: tot = pref[s1] + lit1 + (Esg[s2]-Esg[s1+h1])
+            //        + lit2 + (E2[len]-E2[s2+h2])
+            //  HEAD: a new first op at s0 <= s1-hh re-bases the prefix
+            //        [0,s0) to row pg+gh (output pos shifts by gh):
+            //        tot = Ej0[s0] + lit0 + (Epg[s1]-Epg[s0+hh]) + lit1
+            //        + (Esg[len]-Esg[s1+h1])
+            // Gap ascending then split ascending, strict-< within each
+            // family; head wins only if strictly better.
+            if (ops >= 2 && b.tot > cfg.max_mis && b.tot < BIG) {
+                const int h1 = b.gA < 0 ? -b.gA : 0;
+                const int32_t s1 = b.sA;
+                const int32_t* Epg = E.data() + b.pg * (lp + 1);
+                const int32_t* Esg = E.data() + b.sg * (lp + 1);
+                const int32_t op1_lit = F[s1 + h1] - F[s1];
+                const int32_t base_c = Epg[s1] + op1_lit - Esg[s1 + h1];
+                int32_t tt = BIG, st = 0, gt = 0;
+                for (int g2 = -G; g2 <= G; g2++) {
+                    if (g2 == 0) continue;
+                    const int j2 = b.sg + g2;      // tail row index
+                    if (j2 < 0 || j2 > 2 * G) continue;
+                    const int32_t* E2 = E.data() + j2 * (lp + 1);
+                    const int h2 = g2 < 0 ? -g2 : 0;
+                    for (int32_t s2 = s1 + h1; s2 <= len - h2; s2++) {
+                        const int32_t tot = base_c + Esg[s2]
+                            + (F[s2 + h2] - F[s2])
+                            + (E2[len] - E2[s2 + h2]);
+                        if (tot < tt) { tt = tot; st = s2; gt = g2; }
+                    }
+                }
+                const int32_t tail_c = op1_lit + Esg[len] - Esg[s1 + h1]
+                                       + Epg[s1];
+                int32_t th = BIG, sh = 0, gh_sel = 0;
+                for (int gh = -G; gh <= G; gh++) {
+                    if (gh == 0) continue;
+                    const int j0 = b.pg + gh;      // new head row index
+                    if (j0 < 0 || j0 > 2 * G) continue;
+                    const int32_t* Ej0 = E.data() + j0 * (lp + 1);
+                    const int hh = gh > 0 ? gh : 0;
+                    for (int32_t s0 = 0; s0 <= s1 - hh; s0++) {
+                        const int32_t tot = tail_c + Ej0[s0]
+                            + (F[s0 + hh] - F[s0]) - Epg[s0 + hh];
+                        if (tot < th) { th = tot; sh = s0; gh_sel = gh; }
+                    }
+                }
+                const bool use_head = th < tt;
+                const int32_t tbest = use_head ? th : tt;
+                if (tbest < b.tot) {
+                    b.tot = tbest;
+                    if (use_head) {
+                        b.sB = b.sA;
+                        b.gB = b.gA;
+                        b.sA = sh;
+                        b.gA = -gh_sel;
+                        b.jb = b.pg + gh_sel;
+                        b.po += gh_sel;
+                    } else {
+                        b.sB = st;
+                        b.gB = gt;
+                    }
+                }
+            }
             return b;
         };
 
         SRes f = strand_eval(row, drow);
-        SRes rv{BIG, 0, 0, 0, 0, 0};
+        SRes rv{BIG, 0, 0, 0, 0, 0, 0, 0, 0};
         bool rc_ran = false;
         if (f.tot > 0) {       // tot_r < tot_f needs tot_f > 0
             for (int i = 0; i < lp; i++) {
@@ -752,8 +821,10 @@ extern "C" void fq_indel_batch(
             b.tot <= max_mis && !has_dege && len >= k;
         found_out[r] = is_found ? 1 : 0;
         pos_out[r] = b.po;
-        split_out[r] = b.s;
-        gap_out[r] = b.g;
+        split_out[r] = b.sA;
+        gap_out[r] = b.gA;
+        split2_out[r] = b.sB;
+        gap2_out[r] = b.gB;
         rev_out[r] = (use_rev && is_found) ? 1 : 0;
         uint8_t* mm = mis_mask + r * lp;
         std::memset(mm, 0, lp);
@@ -763,14 +834,21 @@ extern "C" void fq_indel_batch(
                 // forward strand's cmp/lit rows for the mask
                 (void)strand_eval(row, drow);
             }
-            const int32_t h_b = b.g < 0 ? -b.g : 0;
-            const uint8_t* pre = cmp.data() + b.pg * lp;
-            const uint8_t* suf = cmp.data() + b.sg * lp;
+            // spliced-window mask: segment rows jb, jb+gA, jb+gA+gB,
+            // literal filler over the insertion ranges (identical for
+            // the 1-op case, where sB = gB = 0)
+            const int32_t hA = b.gA < 0 ? -b.gA : 0;
+            const int32_t hB = b.gB < 0 ? -b.gB : 0;
+            const uint8_t* r0 = cmp.data() + b.jb * lp;
+            const uint8_t* r1 = cmp.data() + (b.jb + b.gA) * lp;
+            const uint8_t* r2 = cmp.data() + (b.jb + b.gA + b.gB) * lp;
             for (int i = 0; i < len; i++) {
                 uint8_t v;
-                if (i < b.s) v = pre[i];
-                else if (i < b.s + h_b) v = h_b > 0 ? lit[i] : suf[i];
-                else v = suf[i];
+                if (i < b.sA) v = r0[i];
+                else if (i < b.sA + hA) v = hA > 0 ? lit[i] : r1[i];
+                else if (i < b.sB) v = r1[i];
+                else if (i < b.sB + hB) v = hB > 0 ? lit[i] : r2[i];
+                else v = r2[i];
                 mm[i] = v;
             }
         }

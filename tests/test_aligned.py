@@ -365,6 +365,109 @@ def test_indel_tier_maps_gapped_reads(ref_env):
         assert np.array_equal(out, read), f"read {r} splice mismatch"
 
 
+def _two_indel_reads(rng, ref_codes, n, L=100, G=3):
+    """Reads carrying TWO separated 1..2 bp indels vs the reference
+    (multi-op CigaL/CigaV generality), cumulative shift within +-G."""
+    recs = []
+    for i in range(n):
+        g1 = int(rng.integers(1, 3)) * (1 if i % 2 == 0 else -1)
+        g2 = int(rng.integers(1, 3)) * (1 if (i // 2) % 2 == 0 else -1)
+        if abs(g1 + g2) > G:
+            g2 = -g2
+        s1 = int(rng.integers(15, 35))
+        s2 = int(rng.integers(60, 85))
+        start = int(rng.integers(2 * G, len(ref_codes) - L - 4 * G))
+        # build in output (read) coords: i < s1 -> ref[start+i];
+        # s1..s1+h1 inserted; then ref shifted g1; s2..s2+h2 inserted;
+        # then ref shifted g1+g2
+        seq = np.empty(L, np.uint8)
+        for j in range(L):
+            if j < s1:
+                seq[j] = ref_codes[start + j]
+            elif g1 < 0 and j < s1 - g1:
+                seq[j] = int(rng.integers(0, 4))
+            elif j < s2:
+                seq[j] = ref_codes[start + j + g1]
+            elif g2 < 0 and j < s2 - g2:
+                seq[j] = int(rng.integers(0, 4))
+            else:
+                seq[j] = ref_codes[start + j + g1 + g2]
+        if i % 3 == 0:
+            seq = 3 - seq[::-1]
+        txt = "".join("ACGT"[c] for c in seq)
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(2, 40, L))
+        recs.append(f"@idl2.{i} {i} length={L}\n{txt}\n+\n{qual}\n")
+    return "".join(recs).encode()
+
+
+def test_two_op_indel_tier_maps(ref_env):
+    """Reads with two separated indels fail both the gapless tiers and the
+    one-op rescue, but map through the greedy second-op pass (reference
+    multi-op CigaL/CigaV streams); the 2-op splice is exact."""
+    fa, ref_codes, rng = ref_env
+    raw = _two_indel_reads(rng, ref_codes, 24)
+    from fastqueeze_tpu.io.fastq import parse_block
+    from fastqueeze_tpu.pipeline.blockcodec import _BASE_MAP
+    blk = parse_block(raw, True)
+    codes = _BASE_MAP[blk.seq_flat].copy()
+    dege = codes == 255
+    codes[dege] = 0
+    idx = build_from_ref(load_fasta(fa), CodecParams(**SMALL))
+    p1 = CodecParams(**SMALL, max_indel=3, indel_ops=1)
+    res1 = Aligner(idx, p1).align(codes, dege, blk.lengths)
+    p2 = CodecParams(**SMALL, max_indel=3, indel_ops=2)
+    res2 = Aligner(idx, p2).align(codes, dege, blk.lengths)
+    n2 = int((res2.gap_len2[res2.mapped] != 0).sum())
+    assert int(res2.mapped.sum()) >= int(res1.mapped.sum()) + 8
+    assert n2 >= 8                       # the second op actually fired
+
+    # exactness: two-op spliced window + patches reconstructs the read
+    off = np.cumsum(blk.lengths) - blk.lengths
+    checked = 0
+    for r in np.flatnonzero(res2.mapped & (res2.gap_len2 != 0)):
+        L = int(blk.lengths[r])
+        s1, g1 = int(res2.gap_pos[r]), int(res2.gap_len[r])
+        s2, g2 = int(res2.gap_pos2[r]), int(res2.gap_len2[r])
+        pos = int(res2.pos[r])
+        i = np.arange(L)
+        widx = (pos + i + np.where(i >= s1, g1, 0)
+                + np.where(i >= s2, g2, 0))
+        win = ref_codes[np.clip(widx, 0, len(ref_codes) - 1)].copy()
+        win[((g1 < 0) & (i >= s1) & (i < s1 - g1))
+            | ((g2 < 0) & (i >= s2) & (i < s2 - g2))] = 0
+        mm = res2.mis_mask[r, :L]
+        read = codes[off[r]:off[r] + L]
+        eff = (3 - read[::-1]) if res2.is_rev[r] else read
+        win[mm] = eff[mm]
+        out = (3 - win[::-1]) if res2.is_rev[r] else win
+        assert np.array_equal(out, read), f"read {r} 2-op splice mismatch"
+        checked += 1
+    assert checked >= 8
+
+
+def test_two_op_aligned_se_roundtrip(ref_env, tmp_path):
+    """End-to-end: a two-indel FASTQ rides the ACG2* streams, round-trips
+    bit-exact, and the aligned archive beats the entropy-only one."""
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    from fastqueeze_tpu.pipeline.driver import compress_se, decompress
+    fa, ref_codes, rng = ref_env
+    raw = (_two_indel_reads(rng, ref_codes, 40)
+           + _mk_fastq_from_ref(rng, ref_codes, 40))
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    p = CodecParams(**SMALL, max_indel=3, indel_ops=2)
+    arc = str(tmp_path / "out.fqz")
+    stats = compress_se_aligned(p, fa, str(src), arc)
+    assert stats["mapped"] >= 70
+    outs = decompress(arc, str(tmp_path / "back"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw
+    pe = CodecParams(**SMALL)
+    plain = str(tmp_path / "plain.fqz")
+    compress_se(pe, str(src), plain)
+    import os as _os
+    assert _os.path.getsize(arc) < _os.path.getsize(plain)
+
+
 def test_indel_aligned_se_roundtrip(ref_env, tmp_path):
     """End-to-end: an indel-bearing FASTQ round-trips bit-exact through
     the aligned pipeline with the cigar streams, and maps enough to beat

@@ -204,7 +204,7 @@ def test_indel_tier_mirror_matches_device(tmp_path):
     for i in range(100):
         p = int(rng.integers(100, len(ref) - 300))
         r = ref[p:p + 103].copy()
-        kind = i % 4
+        kind = i % 5
         if kind == 0:      # deletion in the read (skips ref bases)
             g = int(rng.integers(1, 4))
             s = int(rng.integers(20, 80))
@@ -218,6 +218,13 @@ def test_indel_tier_mirror_matches_device(tmp_path):
             r = r[:100]
             at = rng.integers(0, 100, 12)
             r[at] = (r[at] + rng.integers(1, 4, 12)) % 4
+        elif kind == 3:    # TWO separated indels (the 2-op pass)
+            g = int(rng.integers(1, 3))
+            s_a = int(rng.integers(15, 35))
+            s_b = int(rng.integers(60, 85))
+            r = np.concatenate([r[:s_a], r[s_a + g:]])
+            ins = rng.integers(0, 4, g).astype(np.uint8)
+            r = np.concatenate([r[:s_b], ins, r[s_b:]])[:100]
         else:              # clean (mapped by the gapless tiers already)
             r = r[:100]
         if rng.random() < 0.4:
@@ -247,10 +254,13 @@ def test_indel_tier_mirror_matches_device(tmp_path):
     rh, rd = results["host"], results["device"]
     assert rh.mapped.sum() > 60
     assert (rh.gap_len != 0).sum() > 10      # indel tier actually fired
+    assert (rh.gap_len2[rh.mapped] != 0).sum() > 5   # 2-op pass fired
     np.testing.assert_array_equal(rh.mapped, rd.mapped)
     m = rd.mapped
     np.testing.assert_array_equal(rh.pos[m], rd.pos[m])
     np.testing.assert_array_equal(rh.gap_pos[m], rd.gap_pos[m])
     np.testing.assert_array_equal(rh.gap_len[m], rd.gap_len[m])
+    np.testing.assert_array_equal(rh.gap_pos2[m], rd.gap_pos2[m])
+    np.testing.assert_array_equal(rh.gap_len2[m], rd.gap_len2[m])
     np.testing.assert_array_equal(rh.is_rev[m], rd.is_rev[m])
     np.testing.assert_array_equal(rh.mis_mask[m], rd.mis_mask[m])
