@@ -19,6 +19,7 @@ within each block — still block-independent).
 
 from __future__ import annotations
 
+import bz2
 import io
 import json
 import zlib
@@ -331,12 +332,14 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
     sample = int(qhist.sum())
     scale = max(est_total_syms, sample) / max(sample, 1)
     proj_syms = sample * scale
-    # When the table will code substantially more data than it was
-    # trained on (prefix training and/or stride sampling), in-sample NLL
-    # rewards overfit (sharp pseudo-counts, many rows) — score on a
-    # held-out half instead: table from even-parity sampled reads,
-    # NLL weighted by the odd half, both projected to the full input.
-    holdout = proj_syms > 1.5 * sample
+    # When the table will code more data than it was trained on (prefix
+    # training and/or stride sampling), in-sample NLL rewards overfit
+    # (sharp pseudo-counts, many rows — the deep hashed chains memorize
+    # via collisions) — score on a held-out half instead: table from
+    # even-parity sampled reads, NLL weighted by the odd half, both
+    # projected to the full input.  In-sample is exact only when the
+    # table was trained on essentially the whole input (scale ~1).
+    holdout = proj_syms > 1.1 * sample
     qsyms_cache = hold_mask = None
 
     def sampled():
@@ -391,13 +394,15 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
         ship = counts if ship_hist is train_hist else _narrow_np(
             _cap_rescale(model, np.array(ship_hist, np.int32)), model.cap)
         if ship.size > _BIG_TABLE:
-            # zlib over a multi-hundred-MB table costs seconds; rows are
-            # hash-distributed, so every-8th-row compression extrapolates
-            # the blob size within ~1% — deterministic, and the margins
-            # between big candidates are stream-bits-dominated anyway
-            blob_len = 8 * len(_pack_counts(ship[::8], level=1)["blob"])
+            # compressing a multi-hundred-MB table costs seconds; rows
+            # are hash-distributed, so every-8th-row compression
+            # extrapolates the blob size (~15% high on bz2 — a
+            # deterministic, conservative bias against the very tables
+            # whose scoring pass is also the most expensive)
+            blob_len = 8 * len(_pack_counts(ship[::8],
+                                            estimate=True)["blob"])
         else:
-            blob_len = len(_pack_counts(ship, level=1)["blob"])
+            blob_len = len(_pack_counts(ship, estimate=True)["blob"])
         return (_hist_nll_bits(counts, eval_hist) / 8.0 * eval_scale
                 + blob_len, ship)
 
@@ -670,35 +675,60 @@ def _narrow(counts, cap: int):
     return counts
 
 
-def _pack_counts(a: np.ndarray, level: int = 9) -> Dict:
+def _pack_counts(a: np.ndarray, level: int = 9,
+                 estimate: bool = False) -> Dict:
     """Minimal-width serialization: table caps bound every count, so u8/u16
-    usually suffice.  u16 tables are split into low/high byte planes before
-    zlib (counts are mostly small, so the high plane is near-constant) —
-    measured ~45% smaller than whole-array zlib-1 on trained qual tables.
+    usually suffice.  u16 tables are split into low/high byte planes
+    (counts are mostly small, so the high plane is near-constant) —
+    measured ~45% smaller than whole-array compression on trained qual
+    tables.  Each plane set ships the smaller of bz2-9 and zlib-9: bz2
+    wins 10-40% on trained count tables (measured on the 2^17..2^20-row
+    hashed qctx chains) at ~0.05-0.7 s per table.
 
-    ``level`` < 9 is used only by the train-time cost model (the blob
-    length is the table-size term; zlib-1 is ~10x faster and its relative
-    sizes across candidate tables track zlib-9 closely).  Archives always
-    ship level 9."""
+    ``estimate=True`` is the train-time cost model's path: bz2-9 only
+    (the same codec archives actually ship, so candidate blob pricing is
+    exact — a zlib-1 estimate overpriced deep hashed tables ~2x and made
+    the ladder reject candidates that win at the shipped size)."""
     hi = int(a.max()) if a.size else 0
     dt = np.uint8 if hi < 0x100 else (np.uint16 if hi < 0x10000 else np.int32)
     u = np.ascontiguousarray(a, dt)
+    # bz2 won every measured trained table >= 1 MB; the zlib-9
+    # cross-check is only worth its cost on small tables (zlib-9 runs
+    # ~0.1 s/MB — pointless on an 80 MB deep-qctx table bz2 wins anyway)
+    cross = not estimate and u.nbytes <= (8 << 20)
     if dt == np.uint16:
-        lo = zlib.compress((u & 0xFF).astype(np.uint8).tobytes(), level)
-        hb = zlib.compress((u >> 8).astype(np.uint8).tobytes(), level)
+        lo_raw = (u & 0xFF).astype(np.uint8).tobytes()
+        hb_raw = (u >> 8).astype(np.uint8).tobytes()
+        lo_b, hb_b = bz2.compress(lo_raw, 9), bz2.compress(hb_raw, 9)
+        lo, hb, enc = lo_b, hb_b, "pb"
+        if cross:
+            lo_z = zlib.compress(lo_raw, level)
+            hb_z = zlib.compress(hb_raw, level)
+            if len(lo_z) + len(hb_z) < len(lo_b) + len(hb_b):
+                lo, hb, enc = lo_z, hb_z, "p9"
         return {"shape": list(a.shape), "dtype": np.dtype(dt).str,
-                "enc": "p9",
+                "enc": enc,
                 "blob": len(lo).to_bytes(4, "little") + lo + hb}
-    return {"shape": list(a.shape), "dtype": np.dtype(dt).str, "enc": "z",
-            "blob": zlib.compress(u.tobytes(), level)}
+    raw = u.tobytes()
+    b = bz2.compress(raw, 9)
+    if cross:
+        z = zlib.compress(raw, level)
+        if len(z) < len(b):
+            return {"shape": list(a.shape), "dtype": np.dtype(dt).str,
+                    "enc": "z", "blob": z}
+    return {"shape": list(a.shape), "dtype": np.dtype(dt).str,
+            "enc": "b", "blob": b}
 
 
 def _unpack_counts(blob: bytes, dtype: str, enc: str) -> np.ndarray:
-    if enc == "p9":
+    if enc in ("p9", "pb"):
+        dec = bz2.decompress if enc == "pb" else zlib.decompress
         n = int.from_bytes(blob[:4], "little")
-        lo = np.frombuffer(zlib.decompress(blob[4:4 + n]), np.uint8)
-        hb = np.frombuffer(zlib.decompress(blob[4 + n:]), np.uint8)
+        lo = np.frombuffer(dec(blob[4:4 + n]), np.uint8)
+        hb = np.frombuffer(dec(blob[4 + n:]), np.uint8)
         return (hb.astype(np.uint16) << 8) | lo
+    if enc == "b":
+        return np.frombuffer(bz2.decompress(blob), dtype)
     return np.frombuffer(zlib.decompress(blob), dtype)
 
 

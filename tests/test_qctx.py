@@ -56,14 +56,35 @@ def test_qctx_candidates():
 
 
 def test_pack_counts_roundtrip():
-    """Byte-plane (p9) and plain packings must round-trip exactly."""
+    """Every packing branch must round-trip exactly: u8/u16 regimes,
+    estimate (bz2-only) vs ship (min of bz2/zlib), and the legacy zlib
+    encodings archives may still carry."""
     from fastqueeze_tpu.pipeline.frozen import _pack_counts, _unpack_counts
     rng = np.random.default_rng(31)
     for hi in (200, 9000):                   # u8 and u16 regimes
         a = rng.integers(0, hi, (257, 12)).astype(np.int32)
-        pk = _pack_counts(a)
-        back = _unpack_counts(pk["blob"], pk["dtype"], pk["enc"])
-        assert np.array_equal(back.reshape(pk["shape"]), a)
+        for est in (False, True):
+            pk = _pack_counts(a, estimate=est)
+            assert pk["enc"] in ("b", "z", "pb", "p9")
+            back = _unpack_counts(pk["blob"], pk["dtype"], pk["enc"])
+            assert np.array_equal(back.reshape(pk["shape"]), a)
+
+
+def test_unpack_counts_legacy_zlib():
+    """Archives written before the bz2 serializer carry 'z'/'p9' blobs —
+    decode must keep reading them."""
+    import zlib as _z
+    from fastqueeze_tpu.pipeline.frozen import _unpack_counts
+    rng = np.random.default_rng(32)
+    a8 = rng.integers(0, 200, (64, 8)).astype(np.uint8)
+    back = _unpack_counts(_z.compress(a8.tobytes(), 9), "|u1", "z")
+    assert np.array_equal(back.reshape(a8.shape), a8)
+    a16 = rng.integers(0, 9000, (64, 8)).astype(np.uint16)
+    lo = _z.compress((a16 & 0xFF).astype(np.uint8).tobytes(), 9)
+    hb = _z.compress((a16 >> 8).astype(np.uint8).tobytes(), 9)
+    blob = len(lo).to_bytes(4, "little") + lo + hb
+    back = _unpack_counts(blob, "<u2", "p9")
+    assert np.array_equal(back.reshape(a16.shape), a16)
 
 
 def test_big_table_gate():
@@ -154,12 +175,34 @@ def test_device_context_grids_match_host_flat():
         assert np.array_equal(host, dev), (k, drop_bits, hb)
 
 
+def _markov3_fastq(rng, n, L=80, A=8):
+    """Position-independent ORDER-3 quality structure: the next rank is a
+    deterministic mix of the previous three (plus 10% noise) — exactly
+    what the k>=3 rank chain captures and the fqzcomp formula (q1 + part
+    of q2 + pos) cannot."""
+    recs = []
+    for i in range(n):
+        seq = "".join(rng.choice(list("ACGT"), L))
+        r = [int(rng.integers(0, A)) for _ in range(3)]
+        out = []
+        for _ in range(L):
+            base = (r[-1] * 3 + r[-2] * 2 + r[-3] * 5) % A
+            v = base if rng.random() < 0.9 else int(rng.integers(0, A))
+            out.append(v)
+            r.append(v)
+        qual = "".join(chr(33 + 2 * v) for v in out)
+        recs.append(f"@m3.{i}\n{seq}\n+\n{qual}\n")
+    return "".join(recs).encode()
+
+
 def test_auto_qctx_selected_and_roundtrips(tmp_path):
-    """On binned data the auto gate should pick the rank chain, serialize
-    the scheme in PARAM, and the archive must round-trip bit-exact."""
+    """On deep-Markov quality data the auto gate should pick the rank
+    chain, serialize the scheme in PARAM, and round-trip bit-exact.
+    (Unique reads — the dedup tier can't shrink the projected stream, so
+    the chain's table decisively pays for itself.)"""
     from fastqueeze_tpu.container.arcfile import ArcReader
     rng = np.random.default_rng(13)
-    raw = _binned_fastq(rng, 500) * 8        # ~0.5 MB
+    raw = _markov3_fastq(rng, 4000)          # ~0.7 MB
     src = tmp_path / "in.fq"
     src.write_bytes(raw)
     p = CodecParams(use_model=1, model_train_mb=1, **SMALL)
