@@ -269,8 +269,9 @@ def _qctx_candidates(A: int):
     # the cost model simply drops them elsewhere.  The ladder is ordered
     # shallow -> deep so _select_qctx's dry-stop bounds train time.
     if k >= 2:
-        cands += [(5, 0, 0, 18), (6, 0, 0, 18), (6, 0, 0, 20),
-                  (8, 0, 0, 20)]
+        cands += [(5, 0, 0, 18), (6, 0, 0, 18), (6, 0, 0, 19),
+                  (6, 0, 0, 20), (7, 0, 0, 19), (7, 0, 0, 20),
+                  (8, 0, 0, 20), (8, 0, 0, 21)]
     return list(dict.fromkeys(cands))
 
 
