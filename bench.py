@@ -357,6 +357,10 @@ def _bench_unique(tmp: str, raw1: bytes, cpu_mode: bool) -> dict:
     in_bytes = os.path.getsize(src)
     src_md5 = _md5(src)
     arc = os.path.join(tmp, "uniq.fqz")
+    # throughput series: 8 MB blocks (block pipelining engaged, the
+    # BASELINE.md 4 MB-block protocol's spirit); the defaults ratio
+    # (50 MB blocks -> one block, the CLI experience) is reported
+    # separately below — both archives round-trip-verified
     mk = lambda: CodecParams(block_size_mb=8, threads=1)  # noqa: E731
     stats = compress_se(mk(), src, arc)                   # warm
     dt = _best_of(lambda: compress_se(mk(), src, arc), budget_s=240)
@@ -367,6 +371,10 @@ def _bench_unique(tmp: str, raw1: bytes, cpu_mode: bool) -> dict:
                               threads=1)
     decompress(arc, os.path.join(tmp, "uback"), force=True, threads=1)
     ddt = _best_of(_dec, budget_s=180)
+    arc_d = os.path.join(tmp, "uniq_def.fqz")
+    stats_d = compress_se(CodecParams(threads=1), src, arc_d)
+    outs_d = decompress(arc_d, os.path.join(tmp, "uback_def"), force=True,
+                        threads=1)
     out = {
         "input_bytes": in_bytes,
         "reads": n_reads,
@@ -374,6 +382,10 @@ def _bench_unique(tmp: str, raw1: bytes, cpu_mode: bool) -> dict:
         "enc_reads_per_s": round(n_reads / dt, 1),
         "dec_reads_per_s": round(n_reads / ddt, 1),
         "dec_ok": _md5(box["o"][0]) == src_md5,
+        "cli_defaults": {
+            "ratio": round(stats_d["ratio"], 3),
+            "dec_ok": _md5(outs_d[0]) == src_md5,
+        },
     }
     # reference binary on the SAME fixture (apples-to-apples)
     if os.path.exists(REF_BIN) and not cpu_mode:
