@@ -295,6 +295,46 @@ def _hist_nll_bits(counts: np.ndarray, hist: np.ndarray) -> float:
     return float(bits.sum())
 
 
+def _mant_bucket(c: np.ndarray, mbits: int) -> np.ndarray:
+    """Round each count DOWN to ``mbits`` significant bits (deterministic;
+    floor preserves >= 1 for positive counts)."""
+    c64 = c.astype(np.int64)
+    bl = np.zeros_like(c64)
+    x = c64.copy()
+    for shift in (16, 8, 4, 2, 1):
+        m = x >= (1 << shift)
+        bl[m] += shift
+        x[m] >>= shift
+    sh = np.maximum(bl + 1 - mbits, 0)
+    return np.maximum((c64 >> sh) << sh, 1)
+
+
+def _blob_est(ship: np.ndarray) -> int:
+    """bz2-9 blob size (every-8th-row extrapolation past _BIG_TABLE) —
+    the same pricing _select_qctx's score() uses."""
+    if ship.size > _BIG_TABLE:
+        return 8 * len(_pack_counts(ship[::8], estimate=True)["blob"])
+    return len(_pack_counts(ship, estimate=True)["blob"])
+
+
+def _bucket_ship(counts: np.ndarray, hist: np.ndarray,
+                 scale: float) -> np.ndarray:
+    """Mantissa-bucket the winning table when the blob saving beats the
+    projected stream penalty (encoder-only: the bucketed table is what
+    ships, both coders walk it, so there is no format change).  Fewer
+    distinct count values compress 5-15% better under bz2 at a bounded
+    relative-frequency error (<= 2^-mbits)."""
+    best_c = counts
+    best_cost = (_hist_nll_bits(counts, hist) / 8.0 * scale
+                 + _blob_est(counts))
+    for m in (3, 2):
+        b = _mant_bucket(counts, m).astype(counts.dtype)
+        cost = _hist_nll_bits(b, hist) / 8.0 * scale + _blob_est(b)
+        if cost < best_cost:
+            best_cost, best_c = cost, b
+    return best_c
+
+
 def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
                  est_total_syms: int, A_train: int,
                  native_args=None) -> np.ndarray:
@@ -422,7 +462,8 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
             cost, counts = score(bm, hA, hB, esc if holdout else scale,
                                  np.asarray(qhist))
             if best is None or cost < best[0]:
-                best = (cost, None, a, counts)
+                best = (cost, None, a, counts,
+                        np.asarray(qhist))
     # Candidate ladder: the list is ordered shallow -> deep (and narrow ->
     # wide hash for equal depth).  Deep candidates (the k >= 5 hashed
     # chains) are scored with ONLY the best alpha found so far (their
@@ -483,17 +524,20 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
             cost, counts = score(cand, hA, hB, esc if holdout else scale,
                                  chist)
             if best is None or cost < best[0]:
-                best = (cost, (k, db, pb, hb), a, counts)
+                best = (cost, (k, db, pb, hb), a, counts,
+                        chist)
                 improved = True
         if deep:
             dry = 0 if improved else dry + 1
-    _, scheme, alpha, counts = best
+    _, scheme, alpha, counts, whist = best
     if scheme is not None:
         p.qctx_k, p.qctx_base = scheme[0], base
         p.qctx_drop_bits, p.qctx_pos_bits = scheme[1], scheme[2]
         p.qctx_hash_bits = scheme[3]
     if not forced:
         p.qctx_init, p.qctx_inc = alpha
+    if whist.shape == counts.shape:
+        counts = _bucket_ship(counts, whist, scale)
     return counts
 
 
@@ -597,9 +641,12 @@ def _train_frozen_impl(p: CodecParams, block: FastqBlock,
             p, qmodel, qhist, sampled_qsyms, lens_s, est_total_syms,
             len(qvals),
             native_args=(block.qual_flat, block.lengths, stride, lut))
+        sscale = (max(est_total_syms, int(shist.sum()))
+                  / max(int(shist.sum()), 1))
         return {"qmax": qmax, "qvals": qvals,
-                "seq_counts": _narrow_np(_cap_rescale(seq_model, shist),
-                                         seq_model.cap),
+                "seq_counts": _bucket_ship(
+                    _narrow_np(_cap_rescale(seq_model, shist),
+                               seq_model.cap), shist, sscale),
                 "qual_counts": qual_counts}
 
     block = _subsample(block, target_syms)
@@ -616,12 +663,13 @@ def _train_frozen_impl(p: CodecParams, block: FastqBlock,
     seq_lens = lengths - dege_cnt
     hist = native.seq_hist(seq_codes, seq_lens, seq_model.order,
                            SEQ_CTX_START)
-    if hist is not None:
-        seq_counts = _cap_rescale(seq_model, hist)
-    else:
-        seq_counts = _hist_counts(
-            seq_model, seq_ctx_flat(seq_model, seq_codes, seq_lens),
-            seq_codes)
+    if hist is None:
+        n = seq_model.n_ctx * seq_model.alphabet
+        ctx = seq_ctx_flat(seq_model, seq_codes, seq_lens)
+        hist = np.bincount(
+            ctx * seq_model.alphabet + seq_codes.astype(np.int64),
+            minlength=n)[:n].reshape(seq_model.n_ctx, seq_model.alphabet)
+    seq_counts = _cap_rescale(seq_model, hist)
 
     qsyms = lut[block.qual_flat]
     qhist = native.qual_hist(qsyms, lengths, p.qlevel,
@@ -639,8 +687,11 @@ def _train_frozen_impl(p: CodecParams, block: FastqBlock,
                      np.arange(256, dtype=np.uint8)))
     # tables travel (host->archive->device) in the narrowest dtype the
     # model cap allows; the engine widens to int32 on device
+    sscale = (max(est_total_syms, int(hist.sum()))
+              / max(int(hist.sum()), 1))
     return {"qmax": qmax, "qvals": qvals,
-            "seq_counts": _narrow_np(seq_counts, seq_model.cap),
+            "seq_counts": _bucket_ship(
+                _narrow_np(seq_counts, seq_model.cap), hist, sscale),
             "qual_counts": qual_counts}
 
 
