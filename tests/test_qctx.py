@@ -70,6 +70,36 @@ def test_pack_counts_roundtrip():
             assert np.array_equal(back.reshape(pk["shape"]), a)
 
 
+def test_mant_bucket():
+    """Mantissa bucketing: deterministic floor to m significant bits,
+    never below 1, identity for counts already within m bits."""
+    from fastqueeze_tpu.pipeline.frozen import _mant_bucket
+    a = np.array([[1, 2, 3, 4, 5, 6, 7, 8, 9, 255, 8191]], np.int32)
+    b2 = _mant_bucket(a, 2)
+    assert b2.tolist() == [[1, 2, 3, 4, 4, 6, 6, 8, 8, 192, 6144]]
+    b3 = _mant_bucket(a, 3)
+    assert b3.tolist() == [[1, 2, 3, 4, 5, 6, 7, 8, 8, 224, 7168]]
+    assert (_mant_bucket(a, 16) == a).all()
+    assert _mant_bucket(np.zeros((2, 2), np.int32), 2).min() == 1
+
+
+def test_bucket_ship_prefers_smaller_total_cost():
+    """_bucket_ship returns the original table when bucketing would cost
+    more stream than it saves in blob (tiny projection), and a bucketed
+    one when blob dominates (huge incompressible-ish table, tiny
+    stream)."""
+    from fastqueeze_tpu.pipeline.frozen import _bucket_ship, _mant_bucket
+    rng = np.random.default_rng(5)
+    counts = rng.integers(1, 8192, (4096, 16)).astype(np.uint16)
+    hist = rng.integers(0, 50, (4096, 16)).astype(np.int64)
+    # near-zero projection: blob dominates -> bucketed (fewer values)
+    out = _bucket_ship(counts, hist, scale=1e-6)
+    assert (out == _mant_bucket(counts, 2).astype(out.dtype)).all()
+    # astronomically scaled stream: any NLL penalty loses -> unchanged
+    out2 = _bucket_ship(counts, hist, scale=1e9)
+    assert (out2 == counts).all()
+
+
 def test_unpack_counts_legacy_zlib():
     """Archives written before the bz2 serializer carry 'z'/'p9' blobs —
     decode must keep reading them."""
