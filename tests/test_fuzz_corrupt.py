@@ -96,6 +96,61 @@ def test_corrupt_frozen_archives_fail_cleanly(tmp_path):
             f"silent corruption (trial {trial}, mode {mode})"
 
 
+def test_corrupt_aligned_indel_archives_fail_cleanly(tmp_path):
+    """Same sweep against an aligned archive carrying multi-op indel
+    streams (ACIG*/ACG2*): the two-op decode splice indexes the reference
+    with stream-derived splits/gaps — corruption must surface as a clean
+    MD5/ValueError, never an unhandled IndexError."""
+    from fastqueeze_tpu.align.index import build_from_ref
+    from fastqueeze_tpu.align.ref import load_fasta
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    rng = np.random.default_rng(9)
+    ref = rng.integers(0, 4, 20_000).astype(np.uint8)
+    fa = tmp_path / "ref.fa"
+    fa.write_text(">r\n" + "".join("ACGT"[c] for c in ref) + "\n")
+    recs = []
+    for i in range(80):
+        start = int(rng.integers(10, len(ref) - 140))
+        r = ref[start:start + 100].copy()
+        s1, s2 = int(rng.integers(15, 35)), int(rng.integers(60, 85))
+        r = np.concatenate([r[:s1], r[s1 + 1:]])       # 1 bp deletion
+        ins = rng.integers(0, 4, 1).astype(np.uint8)
+        r = np.concatenate([r[:s2], ins, r[s2:]])[:100]  # + 1 bp insertion
+        seq = "".join("ACGT"[c] for c in r)
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(2, 40, len(r)))
+        recs.append(f"@iz.{i}\n{seq}\n+\n{qual}\n")
+    raw = "".join(recs).encode()
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    arc_p = tmp_path / "a.fqz"
+    p = CodecParams(**SMALL, seed_len=10, seed_max_occ=8, seed_big_occ=32,
+                    max_mis=4, max_indel=3, indel_ops=2)
+    stats = compress_se_aligned(p, str(fa), str(src), str(arc_p))
+    assert stats["mapped"] >= 40          # the 2-op streams are present
+    arc = arc_p.read_bytes()
+    random.seed(13)
+    for trial in range(18):
+        mode = trial % 3
+        b = bytearray(arc)
+        if mode == 0:
+            i = random.randrange(len(b))
+            b[i] ^= random.randrange(1, 256)
+        elif mode == 1:
+            b = b[:random.randrange(1, len(b))]
+        else:
+            i = random.randrange(len(b))
+            b[i:i + 16] = b"\x00" * 16
+        bad = tmp_path / "bad.fqz"
+        bad.write_bytes(bytes(b))
+        try:
+            outs = decompress(str(bad), str(tmp_path / "out"),
+                              ref=str(fa), force=True)
+        except (ValueError, KeyError, EOFError, OSError):
+            continue
+        assert open(outs[0], "rb").read() == raw, \
+            f"silent corruption (trial {trial}, mode {mode})"
+
+
 def test_hostile_param_values_rejected():
     """PARAM is untrusted input: parameters that size model tables or
     drive native loops must be range-checked at load, not allocated —
