@@ -812,7 +812,11 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
     read_base = _BASE_MAP[block.seq_flat[moffs[rows] + eff_col]]
     sub_base = np.where(rev[rows], 3 - read_base, read_base).astype(np.uint8)
     if g_m is None:
-        ref_base = ref_codes[pos[rows] + cols]
+        # clip like the decode-side window build: self-ref windows may
+        # overhang the reference end by up to max_mis force-masked bases
+        # (every clipped base is flagged, so contexts stay bit-identical)
+        ref_base = ref_codes[np.clip(pos[rows] + cols, 0,
+                                     max(ref_codes.size - 1, 0))]
     else:
         shift = np.where(cols >= s_m[rows], g_m[rows], 0)
         ins = ((g_m[rows] < 0) & (cols >= s_m[rows])

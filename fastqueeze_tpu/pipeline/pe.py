@@ -158,6 +158,7 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
 
     it = raw_items()
     first = None
+    first_parsed = None
     if p.self_align == -1:
         # auto (-S default): decide once per file from the first block
         # pair, before the threaded loop (-t/--mesh invariance)
@@ -165,9 +166,11 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
         first = next(it, None)
         sa = 0
         if first is not None:
-            m0 = interleave_blocks(parse_block(first[0], first[1]),
-                                   parse_block(first[2], first[3]))
-            sa = 1 if auto_self_align(p, m0, dbg) else 0
+            pb1 = parse_block(first[0], first[1])
+            pb2 = parse_block(first[2], first[3])
+            sa = 1 if auto_self_align(p, interleave_blocks(pb1, pb2),
+                                      dbg) else 0
+            first_parsed = (pb1, pb2)   # encode loop reuses the parse
         p.self_align = sa
 
     def items():
@@ -177,8 +180,11 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
 
     def work(i, item):
         raw1, fnl1, raw2, fnl2 = item
-        b1 = parse_block(raw1, fnl1)
-        b2 = parse_block(raw2, fnl2)
+        if i == 0 and first_parsed is not None:
+            b1, b2 = first_parsed
+        else:
+            b1 = parse_block(raw1, fnl1)
+            b2 = parse_block(raw2, fnl2)
         if p.lossy_factor > 1.0:
             from fastqueeze_tpu.pipeline.driver import apply_lossy
             raw1, b1 = apply_lossy(p, b1)

@@ -131,6 +131,7 @@ def auto_self_align(p: CodecParams, block: FastqBlock, dbg=None) -> bool:
     if dbg is not None:
         dbg.add("selfref_probe_s", _time.time() - t0)
         dbg.vals["selfref_probe_bpb"] = round(bpb, 3)
+        t0 = _time.time()        # stage 2 adds only its own delta
     if bpb < _AUTO_MIN_MODEL_BPB:
         return False
 

@@ -102,6 +102,26 @@ def test_selfref_with_n_bases_and_duplicates(tmp_path):
     _roundtrip(tmp_path, raw, self_align=1)
 
 
+def test_selfref_tail_overhang_roundtrip(tmp_path):
+    """A read mapping onto the block's LAST kept read with a <= max_mis
+    tail overhang produces a window past the self-reference end; the
+    encode-side mismatch-context gather must clip like the decode side
+    (unclipped it crashed with IndexError on the default auto path)."""
+    rng = np.random.default_rng(77)
+    BASES = np.frombuffer(b"ACGT", np.uint8)
+    r0 = rng.integers(0, 4, 60).astype(np.uint8)
+    # r1 = r0 shifted 2 left + 2 novel tail bases -> maps at pos 2 with a
+    # 2-base overhang past the end of the rebuilt reference
+    r1 = np.concatenate([r0[2:], rng.integers(0, 4, 2).astype(np.uint8)])
+    recs = []
+    for i, r in enumerate((r0, r1)):
+        q = (rng.integers(30, 41, len(r)).astype(np.uint8) + 33).tobytes()
+        recs.append(b"@ov.%d\n" % i + BASES[r].tobytes() + b"\n+\n"
+                    + q + b"\n")
+    raw = b"".join(recs)
+    _roundtrip(tmp_path, raw, self_align=1, min_map_ratio=0.0)
+
+
 def test_selfref_low_coverage_gate(tmp_path):
     # unmappable data (every read unique random): the map-ratio gate keeps
     # the block entropy-only and the archive stays loss-free
