@@ -12,7 +12,7 @@ histogram over every (context, symbol) pair of the prefix at once (host
 np.bincount — contexts are pure vectorized functions of previous symbols,
 and a bincount beats the device scatter-add severalfold on this hardware
 while skipping both table transfers); the snapshot is the counts tables
-themselves, zlib-packed into the container's MODEL section.  Blocks then
+themselves, bz2/zlib-packed into the container's MODEL section.  Blocks then
 code against the frozen snapshot (frozen_adapt=1 instead re-adapts from it
 within each block — still block-independent).
 """
@@ -785,10 +785,10 @@ def _unpack_counts(blob: bytes, dtype: str, enc: str) -> np.ndarray:
 
 
 def serialize_frozen(frozen: Dict) -> bytes:
-    # zlib-9 on the byte planes costs ~1.2 s for a 2^17-row qual table;
-    # the result is a pure function of the tables, so cache it on the
-    # frozen dict (which itself lives in the training memo) — repeat
-    # compressions of the same input pay it once per process.
+    # packing (bz2-9 + small-table zlib-9 cross-check) costs up to ~1 s
+    # for a deep qual table; the result is a pure function of the tables,
+    # so cache it on the frozen dict (which itself lives in the training
+    # memo) — repeat compressions of the same input pay it once.
     ser = frozen.get("_ser")
     if ser is not None:
         return ser
