@@ -343,6 +343,29 @@ def _unique_fixture(tmp: str, raw1: bytes, reps: int) -> str:
     return path
 
 
+def _bench_unique_pe(tmp: str, src: str) -> dict:
+    """One-shot PE entropy-only ratio on the dup-free fixture (BASELINE.md
+    PE row: reference 5.76x on the bundled pair): even reads -> mate 1,
+    odd -> mate 2, same coders as the CLI -1/-2 path."""
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.pipeline.driver import decompress
+    from fastqueeze_tpu.pipeline.pe import compress_pe
+    lines = open(src, "rb").read().split(b"\n")
+    recs = [b"\n".join(lines[i:i + 4]) + b"\n"
+            for i in range(0, len(lines) - 3, 4)]
+    p1, p2 = os.path.join(tmp, "pe_1.fq"), os.path.join(tmp, "pe_2.fq")
+    with open(p1, "wb") as f:
+        f.write(b"".join(recs[0::2]))
+    with open(p2, "wb") as f:
+        f.write(b"".join(recs[1::2]))
+    arc = os.path.join(tmp, "pe.fqz")
+    stats = compress_pe(CodecParams(threads=1), p1, p2, arc)
+    outs = decompress(arc, os.path.join(tmp, "peback"), force=True,
+                      threads=1)
+    ok = (_md5(outs[0]) == _md5(p1) and _md5(outs[1]) == _md5(p2))
+    return {"ratio": round(stats["ratio"], 3), "dec_ok": ok}
+
+
 def _bench_unique(tmp: str, raw1: bytes, cpu_mode: bool) -> dict:
     """Honest coding-quality block: no exact duplicates, BASELINE scale
     (28.4 MB, 120k reads), reference binary cross-measured on the SAME
@@ -386,6 +409,7 @@ def _bench_unique(tmp: str, raw1: bytes, cpu_mode: bool) -> dict:
             "ratio": round(stats_d["ratio"], 3),
             "dec_ok": _md5(outs_d[0]) == src_md5,
         },
+        "pe": _bench_unique_pe(tmp, src),
     }
     # reference binary on the SAME fixture (apples-to-apples)
     if os.path.exists(REF_BIN) and not cpu_mode:
