@@ -179,3 +179,49 @@ def test_extract_random_access(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         extract(arc, str(tmp_path / "y"), 899, 5, force=True)
+
+
+def test_extract_on_aligned_and_selfref_archives(tmp_path):
+    """-X on reference-aligned archives (needs the ref to rebuild mapped
+    reads) and on self-referential archives (reference rebuilt from the
+    block's own reads — no FASTA needed)."""
+    import numpy as np
+
+    from fastqueeze_tpu.config import CodecParams
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    from fastqueeze_tpu.pipeline.driver import compress_se, extract
+
+    rng = np.random.default_rng(21)
+    genome = rng.integers(0, 4, 20_000).astype(np.uint8)
+    BASES = np.frombuffer(b"ACGT", np.uint8)
+    fa = tmp_path / "ref.fa"
+    fa.write_bytes(b">g\n" + BASES[genome].tobytes() + b"\n")
+    recs = []
+    for i in range(400):
+        pos = int(rng.integers(0, len(genome) - 70))
+        r = genome[pos:pos + 70].copy()
+        e = rng.random(70) < 0.01
+        r[e] = (r[e] + rng.integers(1, 4, int(e.sum()))) % 4
+        q = (rng.integers(30, 41, 70).astype(np.uint8) + 33).tobytes()
+        recs.append(b"@x.%d\n" % i + BASES[r].tobytes() + b"\n+\n" + q
+                    + b"\n")
+    raw = b"".join(recs)
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    small = dict(slevel=0, lanes_min=16, lanes_max=32,
+                 lane_target_symbols=512, seed_len=10, seed_max_occ=8,
+                 seed_big_occ=32, max_mis=4)
+
+    arc_a = str(tmp_path / "al.fqz")
+    stats = compress_se_aligned(CodecParams(**small), str(fa), str(src),
+                                arc_a)
+    assert stats["mapped"] >= 300
+    outs = extract(arc_a, str(tmp_path / "xa"), 100, 7, ref=str(fa),
+                   force=True)
+    assert open(outs[0], "rb").read() == b"".join(recs[100:107])
+
+    arc_s = str(tmp_path / "sr.fqz")
+    compress_se(CodecParams(**small, self_align=1, min_map_ratio=0.0),
+                str(src), arc_s)
+    outs = extract(arc_s, str(tmp_path / "xs"), 350, 10, force=True)
+    assert open(outs[0], "rb").read() == b"".join(recs[350:360])
