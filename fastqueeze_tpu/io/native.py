@@ -599,6 +599,28 @@ _U16P = ctypes.POINTER(ctypes.c_uint16)
 _U32P = ctypes.POINTER(ctypes.c_uint32)
 
 
+def madvise_hugepage(a: np.ndarray) -> None:
+    """MADV_HUGEPAGE the array's pages (no-op on failure).  The deep-qctx
+    cum tables are 20-170 MB walked by per-symbol random gathers — with
+    the box's madvise-only THP policy numpy allocations sit on 4 KB pages
+    and the walk is dTLB-miss bound; 2 MB pages cut the table to < 100
+    TLB entries.  Call BEFORE first touch so the fill faults huge pages
+    in directly (khugepaged collapses later touches anyway)."""
+    try:
+        import mmap as _mmap
+        page = _mmap.PAGESIZE
+        addr = a.ctypes.data
+        end = addr + a.nbytes
+        start = (addr + page - 1) & ~(page - 1)
+        length = (end - start) & ~(page - 1)
+        if length >= (4 << 20):
+            libc = ctypes.CDLL(None, use_errno=True)
+            libc.madvise(ctypes.c_void_p(start), ctypes.c_size_t(length),
+                         14)                      # MADV_HUGEPAGE
+    except Exception:
+        pass
+
+
 def quant_table(counts: np.ndarray) -> Optional[np.ndarray]:
     """(n_ctx, A) int32 counts -> (n_ctx, A+1) u16 cumfreqs summing to 2^14
     (bit-identical to engine._quant).  None -> native unavailable."""
@@ -608,6 +630,7 @@ def quant_table(counts: np.ndarray) -> Optional[np.ndarray]:
     counts = np.ascontiguousarray(counts, np.int32)
     n_ctx, A = counts.shape
     cum = np.empty((n_ctx, A + 1), np.uint16)
+    madvise_hugepage(cum)       # before first touch: fill faults 2MB pages
     lib.fq_quant_table(counts.ctypes.data_as(_I32P), n_ctx, A,
                        cum.ctypes.data_as(_U16P))
     return cum
