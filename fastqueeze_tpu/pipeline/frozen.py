@@ -441,8 +441,10 @@ def _select_qctx(p: CodecParams, qmodel, qhist, qsyms_fn, lengths,
                 nB = int(hB.sum())
                 return hA, hB, proj_syms / max(nB, 1)
         # the host mirror and the native trainer walk identical
-        # contexts (cross-checked in tests); clip is belt-and-braces
-        hA = np.maximum(full_hist - hB, 0)
+        # contexts (cross-checked in tests); clip is belt-and-braces.
+        # In-place max: the deep-chain hists are 300+ MB arrays
+        hA = np.subtract(full_hist, hB)
+        np.maximum(hA, 0, out=hA)
         nB = int(hB.sum())
         return hA, hB, proj_syms / max(nB, 1)
 
