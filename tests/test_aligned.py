@@ -507,6 +507,34 @@ def test_indel_aligned_pe_roundtrip(ref_env, tmp_path):
     assert open(outs[1], "rb").read() == raw2
 
 
+def test_aligned_frozen_roundtrip(ref_env, tmp_path):
+    """Aligned + frozen-model (usemodel) combined: mapped-read streams and
+    the frozen qual/seq tables in one archive.  Production hits this on
+    inputs past the usemodel gate; forced here on the small fixture."""
+    from fastqueeze_tpu.pipeline.aligned import (compress_pe_aligned,
+                                                 compress_se_aligned)
+    from fastqueeze_tpu.pipeline.driver import decompress
+    fa, ref_codes, rng = ref_env
+    raw = _mk_fastq_from_ref(rng, ref_codes, 80)
+    src = tmp_path / "in.fq"
+    src.write_bytes(raw)
+    p = CodecParams(**SMALL, use_model=1)
+    arc = str(tmp_path / "out.fqz")
+    stats = compress_se_aligned(p, fa, str(src), arc)
+    assert stats["mapped"] >= 60
+    outs = decompress(arc, str(tmp_path / "back"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw
+
+    raw2 = _mk_fastq_from_ref(rng, ref_codes, 80)
+    (tmp_path / "in2.fq").write_bytes(raw2)
+    arc2 = str(tmp_path / "pe.fqz")
+    p2 = CodecParams(**SMALL, use_model=1)
+    compress_pe_aligned(p2, fa, str(src), str(tmp_path / "in2.fq"), arc2)
+    outs = decompress(arc2, str(tmp_path / "peb"), ref=fa, force=True)
+    assert open(outs[0], "rb").read() == raw
+    assert open(outs[1], "rb").read() == raw2
+
+
 def test_indel_with_overlong_read_roundtrip(ref_env, tmp_path):
     """A block mixing indel reads with one read longer than align_max_len
     takes the long-read fallback inside Aligner.align(); the recursive
