@@ -92,11 +92,22 @@ def _n_halve(model: CtxModel, L: int) -> int:
 
 
 def _quant(rows: jnp.ndarray) -> jnp.ndarray:
-    """(L, A) int32 count rows -> (L, A+1) cumulative freqs summing to M."""
+    """(L, A) int32 count rows -> (L, A+1) cumulative freqs summing to M.
+
+    floor(cumz * M / C) via two 7-bit long-division digits: the direct
+    int32 product overflows once a row total reaches 2^17 (reachable at
+    the validated parameter extremes, e.g. qual_init 2^14 x alphabet 8),
+    silently corrupting the device tables while the host mirrors compute
+    in int64.  cumz <= C <= 2^22 (init <= 2^14, alphabet <= 256) keeps
+    every intermediate below 2^30; jnp int64 is unavailable (x64 off)."""
     cum = jnp.cumsum(rows, axis=1)
     C = cum[:, -1:]
     cumz = jnp.concatenate([jnp.zeros_like(C), cum], axis=1)
-    return (cumz * RANS_M) // C
+    h = PROB_BITS // 2                       # 7
+    t1 = cumz << h
+    q1 = t1 // C
+    r1 = t1 - q1 * C
+    return (q1 << (PROB_BITS - h)) + ((r1 << (PROB_BITS - h)) // C)
 
 
 def _wave_update(counts, ctx, sym, valid, model: CtxModel, n_halve: int):

@@ -21,17 +21,15 @@ byte-identical either way (tests/test_host_adapt.py enforces it).
 from __future__ import annotations
 
 import os
-import struct
 from typing import Optional
 
 import numpy as np
 
 from fastqueeze_tpu.config import RANS_M, CodecParams
 from fastqueeze_tpu.io import native
-from fastqueeze_tpu.ops.host_frozen import _HostJob, _spec_of
+from fastqueeze_tpu.ops.host_frozen import (_HostJob, _spec_of,
+                                            pack_payload, unpack_payload)
 from fastqueeze_tpu.ops.lanes import make_layout
-
-_HDR = struct.Struct("<IIII")  # T, L, n_words, n_symbols (engine._HDR)
 
 
 def route(p: CodecParams, model) -> bool:
@@ -43,6 +41,14 @@ def route(p: CodecParams, model) -> bool:
     if model.cap > RANS_M:
         # rows past the cap could quantize a count to freq 0; the device
         # search resolves such degenerate rows its own way
+        return False
+    if model.init * model.alphabet > model.cap:
+        # over-cap INITIAL rows: the device applies its bounded n_halve
+        # passes per wave while the native coder rescales to the fixed
+        # point in one flush — bitstreams would diverge (and with
+        # cap < alphabet no rescale can ever reach the cap at all).
+        # Rows that start <= cap stay <= cap + inc*L + A transiently,
+        # which n_halve is sized for, so parity holds below this gate.
         return False
     if getattr(p, "adapt_chunk", 0):
         return False          # semi-adaptive walks stay on the device
@@ -83,10 +89,7 @@ def encode_job(model, p: CodecParams, flat_syms: np.ndarray,
     if out is None:
         return None
     words, states = out
-    payload = (_HDR.pack(layout.T, L, len(words), nsym)
-               + states.astype("<u4").tobytes()
-               + words.astype("<u2").tobytes())
-    return _HostJob(payload)
+    return _HostJob(pack_payload(layout.T, L, words, states, nsym))
 
 
 def decode_job(model, p: CodecParams, payload: bytes,
@@ -97,20 +100,9 @@ def decode_job(model, p: CodecParams, payload: bytes,
     if kind_spec is None:
         return None
     kind, spec = kind_spec
-    T, L, n_words, nsym = _HDR.unpack_from(payload, 0)
-    off = _HDR.size
-    states = np.frombuffer(payload, "<u4", L, off)
-    off += 4 * L
-    words = np.frombuffer(payload, "<u2", n_words, off)
     counts = np.ascontiguousarray(counts_per_read, np.int64)
-    if int(counts.sum()) != nsym:
-        raise ValueError(
-            f"corrupt stream: symbol count {nsym} in payload header does "
-            f"not match length stream total {int(counts.sum())}")
-    layout = make_layout(counts, L)
-    if layout.T != T:
-        raise ValueError(
-            f"corrupt stream: layout T={layout.T} vs payload T={T}")
+    states, words, L, layout = unpack_payload(payload, counts)
+    nsym = int(counts.sum())
     flat = native.adapt_decode(model.alphabet, model.n_ctx, model.init,
                                model.inc, model.cap, states, words, counts,
                                L, kind, spec, nsym)

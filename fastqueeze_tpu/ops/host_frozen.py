@@ -35,6 +35,37 @@ from fastqueeze_tpu.ops.lanes import make_layout
 _HDR = struct.Struct("<IIII")  # T, L, n_words, n_symbols (engine._HDR)
 
 
+def pack_payload(layout_T: int, L: int, words: np.ndarray,
+                 states: np.ndarray, nsym: int) -> bytes:
+    """Serialize the engine wire format (shared by the frozen and
+    adaptive host coders — one definition of the header layout)."""
+    return (_HDR.pack(layout_T, L, len(words), nsym)
+            + states.astype("<u4").tobytes()
+            + words.astype("<u2").tobytes())
+
+
+def unpack_payload(payload: bytes, counts: np.ndarray):
+    """Parse + validate the engine wire header against the length stream;
+    returns (states, words, L, layout).  Raises ValueError on the corrupt
+    shapes a mangled payload can carry (one definition of these checks
+    for both host coders)."""
+    from fastqueeze_tpu.ops.lanes import make_layout
+    T, L, n_words, nsym = _HDR.unpack_from(payload, 0)
+    off = _HDR.size
+    states = np.frombuffer(payload, "<u4", L, off)
+    off += 4 * L
+    words = np.frombuffer(payload, "<u2", n_words, off)
+    if int(counts.sum()) != nsym:
+        raise ValueError(
+            f"corrupt stream: symbol count {nsym} in payload header does "
+            f"not match length stream total {int(counts.sum())}")
+    layout = make_layout(counts, L)
+    if layout.T != T:
+        raise ValueError(
+            f"corrupt stream: layout T={layout.T} vs payload T={T}")
+    return states, words, L, layout
+
+
 def _spec_of(model):
     """(kind, spec int64 array) for the native walker, or None."""
     if type(model) is SeqModel:
@@ -117,10 +148,7 @@ def encode_job(model, p: CodecParams, flat_syms: np.ndarray,
     if out is None:
         return None
     words, states = out
-    payload = (_HDR.pack(layout.T, L, len(words), nsym)
-               + states.astype("<u4").tobytes()
-               + words.astype("<u2").tobytes())
-    return _HostJob(payload)
+    return _HostJob(pack_payload(layout.T, L, words, states, nsym))
 
 
 def decode_job(model, p: CodecParams, payload: bytes,
@@ -132,20 +160,9 @@ def decode_job(model, p: CodecParams, payload: bytes,
     if kind_spec is None:
         return None
     kind, spec = kind_spec
-    T, L, n_words, nsym = _HDR.unpack_from(payload, 0)
-    off = _HDR.size
-    states = np.frombuffer(payload, "<u4", L, off)
-    off += 4 * L
-    words = np.frombuffer(payload, "<u2", n_words, off)
     counts = np.ascontiguousarray(counts_per_read, np.int64)
-    if int(counts.sum()) != nsym:
-        raise ValueError(
-            f"corrupt stream: symbol count {nsym} in payload header does "
-            f"not match length stream total {int(counts.sum())}")
-    layout = make_layout(counts, L)
-    if layout.T != T:
-        raise ValueError(
-            f"corrupt stream: layout T={layout.T} vs payload T={T}")
+    states, words, L, layout = unpack_payload(payload, counts)
+    nsym = int(counts.sum())
     flat = native.frozen_decode(cum, model.alphabet, states, words, counts,
                                 L, kind, spec, nsym)
     if flat is None:

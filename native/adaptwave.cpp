@@ -108,11 +108,15 @@ struct Table {
             if (t > cap) {
                 int32_t* row = counts.data() + ctx * A;
                 while (t > cap) {
+                    const int32_t prev = t;
                     t = 0;
                     for (int32_t a = 0; a < A; ++a) {
                         row[a] = (row[a] + 1) >> 1;
                         t += row[a];
                     }
+                    // all-ones fixed point: cap < A can never rescale
+                    // below A — stop instead of spinning forever
+                    if (t == prev) break;
                 }
                 tot[ctx] = t;
             }
@@ -122,33 +126,13 @@ struct Table {
     }
 };
 
-// Per-lane read-walk state (round-robin layout: lane l codes reads
-// l, l + L, l + 2L, ...), shared by encode and decode.
-template <class Model>
-struct LaneSt {
-    typename Model::State st;
-    uint32_t x;
-    int64_t cur;      // current read (global index); < 0 = before first
-    int64_t pos;      // position within the current read
-    int64_t len;      // current read's length
-    int64_t off;      // flat offset of the current read
-    int64_t ctx;      // this wave's context (filled by the prefetch pass)
-};
-
-template <class Model>
-inline void advance_lane(LaneSt<Model>& s, const Model& m,
-                         const int64_t* counts, const int64_t* roff,
-                         int64_t R, int64_t L, int64_t l) {
-    if (s.pos == s.len) {   // advance to the next non-empty read
-        int64_t r = s.cur < 0 ? l : s.cur + L;
-        while (r < R && counts[r] == 0) r += L;
-        s.cur = r;
-        s.len = counts[r];
-        s.off = roff[r];
-        s.pos = 0;
-        m.reset(s.st);
-    }
-}
+// Lane machinery (LaneSt, advance_lane, LaneLayout, init_lanes,
+// reverse_rans_merge) is shared with frozenwave.cpp via wavemodels.h.
+using fqwave::LaneLayout;
+using fqwave::LaneSt;
+using fqwave::advance_lane;
+using fqwave::init_lanes;
+using fqwave::reverse_rans_merge;
 
 // --- encode: wave-major forward model walk -> (start, freq) lane-major,
 //     then per-lane reverse rANS; words merged canonically ---
@@ -159,43 +143,23 @@ int64_t encode_impl(Table& tab, const uint8_t* syms, const int64_t* counts,
                     uint16_t* words_out, int64_t words_cap,
                     uint32_t* states_out) {
     const int32_t A = tab.A;
-    std::vector<int64_t> roff(R);
-    std::vector<int64_t> lane_len(L, 0);
-    std::vector<int64_t> seg(L + 1, 0);
-    int64_t off = 0, tmax = 0;
-    for (int64_t r = 0; r < R; ++r) {
-        roff[r] = off;
-        off += counts[r];
-        lane_len[r % L] += counts[r];
-    }
-    for (int64_t l = 0; l < L; ++l) {
-        seg[l + 1] = seg[l] + lane_len[l];
-        if (lane_len[l] > tmax) tmax = lane_len[l];
-    }
-    const int64_t nsym = off;
+    const LaneLayout lay(counts, R, L);
+    std::vector<uint16_t> ts(lay.nsym), tf(lay.nsym);
+    auto ls = init_lanes(L, m, nullptr);
 
-    std::vector<uint16_t> ts(nsym), tf(nsym);
-    std::vector<LaneSt<Model>> ls(L);
-    for (int64_t l = 0; l < L; ++l) {
-        ls[l].cur = -1;
-        ls[l].pos = 0;
-        ls[l].len = 0;
-        m.reset(ls[l].st);
-    }
-
-    for (int64_t t = 0; t < tmax; ++t) {
+    for (int64_t t = 0; t < lay.tmax; ++t) {
         // pass A: read advance + context + row prefetch (ctx depends only
         // on the lane's own symbol history, never on this wave's table)
         for (int64_t l = 0; l < L; ++l) {
-            if (t >= lane_len[l]) continue;
+            if (t >= lay.lane_len[l]) continue;
             LaneSt<Model>& s = ls[l];
-            advance_lane(s, m, counts, roff.data(), R, L, l);
+            advance_lane(s, m, counts, lay.roff.data(), R, L, l);
             s.ctx = m.ctx(s.st, s.pos);
             __builtin_prefetch(tab.counts.data() + s.ctx * A);
         }
         // pass B: quantize + record (start, freq) + queue the update
         for (int64_t l = 0; l < L; ++l) {
-            if (t >= lane_len[l]) continue;
+            if (t >= lay.lane_len[l]) continue;
             LaneSt<Model>& s = ls[l];
             const int32_t sym = syms[s.off + s.pos];
             const int32_t* row = tab.counts.data() + s.ctx * A;
@@ -204,7 +168,7 @@ int64_t encode_impl(Table& tab, const uint8_t* syms, const int64_t* counts,
             const int64_t start = tab.divq(cum << kProbBits, s.ctx);
             const int64_t end =
                 tab.divq((cum + row[sym]) << kProbBits, s.ctx);
-            const int64_t idx = seg[l] + t;
+            const int64_t idx = lay.seg[l] + t;
             ts[idx] = static_cast<uint16_t>(start);
             tf[idx] = static_cast<uint16_t>(end - start);
             tab.queue(s.ctx, sym, static_cast<uint32_t>(t));
@@ -213,46 +177,8 @@ int64_t encode_impl(Table& tab, const uint8_t* syms, const int64_t* counts,
         }
         tab.flush();
     }
-
-    // per-lane reverse rANS (engine._pass2), canonical (wave, lane) merge
-    std::vector<int32_t> wv_t;
-    std::vector<uint16_t> wv_w;
-    std::vector<int64_t> lane_w0(L + 1, 0);
-    std::vector<int64_t> wcnt(tmax + 1, 0);
-    wv_t.reserve(nsym / 2 + 16);
-    wv_w.reserve(nsym / 2 + 16);
-    static const fqwave::RcpTable rcp(kRansM);
-    const uint64_t* rm = rcp.m.data();
-    for (int64_t l = 0; l < L; ++l) {
-        uint32_t x = kRansL;
-        for (int64_t i = lane_len[l] - 1; i >= 0; --i) {
-            const int64_t idx = seg[l] + i;
-            const uint32_t f = tf[idx];
-            if ((x >> 18) >= f) {
-                wv_t.push_back(static_cast<int32_t>(i));
-                wv_w.push_back(static_cast<uint16_t>(x & 0xFFFF));
-                ++wcnt[i];
-                x >>= 16;
-            }
-            const uint32_t fs = f ? f : 1;   // engine pass2's f_safe
-            const uint32_t q = fqwave::rcp_div(x, f, rm);   // == x / fs
-            x = (q << kProbBits) + (x - q * fs) + ts[idx];
-        }
-        states_out[l] = x;
-        lane_w0[l + 1] = static_cast<int64_t>(wv_w.size());
-    }
-    const int64_t W = static_cast<int64_t>(wv_w.size());
-    if (W > words_cap) return -1;
-    std::vector<int64_t> cur(tmax + 1, 0);
-    int64_t acc = 0;
-    for (int64_t t = 0; t < tmax; ++t) {
-        cur[t] = acc;
-        acc += wcnt[t];
-    }
-    for (int64_t l = 0; l < L; ++l)
-        for (int64_t kk = lane_w0[l]; kk < lane_w0[l + 1]; ++kk)
-            words_out[cur[wv_t[kk]]++] = wv_w[kk];
-    return W;
+    return reverse_rans_merge(ts.data(), tf.data(), lay, words_out,
+                              words_cap, states_out);
 }
 
 // --- decode: wave-major forward pass; symbol search inverts the
@@ -263,31 +189,15 @@ void decode_impl(Table& tab, const uint32_t* states, const uint16_t* words,
                  int64_t n_words, const int64_t* counts, int64_t R,
                  int64_t L, const Model& m, uint8_t* out) {
     const int32_t A = tab.A;
-    std::vector<int64_t> roff(R);
-    std::vector<int64_t> lane_len(L, 0);
-    int64_t off = 0, tmax = 0;
-    for (int64_t r = 0; r < R; ++r) {
-        roff[r] = off;
-        off += counts[r];
-        lane_len[r % L] += counts[r];
-    }
-    for (int64_t l = 0; l < L; ++l)
-        if (lane_len[l] > tmax) tmax = lane_len[l];
-
-    std::vector<LaneSt<Model>> ls(L);
-    for (int64_t l = 0; l < L; ++l) {
-        ls[l].x = states[l];
-        ls[l].cur = -1;
-        ls[l].pos = 0;
-        ls[l].len = 0;
-        m.reset(ls[l].st);
-    }
+    const LaneLayout lay(counts, R, L);
+    const std::vector<int64_t>& lane_len = lay.lane_len;
+    auto ls = init_lanes(L, m, states);
     int64_t wp = 0;
-    for (int64_t t = 0; t < tmax; ++t) {
+    for (int64_t t = 0; t < lay.tmax; ++t) {
         for (int64_t l = 0; l < L; ++l) {
             if (t >= lane_len[l]) continue;
             LaneSt<Model>& s = ls[l];
-            advance_lane(s, m, counts, roff.data(), R, L, l);
+            advance_lane(s, m, counts, lay.roff.data(), R, L, l);
             s.ctx = m.ctx(s.st, s.pos);
             __builtin_prefetch(tab.counts.data() + s.ctx * A);
         }

@@ -99,3 +99,64 @@ def test_corrupt_payload_rejected():
     pay = host_adapt.encode_job(model, p, syms, lens).finalize()
     with pytest.raises(ValueError):
         host_adapt.decode_job(model, p, pay, lens[:-1])
+
+
+def test_route_rejects_overcap_initial_rows():
+    """init * alphabet > cap: the native coder's one-flush full rescale
+    diverges from the device's bounded n_halve passes — such streams must
+    not take the native fast path (and cap < alphabet could never rescale
+    below the all-ones total at all)."""
+    from fastqueeze_tpu.models.base import QualModel
+    p = CodecParams()
+    m = QualModel(alphabet=8, init=4096, inc=8, cap=4096)
+    assert not host_adapt.route(p, m)
+    m2 = QualModel(alphabet=8, init=1, inc=8, cap=4)   # cap < alphabet
+    assert not host_adapt.route(p, m2)
+    assert host_adapt.route(p, QualModel(alphabet=8, init=1, inc=8,
+                                         cap=8192))
+
+
+def test_native_rescale_terminates_below_alphabet_cap():
+    """Defense in depth for direct native use: cap < alphabet hits the
+    all-ones fixed point and must terminate, not spin (pre-fix this hung
+    forever).  Run in a subprocess so a regression fails, not hangs."""
+    import subprocess
+    import sys
+    code = (
+        "import numpy as np\n"
+        "from fastqueeze_tpu.io import native\n"
+        "from fastqueeze_tpu.models.base import QualModel\n"
+        "from fastqueeze_tpu.ops import host_adapt\n"
+        "from fastqueeze_tpu.config import CodecParams\n"
+        "m = QualModel(alphabet=8, init=1, inc=8, cap=4)\n"
+        "lens = np.full(16, 40, np.int64)\n"
+        "syms = np.arange(640, dtype=np.uint8) % 8\n"
+        "j = host_adapt.encode_job(m, CodecParams(), syms, lens)\n"
+        "print('DONE', 0 if j is None else len(j.finalize()))\n")
+    # generous timeout: the subprocess pays a cold jax import while the
+    # full suite saturates the 1-vCPU box; a REAL regression spins in
+    # flush() forever, so any finite bound distinguishes the two
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       timeout=420, text=True)
+    assert r.returncode == 0 and "DONE" in r.stdout, r.stderr[-500:]
+
+
+def test_quant_no_int32_overflow():
+    """engine._quant must match the host int64 quantizer for row totals
+    past 2^17 (the direct int32 cumz*M product overflowed and produced
+    negative device tables at validated parameter extremes)."""
+    import numpy as np
+
+    from fastqueeze_tpu.ops.host_frozen import quantize
+
+    rng = np.random.default_rng(23)
+    rows = np.concatenate([
+        np.full((1, 8), 16384, np.int32),             # total 2^17 exactly
+        np.full((1, 8), 1 << 19, np.int32),           # total 2^22
+        rng.integers(1, 1 << 14, (16, 8)).astype(np.int32),
+        np.ones((1, 8), np.int32),
+    ])
+    dev = np.asarray(engine._quant_full(rows))
+    host = quantize(rows).astype(np.int64)
+    np.testing.assert_array_equal(dev, host)
+    assert int(dev[:, -1].min()) == int(dev[:, -1].max()) == 16384
