@@ -79,6 +79,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="sequence context level (default 3)")
     ap.add_argument("--qlevel", type=int, default=None,
                     help="quality context level (default 2)")
+    ap.add_argument("--part", metavar="K:N",
+                    help="multi-host compress: this invocation owns blocks "
+                    "K, K+N, ... (round-robin) of the input and writes a "
+                    "PARTIAL archive; every host scans the whole input (for "
+                    "the whole-input MD5 and the shared frozen model), so "
+                    "merging the N parts reproduces the single-run archive "
+                    "byte-for-byte")
+    ap.add_argument("--merge", action="store_true",
+                    help="assemble partial archives (--part) into one final "
+                    "archive: fastqueeze --merge part*.fqz -o out.fqz")
     ap.add_argument("--mesh", type=int, default=None, metavar="N",
                     help="block-data-parallel over N devices of the mesh "
                     "(-1 = all).  Archives are byte-identical to -t 1; on "
@@ -102,6 +112,8 @@ def _list_archive(path: str) -> None:
         p = r.params
         kind = ("PE" if p.is_pe else
                 ("multi" if getattr(p, "multi", 0) else "SE"))
+        if r.part is not None:
+            kind += f" PARTIAL (part {r.part[0]} of {r.part[1]})"
         print(f"{path}: {kind} archive, {len(r.blocks)} block(s), "
               f"{len(r.file_list)} file(s)")
         print(f"  params: slevel={p.slevel} qlevel={p.qlevel} "
@@ -156,6 +168,14 @@ def main(argv=None) -> int:
             info(f"index written: {out}")
         elif args.list_arc:
             _list_archive(args.list_arc)
+        elif args.merge:
+            if not args.out or len(args.pos) < 1:
+                error("--merge needs part archives + -o out.fqz")
+                return 2
+            from fastqueeze_tpu.container.arcfile import merge_archives
+            stats = merge_archives(args.out, args.pos, force=args.force)
+            info(f"merged {stats['parts']} parts -> {args.out} "
+                 f"({stats['blocks']} blocks, {stats['compressed']:,} B)")
         elif args.compress:
             if not args.in1:
                 error("compress needs -1 <input.fq>")
@@ -188,6 +208,19 @@ def main(argv=None) -> int:
                     p.seed_len = 22    # -q: long-seed backend
                 if p.max_indel == 0:
                     p.max_indel = 3    # -q: indel-capable (BWA-path parity)
+            part = None
+            if args.part:
+                k, _, n = args.part.partition(":")
+                try:
+                    part = (int(k), int(n))
+                except ValueError:
+                    error("--part wants K:N (e.g. --part 0:4)")
+                    return 2
+                if not (0 <= part[0] < part[1]):
+                    error(f"--part {args.part}: need 0 <= K < N")
+                    return 2
+                if part[1] == 1:
+                    part = None    # 1 part == a plain single-run archive
             if args.shm:
                 p.shm_index = 1
             if args.self_align:
@@ -199,20 +232,23 @@ def main(argv=None) -> int:
                 if args.in2 or ref:
                     error("-m supports plain SE inputs (no -2 / reference)")
                     return 2
+                if part:
+                    error("--part is not supported with -m")
+                    return 2
                 from fastqueeze_tpu.pipeline.driver import compress_multi
                 stats = compress_multi(p, args.in1, out, dbg=dbg)
             elif args.in2:
                 from fastqueeze_tpu.pipeline.pe import compress_pe
                 stats = compress_pe(p, in1, args.in2, out,
-                                    ref=ref, dbg=dbg)
+                                    ref=ref, dbg=dbg, part=part)
             else:
                 if ref:
                     from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
                     stats = compress_se_aligned(p, ref, in1, out,
-                                                dbg=dbg)
+                                                dbg=dbg, part=part)
                 else:
                     from fastqueeze_tpu.pipeline.driver import compress_se
-                    stats = compress_se(p, in1, out, dbg=dbg)
+                    stats = compress_se(p, in1, out, dbg=dbg, part=part)
             info(f"compressed {stats['raw']:,} -> {stats['compressed']:,} B "
                  f"(ratio {stats['ratio']:.2f}x) in {stats['blocks']} blocks")
         elif args.decompress:

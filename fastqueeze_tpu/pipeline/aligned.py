@@ -153,12 +153,14 @@ def prepare_ref(p: CodecParams, ref_path: str):
 
 def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
                         out_path: str,
-                        dbg: Optional[DebugInfo] = None) -> Dict:
+                        dbg: Optional[DebugInfo] = None,
+                        part: Optional[tuple] = None) -> Dict:
     dbg = dbg or DebugInfo()
     aligner, ref = prepare_ref(p, ref_path)
     block_size = p.block_bytes or p.block_size_mb * (1 << 20)
     whole_md5 = hashlib.md5()
-    writer = ArcWriter(out_path, p, [os.path.basename(in_path)], [])
+    writer = ArcWriter(out_path, p, [os.path.basename(in_path)], [],
+                       part=part)
     frozen = None
     from fastqueeze_tpu.pipeline.frozen import decide_use_model
     if decide_use_model(p, os.path.getsize(in_path)):
@@ -169,34 +171,45 @@ def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
     total_raw = 0
     total_mapped = total_reads = 0
 
-    def work(i, item):
-        raw, final_nl = item
-        block = parse_block(raw, final_nl)
-        if p.lossy_factor > 1.0:
-            from fastqueeze_tpu.pipeline.driver import apply_lossy
-            raw, block = apply_lossy(p, block)
+    part_k, part_n = part if part else (0, 1)
+
+    def my_items():
+        # --part K:N round-robin ownership; see driver.compress_se
+        for gi, (raw, final_nl) in enumerate(read_blocks(in_path,
+                                                         block_size)):
+            block = None
+            if p.lossy_factor > 1.0:
+                from fastqueeze_tpu.pipeline.driver import apply_lossy
+                block = parse_block(raw, final_nl)
+                raw, block = apply_lossy(p, block)
+            whole_md5.update(raw)
+            if gi % part_n == part_k:
+                yield gi, (raw, final_nl, block)
+
+    def work(_i, gi_item):
+        gi, (raw, final_nl, block) = gi_item
+        if block is None:
+            block = parse_block(raw, final_nl)
         align, n_mapped = _maybe_align(p, aligner, block, dbg)
         t0 = time.time()
         payload = encode_block(p, block, frozen=frozen, align=align,
                                ref_codes=ref.codes, dbg=dbg)
         dbg.add("encode_s", time.time() - t0)
-        return raw, payload, block.n_reads, n_mapped, align is not None
+        return gi, raw, payload, block.n_reads, n_mapped, align is not None
 
     from fastqueeze_tpu.pipeline.parallel_host import (
         block_dp_devices, device_parallel)
     devices = block_dp_devices(p)
-    for i, (raw, payload, n_reads, n_mapped, was_aligned) in \
-            device_parallel(read_blocks(in_path, block_size), work,
-                            devices, p.threads):
-        whole_md5.update(raw)
-        writer.add_block(i, payload, BlockInfo(
+    for _i, (gi, raw, payload, n_reads, n_mapped, was_aligned) in \
+            device_parallel(my_items(), work, devices, p.threads):
+        writer.add_block(gi, payload, BlockInfo(
             payload_len=len(payload), n_reads=n_reads, raw_len1=len(raw),
             flags=FLAG_ALIGNED if was_aligned else 0,
             md5=hashlib.md5(raw).digest()))
         total_mapped += n_mapped
         total_reads += n_reads
         total_raw += len(raw)
-        idx = i + 1
+        idx += 1
     writer.input_md5s = [whole_md5.digest()]
     writer.finalize()
     out_size = os.path.getsize(out_path)
@@ -209,7 +222,8 @@ def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
 
 def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
                         out_path: str,
-                        dbg: Optional[DebugInfo] = None) -> Dict:
+                        dbg: Optional[DebugInfo] = None,
+                        part: Optional[tuple] = None) -> Dict:
     """PE aligned: mates interleaved into one block (pair order), every read
     aligned; pair relations (both-map / 1Y2N / 1N2Y / none, reference
     compressPERelation) fall out of the per-read map flags; insert sizes are
@@ -222,7 +236,8 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
     block_size = p.block_bytes or p.block_size_mb * (1 << 20)
     md5_1, md5_2 = hashlib.md5(), hashlib.md5()
     writer = ArcWriter(out_path, p,
-                       [os.path.basename(in1), os.path.basename(in2)], [])
+                       [os.path.basename(in1), os.path.basename(in2)], [],
+                       part=part)
     frozen = None
     from fastqueeze_tpu.pipeline.frozen import decide_use_model
     if decide_use_model(p, os.path.getsize(in1) + os.path.getsize(in2)):
@@ -233,21 +248,32 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
     idx = 0
     total_raw = 0
     total_mapped = total_reads = 0
+    part_k, part_n = part if part else (0, 1)
 
     def items():
+        # --part K:N round-robin ownership; see driver.compress_se
+        gi = 0
         for raw1, fnl1 in read_blocks(in1, block_size // 2):
             n1 = (raw1.count(b"\n") + (0 if fnl1 else 1)) // 4
             raw2, fnl2 = rr2.take(n1)
-            yield raw1, fnl1, raw2, fnl2
+            b1 = b2 = None
+            if p.lossy_factor > 1.0:
+                from fastqueeze_tpu.pipeline.driver import apply_lossy
+                b1 = parse_block(raw1, fnl1)
+                b2 = parse_block(raw2, fnl2)
+                raw1, b1 = apply_lossy(p, b1)
+                raw2, b2 = apply_lossy(p, b2)
+            md5_1.update(raw1)
+            md5_2.update(raw2)
+            if gi % part_n == part_k:
+                yield gi, (raw1, fnl1, raw2, fnl2, b1, b2)
+            gi += 1
 
-    def work(i, item):
-        raw1, fnl1, raw2, fnl2 = item
-        b1 = parse_block(raw1, fnl1)
-        b2 = parse_block(raw2, fnl2)
-        if p.lossy_factor > 1.0:
-            from fastqueeze_tpu.pipeline.driver import apply_lossy
-            raw1, b1 = apply_lossy(p, b1)
-            raw2, b2 = apply_lossy(p, b2)
+    def work(_i, gi_item):
+        gi, (raw1, fnl1, raw2, fnl2, b1, b2) = gi_item
+        if b1 is None:
+            b1 = parse_block(raw1, fnl1)
+            b2 = parse_block(raw2, fnl2)
         merged = interleave_blocks(b1, b2)
         align, n_mapped = _maybe_align(p, aligner, merged, dbg)
         if align is not None and p.max_insr > 0:
@@ -267,26 +293,24 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
         meta = {"fnl1": b1.final_newline, "fnl2": b2.final_newline}
         payload = (write_tlv(TAG_PE_META, json.dumps(meta).encode())
                    + write_tlv(TAG_PE_BODY, body))
-        return (raw1, raw2, payload, b1.n_reads, merged.n_reads, n_mapped,
-                align is not None)
+        return (gi, raw1, raw2, payload, b1.n_reads, merged.n_reads,
+                n_mapped, align is not None)
 
     from fastqueeze_tpu.pipeline.parallel_host import (
         block_dp_devices, device_parallel)
     devices = block_dp_devices(p)
-    for i, (raw1, raw2, payload, n_pairs, n_merged, n_mapped,
-            was_aligned) in device_parallel(items(), work, devices,
-                                            p.threads):
-        md5_1.update(raw1)
-        md5_2.update(raw2)
+    for _i, (gi, raw1, raw2, payload, n_pairs, n_merged, n_mapped,
+             was_aligned) in device_parallel(items(), work, devices,
+                                             p.threads):
         flags = FLAG_PE | (FLAG_ALIGNED if was_aligned else 0)
-        writer.add_block(i, payload, BlockInfo(
+        writer.add_block(gi, payload, BlockInfo(
             payload_len=len(payload), n_reads=n_pairs,
             raw_len1=len(raw1), raw_len2=len(raw2), flags=flags,
             md5=hashlib.md5(raw1 + raw2).digest()))
         total_mapped += n_mapped
         total_reads += n_merged
         total_raw += len(raw1) + len(raw2)
-        idx = i + 1
+        idx += 1
     if rr2.take_rest():
         raise ValueError("PE inputs have different read counts")
     writer.input_md5s = [md5_1.digest(), md5_2.digest()]

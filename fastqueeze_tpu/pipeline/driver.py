@@ -36,6 +36,14 @@ from fastqueeze_tpu.utils.metrics import DebugInfo
 CTX_SHARD_MIN_ENTRIES = 32 << 20
 
 
+def _reject_partial(reader: ArcReader, arc_path: str) -> None:
+    if reader.part is not None:
+        k, n = reader.part
+        raise ValueError(
+            f"{arc_path}: partial archive (part {k} of {n}) — assemble the "
+            f"full archive first: fastqueeze --merge part0.fqz ... -o out.fqz")
+
+
 def apply_lossy(params: CodecParams, block):
     """R-Block quality transform (encode-side only); returns the new
     plaintext bytes + block, so MD5s cover what decode will reproduce."""
@@ -85,13 +93,15 @@ def _gate_bytes(in_path: str) -> int:
 
 
 def compress_se(params: CodecParams, in_path: str, out_path: str,
-                dbg: Optional[DebugInfo] = None) -> Dict:
+                dbg: Optional[DebugInfo] = None,
+                part: Optional[tuple] = None) -> Dict:
     from fastqueeze_tpu.pipeline.frozen import decide_use_model
     dbg = dbg or DebugInfo()
     devices = _block_dp_devices(params)
     block_size = params.block_bytes or params.block_size_mb * (1 << 20)
     whole_md5 = hashlib.md5()
-    writer = ArcWriter(out_path, params, [os.path.basename(in_path)], [])
+    writer = ArcWriter(out_path, params, [os.path.basename(in_path)], [],
+                       part=part)
     frozen = None
     gen = read_blocks(in_path, block_size)
     prefix_items = []   # (raw, final_nl, FastqBlock) — parsed once, reused
@@ -153,12 +163,27 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             and auto_self_align(params, prefix_items[0][2], dbg)) else 0
     idx = 0
     total_raw = 0
+    part_k, part_n = part if part else (0, 1)
 
     def items():
         for it in prefix_items:
             yield it
         for raw, final_nl in gen:
             yield (raw, final_nl, None)
+
+    def my_items():
+        # --part K:N: this host owns blocks K, K+N, ... of the SAME input;
+        # every block is still scanned (and lossy-transformed) in file
+        # order so each part computes the identical whole-input MD5 —
+        # that is what lets merge_archives() reproduce the single-run
+        # archive byte-for-byte
+        for gi, (raw, final_nl, block) in enumerate(items()):
+            if block is None and params.lossy_factor > 1.0:
+                block = parse_block(raw, final_nl)
+                raw, block = apply_lossy(params, block)
+            whole_md5.update(raw)
+            if gi % part_n == part_k:
+                yield gi, (raw, final_nl, block)
 
     def _self_align(block):
         if not params.self_align:
@@ -167,28 +192,25 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
         return maybe_align_self(params, block, dbg)
 
     if params.threads > 1:
-        def work(i, item):
-            raw, final_nl, block = item
+        def work(_i, gi_item):
+            gi, (raw, final_nl, block) = gi_item
             if block is None:
                 block = parse_block(raw, final_nl)
-                if params.lossy_factor > 1.0:
-                    raw, block = apply_lossy(params, block)
             align, rc = _self_align(block)
             payload = encode_block(params, block, frozen=frozen,
                                    align=align, ref_codes=rc,
                                    self_ref=align is not None, dbg=dbg)
-            return raw, payload, block.n_reads
+            return gi, raw, payload, block.n_reads
 
         t_all = time.time()
-        for i, (raw, payload, n_reads) in device_parallel(
-                items(), work, devices, params.threads):
-            whole_md5.update(raw)
-            writer.add_block(i, payload, BlockInfo(
+        for _i, (gi, raw, payload, n_reads) in device_parallel(
+                my_items(), work, devices, params.threads):
+            writer.add_block(gi, payload, BlockInfo(
                 payload_len=len(payload), n_reads=n_reads,
                 raw_len1=len(raw), md5=hashlib.md5(raw).digest()))
             dbg.add("reads", n_reads)
             total_raw += len(raw)
-            idx = i + 1
+            idx += 1
         dbg.add("encode_s", time.time() - t_all)
     else:
         pending = None      # (idx, finalize, BlockInfo) — device in flight
@@ -200,13 +222,10 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             dbg.add("encode_s", time.time() - t0)
             writer.add_block(pend[0], payload, pend[2])
 
-        for raw, final_nl, block in items():
+        for gi, (raw, final_nl, block) in my_items():
             t0 = time.time()
             if block is None:
                 block = parse_block(raw, final_nl)
-                if params.lossy_factor > 1.0:
-                    raw, block = apply_lossy(params, block)
-            whole_md5.update(raw)
             dbg.add("parse_s", time.time() - t0)
             t0 = time.time()
             align, rc = _self_align(block)
@@ -219,7 +238,7 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
                              md5=hashlib.md5(raw).digest())
             if pending is not None:
                 flush(pending)
-            pending = (idx, fin, info)
+            pending = (gi, fin, info)
             dbg.add("reads", block.n_reads)
             total_raw += len(raw)
             idx += 1
@@ -241,6 +260,7 @@ def decompress(arc_path: str, out_prefix: Optional[str],
                mesh: int = 0) -> List[str]:
     dbg = dbg or DebugInfo()
     with ArcReader(arc_path) as reader:
+        _reject_partial(reader, arc_path)
         params = reader.params
         if threads:            # decode-side -t overrides the encoder's
             params.threads = threads
@@ -327,6 +347,7 @@ def extract(arc_path: str, out_prefix: Optional[str], start: int,
     if start < 0 or count <= 0:
         raise ValueError("extract needs start >= 0 and count > 0")
     with ArcReader(arc_path) as reader:
+        _reject_partial(reader, arc_path)
         params = reader.params
         if getattr(params, "multi", 0):
             raise ValueError("-X is not supported on multi-file archives")

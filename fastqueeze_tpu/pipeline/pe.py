@@ -128,17 +128,20 @@ def _gather(flat, starts, lens):
 
 def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
                 ref: Optional[str] = None,
-                dbg: Optional[DebugInfo] = None) -> Dict:
+                dbg: Optional[DebugInfo] = None,
+                part: Optional[tuple] = None) -> Dict:
     from fastqueeze_tpu.io.fastq import read_blocks
     dbg = dbg or DebugInfo()
     if ref:
         from fastqueeze_tpu.pipeline.aligned import compress_pe_aligned
-        return compress_pe_aligned(p, ref, in1, in2, out_path, dbg=dbg)
+        return compress_pe_aligned(p, ref, in1, in2, out_path, dbg=dbg,
+                                   part=part)
     p.is_pe = 1
     block_size = p.block_bytes or p.block_size_mb * (1 << 20)
     md5_1, md5_2 = hashlib.md5(), hashlib.md5()
     writer = ArcWriter(out_path, p,
-                       [os.path.basename(in1), os.path.basename(in2)], [])
+                       [os.path.basename(in1), os.path.basename(in2)], [],
+                       part=part)
     frozen = None
     from fastqueeze_tpu.pipeline.frozen import decide_use_model
     if decide_use_model(p, os.path.getsize(in1) + os.path.getsize(in2)):
@@ -178,17 +181,33 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
             yield first
         yield from it
 
-    def work(i, item):
-        raw1, fnl1, raw2, fnl2 = item
-        if i == 0 and first_parsed is not None:
-            b1, b2 = first_parsed
-        else:
+    part_k, part_n = part if part else (0, 1)
+
+    def my_items():
+        # --part K:N round-robin ownership; every block pair is still
+        # scanned (and lossy-transformed) in file order so each part
+        # computes identical whole-input MD5s (see driver.compress_se)
+        for gi, (raw1, fnl1, raw2, fnl2) in enumerate(items()):
+            b1 = b2 = None
+            if gi == 0 and first_parsed is not None:
+                b1, b2 = first_parsed
+            if p.lossy_factor > 1.0:
+                from fastqueeze_tpu.pipeline.driver import apply_lossy
+                if b1 is None:
+                    b1 = parse_block(raw1, fnl1)
+                    b2 = parse_block(raw2, fnl2)
+                raw1, b1 = apply_lossy(p, b1)
+                raw2, b2 = apply_lossy(p, b2)
+            md5_1.update(raw1)
+            md5_2.update(raw2)
+            if gi % part_n == part_k:
+                yield gi, (raw1, fnl1, raw2, fnl2, b1, b2)
+
+    def work(_i, gi_item):
+        gi, (raw1, fnl1, raw2, fnl2, b1, b2) = gi_item
+        if b1 is None:
             b1 = parse_block(raw1, fnl1)
             b2 = parse_block(raw2, fnl2)
-        if p.lossy_factor > 1.0:
-            from fastqueeze_tpu.pipeline.driver import apply_lossy
-            raw1, b1 = apply_lossy(p, b1)
-            raw2, b2 = apply_lossy(p, b2)
         merged = interleave_blocks(b1, b2)
         align = rc = None
         if p.self_align:
@@ -198,22 +217,20 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
         payload = _encode_pe_block(p, merged, b1, b2, frozen=frozen,
                                    align=align, ref_codes=rc)
         dbg.add("encode_s", time.time() - t0)
-        return raw1, raw2, payload, b1.n_reads
+        return gi, raw1, raw2, payload, b1.n_reads
 
     from fastqueeze_tpu.pipeline.parallel_host import (
         block_dp_devices, device_parallel)
     devices = block_dp_devices(p)
-    for i, (raw1, raw2, payload, n_reads) in device_parallel(
-            items(), work, devices, p.threads):
-        md5_1.update(raw1)
-        md5_2.update(raw2)
+    for _i, (gi, raw1, raw2, payload, n_reads) in device_parallel(
+            my_items(), work, devices, p.threads):
         info = BlockInfo(payload_len=len(payload), n_reads=n_reads,
                          raw_len1=len(raw1), raw_len2=len(raw2),
                          flags=FLAG_PE,
                          md5=hashlib.md5(raw1 + raw2).digest())
-        writer.add_block(i, payload, info)
+        writer.add_block(gi, payload, info)
         total_raw += len(raw1) + len(raw2)
-        idx = i + 1
+        idx += 1
     if f2_iter_state.take_rest():
         raise ValueError("PE inputs have different read counts")
     writer.input_md5s = [md5_1.digest(), md5_2.digest()]
