@@ -200,6 +200,11 @@ def main() -> None:
     # the synthetic 500 kb ref, 8,050/10,000 mapped) ---
     aligned = _bench_aligned(tmp, raw1)
 
+    # --- genome-scale aligned validation: 100 Mbp structured-repeat
+    # reference (VERDICT r4 #1) via tools/genome_bench.py (subprocess:
+    # isolates peak-RSS accounting and shields the round's bench) ---
+    genome = _bench_genome(cpu_mode)
+
     print(json.dumps({
         "metric": "se_encode_reads_per_s",
         "value": round(reads_per_s, 1),
@@ -219,8 +224,29 @@ def main() -> None:
             "device": device,
             "unique_input": unique,
             "aligned": aligned,
+            "genome": genome,
         },
     }))
+
+
+def _bench_genome(cpu_mode: bool) -> dict:
+    """100 Mbp structured-genome rows (map rate / ratio / index build /
+    RSS / sharded-index check) — tools/genome_bench.py in a subprocess.
+    The fixture caches in tmp_genome/ so repeat rounds skip generation."""
+    args = [sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "genome_bench.py")]
+    if cpu_mode:
+        args += ["--mbp", "4", "--reads", "20000",
+                 "--out-dir", tempfile.mkdtemp(prefix="fqzgen")]
+    try:
+        r = subprocess.run(args, capture_output=True, text=True,
+                           timeout=3000)
+        if r.returncode != 0:
+            return {"error": (r.stderr or r.stdout)[-400:]}
+        return json.loads(r.stdout.strip().split("\n")[-1])
+    except Exception as e:  # noqa: BLE001
+        return {"error": repr(e)[:300]}
 
 
 def _bench_device(tmp: str, src: str, n_reads: int, healthy: bool,
@@ -285,6 +311,23 @@ def _bench_device(tmp: str, src: str, n_reads: int, healthy: bool,
         ddt = _best_of(_dec, n_min=2, n_max=6, budget_s=300)
         out["dec_reads_per_s"] = round(n_reads / ddt, 1)
         out["dec_ok"] = _md5(box["o"][0]) == src_md5
+        # roofline: kernel sym/s x analytic gathers/sym vs the measured
+        # gather ceiling (VERDICT r4 #2) — tools/roofline.py subprocess
+        # (own process: the kernels time device-only, and a wedged link
+        # can't take the bench down with it)
+        try:
+            rargs = [sys.executable,
+                     os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tools", "roofline.py")]
+            if cpu_mode:
+                rargs += ["--small", "--cpu"]
+            rr = subprocess.run(rargs, capture_output=True, text=True,
+                               timeout=900)
+            out["roofline"] = (json.loads(rr.stdout.strip().split("\n")[-1])
+                               if rr.returncode == 0
+                               else {"error": rr.stderr[-300:]})
+        except Exception as e:  # noqa: BLE001
+            out["roofline"] = {"error": repr(e)[:200]}
     except Exception as e:  # noqa: BLE001 — record, don't kill the bench
         out["status"] = "error"
         out["error"] = repr(e)[:300]

@@ -162,6 +162,12 @@ def shard_ref_index(idx, n_shards: int) -> Dict[str, np.ndarray]:
     in-kernel binary search needs no per-shard length.  The 2-bit packed
     reference stays replicated (2 Gbp = 0.5 GB packed).  Positions are
     stored u32 (refs up to 4 G positions)."""
+    if idx.ref_len >= (1 << 32):
+        # per-shard coords are u32 (plenty for any real genome; human is
+        # ~3.1 Gbp) — refuse clearly instead of silently truncating
+        raise ValueError(
+            f"reference has {idx.ref_len} positions; the sharded index "
+            "carries u32 coordinates (supports references up to 4 Gbp)")
     keys = idx.keys.astype(np.uint64)
     nk = len(keys)
     bounds = [(i * nk) // n_shards for i in range(n_shards + 1)]
