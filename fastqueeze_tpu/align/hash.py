@@ -465,6 +465,49 @@ def _align_batch(cfg: AlignConfig, keys, offsets, positions, packed, l1,
     return mapped, pos, use_rev & mapped, mis_mask
 
 
+@functools.partial(jax.jit, static_argnames=("cfg2", "cfg3", "G", "ops"))
+def _rescue_indel_fused(cfg2: AlignConfig, cfg3, G: int, ops: int,
+                        keys, offsets, positions, packed, l1, ref_len,
+                        codes, dege, lengths, idx, do):
+    """Tier-2 deep rescue + tier-3 indel in ONE dispatch (VERDICT r4 #4).
+
+    The classic device flow pays a full tunnel round-trip per tier
+    boundary (~36 ms each) because each tier's todo list is computed on
+    the host.  Here the host computes only the FIRST todo list (from the
+    tier-1 mapped bits, one tiny d2h); the rescue and the indel tier
+    then chain on-device: ``idx``/``do`` select this dispatch's compacted
+    todo rows out of the resident (B, lp) grids (no re-upload), the
+    rescue runs, and the indel tier (static ``ops > 0``) runs masked over
+    the SAME capacity on the rescue's failures — its todo is a subset,
+    so no overflow is possible and no second round-trip is needed.
+    Decisions are bit-identical to the classic tier chain: the same
+    kernels run over the same rows in the same order."""
+    c = codes[idx]
+    d = dege[idx]
+    ln = jnp.where(do, lengths[idx], 0)
+    if cfg2 is not None:
+        m2, p2, r2, mm2 = _align_batch.__wrapped__(
+            cfg2, keys, offsets, positions, packed, l1, ref_len, c, d, ln)
+        m2 = m2 & do
+    else:                   # rescue tier disabled: indel only (static)
+        m2 = jnp.zeros_like(do)
+        p2 = jnp.zeros(do.shape[0], jnp.int32)
+        r2 = jnp.zeros_like(do)
+        mm2 = jnp.zeros(c.shape, bool)
+    if ops > 0:
+        bad = do & ~m2
+        ln3 = jnp.where(bad, ln, 0)
+        f, pi, s1, g1, s2, g2, ri, mmi = _indel_batch.__wrapped__(
+            cfg3, G, ops, keys, offsets, positions, packed, l1, ref_len,
+            c, d, ln3)
+        f = f & bad
+        return m2, p2, r2, mm2, f, pi, s1, g1, s2, g2, ri, mmi
+    z = jnp.zeros_like(m2)
+    zi = jnp.zeros(m2.shape[0], jnp.int32)
+    return (m2, p2, r2, mm2, z, jnp.zeros_like(p2), zi, zi, zi, zi,
+            jnp.zeros_like(r2), jnp.zeros_like(mm2))
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "G", "ops"))
 def _indel_batch(cfg: AlignConfig, G: int, ops: int, keys, offsets,
                  positions, packed, l1, ref_len, codes, dege, lengths):
@@ -981,6 +1024,19 @@ class Aligner:
                 _grids.append(_gridify(codes_flat, dege_flat, lengths, lp))
             return _grids[0]
 
+        import os
+        if (not self._host_ok(lp)
+                and os.environ.get("FASTQUEEZE_FUSED_ALIGN", "") == "1"):
+            # device-routed fused two-round-trip flow (VERDICT r4 #4),
+            # payload-identical to the classic tier chain.  Opt-in: the
+            # interleaved real-v5e A/B measured it at parity-to-4%-slower
+            # on a healthy link — the device aligner is GATHER-ROOF-bound
+            # in the rescue tier (tools/roofline.py: tier-1 1.03x of the
+            # measured ceiling; rescue = ~26k gathers/read at
+            # seed_big_occ=1024), not dispatch-bound, so collapsing 5
+            # round-trips to 2 only pays on a degraded link
+            return self._align_device_fused(grids, lengths, lp, cfg)
+
         mapped = np.zeros(R, bool)
         pos = np.zeros(R, np.int64)
         is_rev = np.zeros(R, bool)
@@ -1102,6 +1158,127 @@ class Aligner:
                     gap_len2[upd] = np.asarray(g2_)[:n][f]
                     is_rev[upd] = np.asarray(r)[:n][f]
                     mis_mask[upd] = np.asarray(mm)[:n][f]
+        return AlignResult(mapped, pos, is_rev, mis_mask, gap_pos, gap_len,
+                           gap_pos2, gap_len2)
+
+    def _align_device_fused(self, grids, lengths, lp: int,
+                            cfg: AlignConfig) -> AlignResult:
+        """Device-routed alignment in TWO tunnel round-trips per block.
+
+        Phase A dispatches the tier-1 both-strand kernel for every batch
+        (async), then fetches only the mapped BITS (tiny d2h).  Phase B
+        dispatches ONE fused rescue+indel kernel per batch over the
+        still-resident device grids with a compacted todo list (no grid
+        re-upload, no per-tier sync), then everything is collected.  The
+        classic per-tier chain (FASTQUEEZE_FUSED_ALIGN=0) pays ~5
+        sequential round-trips at ~36 ms each over this tunnel
+        (STATUS.md: 3.7k reads/s device-routed); mapping decisions are
+        identical — asserted by tests/test_fused_align.py down to
+        archive bytes."""
+        import dataclasses
+        p = self.params
+        R = len(lengths)
+        codes_g, dege_g = grids()
+        keys, offsets, positions, packed, l1 = self._arrays()
+        ref_len = jnp.int32(self.ref_len)
+        B = self.BATCH
+        jobs = []
+        for s in range(0, R, B):
+            n = min(B, R - s)
+            cb = np.zeros((B, lp), np.uint8)
+            db = np.zeros((B, lp), bool)
+            lb = np.zeros(B, np.int32)
+            cb[:n], db[:n] = codes_g[s:s + n], dege_g[s:s + n]
+            lb[:n] = lengths[s:s + n]
+            cb_d, db_d, lb_d = (jnp.asarray(cb), jnp.asarray(db),
+                                jnp.asarray(lb))
+            out = _align_batch(cfg, keys, offsets, positions, packed, l1,
+                               ref_len, cb_d, db_d, lb_d)
+            jobs.append([s, n, cb_d, db_d, lb_d, out, None, None])
+        for j in jobs:                       # round-trip 1: mapped bits
+            j[6] = np.asarray(j[5][0])
+
+        big = p.seed_big_occ
+        rescue_on = big > cfg.n_cand and p.rescue_seeds > 0
+        indel_on = p.max_indel > 0
+        cfg2 = dataclasses.replace(
+            cfg, n_cand=big, n_seeds=p.rescue_seeds,
+            excl_bp=p.seed_excl_bp,
+            probe_k=AlignConfig.__dataclass_fields__["probe_k"].default
+        ) if rescue_on else None
+        cfg3 = dataclasses.replace(
+            cfg, n_cand=big, n_seeds=p.rescue_seeds,
+            excl_bp=p.seed_excl_bp,
+            probe_k=AlignConfig.__dataclass_fields__["probe_k"].default)
+        G_eff = min(p.max_indel, lp - 1) if indel_on else 0
+        ops = p.indel_ops if indel_on else 0
+        if rescue_on or indel_on:
+            # one dispatch per batch at a pow2 capacity: an interleaved
+            # A/B on the real v5e showed several small 512-row dispatches
+            # LOSE to one padded dispatch (3.4k vs 4.5k reads/s e2e —
+            # per-execute overhead on the tunnel outweighs the padding
+            # waste)
+            for j in jobs:
+                s, n, cb_d, db_d, lb_d, _out, m1, _ = j
+                todo = np.flatnonzero(~m1[:n]
+                                      & (lengths[s:s + n] >= self.k))
+                if not len(todo):
+                    continue
+                cap = 128
+                while cap < len(todo):
+                    cap <<= 1
+                idxv = np.zeros(cap, np.int32)
+                dov = np.zeros(cap, bool)
+                idxv[:len(todo)] = todo
+                dov[:len(todo)] = True
+                j[7] = [(todo, _rescue_indel_fused(
+                    cfg2, cfg3, G_eff, ops, keys, offsets, positions,
+                    packed, l1, ref_len, cb_d, db_d, lb_d,
+                    jnp.asarray(idxv), jnp.asarray(dov)))]
+
+        mapped = np.zeros(R, bool)
+        pos = np.zeros(R, np.int64)
+        is_rev = np.zeros(R, bool)
+        mis_mask = np.zeros((R, lp), bool)
+        gap_pos = gap_len = gap_pos2 = gap_len2 = None
+        if indel_on:
+            gap_pos = np.zeros(R, np.int32)
+            gap_len = np.zeros(R, np.int32)
+            gap_pos2 = np.zeros(R, np.int32)
+            gap_len2 = np.zeros(R, np.int32)
+        for j in jobs:                       # round-trip 2: full results
+            s, n, _cb, _db, _lb, out, m1, ph2 = j
+            m, p_, r, mm = (np.asarray(x) for x in out)
+            sl = slice(s, s + n)
+            mapped[sl] = m[:n]
+            pos[sl] = p_[:n]
+            is_rev[sl] = r[:n]
+            mis_mask[sl] = mm[:n]
+            if ph2 is None:
+                continue
+            for todo, out2 in ph2:
+                k = len(todo)
+                (m2, p2, r2, mm2, f, pi, s1, g1, s2g, g2g, ri,
+                 mmi) = (np.asarray(x) for x in out2)
+                sel = todo + s
+                if rescue_on:
+                    hit = m2[:k]
+                    upd = sel[hit]
+                    mapped[upd] = True
+                    pos[upd] = p2[:k][hit]
+                    is_rev[upd] = r2[:k][hit]
+                    mis_mask[upd] = mm2[:k][hit]
+                if indel_on:
+                    fk = f[:k]
+                    upd = sel[fk]
+                    mapped[upd] = True
+                    pos[upd] = pi[:k][fk]
+                    gap_pos[upd] = s1[:k][fk]
+                    gap_len[upd] = g1[:k][fk]
+                    gap_pos2[upd] = s2g[:k][fk]
+                    gap_len2[upd] = g2g[:k][fk]
+                    is_rev[upd] = ri[:k][fk]
+                    mis_mask[upd] = mmi[:k][fk]
         return AlignResult(mapped, pos, is_rev, mis_mask, gap_pos, gap_len,
                            gap_pos2, gap_len2)
 
