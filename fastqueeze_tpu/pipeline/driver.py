@@ -95,7 +95,9 @@ def _gate_bytes(in_path: str) -> int:
 def compress_se(params: CodecParams, in_path: str, out_path: str,
                 dbg: Optional[DebugInfo] = None,
                 part: Optional[tuple] = None) -> Dict:
+    from fastqueeze_tpu.ops.engine import new_input_epoch
     from fastqueeze_tpu.pipeline.frozen import decide_use_model
+    new_input_epoch()      # speculative-fetch estimates are per-input
     dbg = dbg or DebugInfo()
     devices = _block_dp_devices(params)
     block_size = params.block_bytes or params.block_size_mb * (1 << 20)
@@ -259,6 +261,8 @@ def decompress(arc_path: str, out_prefix: Optional[str],
                indir: bool = False, threads: int = 0,
                mesh: int = 0) -> List[str]:
     dbg = dbg or DebugInfo()
+    from fastqueeze_tpu.ops.engine import new_input_epoch
+    new_input_epoch()      # speculative-fetch estimates are per-input
     with ArcReader(arc_path) as reader:
         _reject_partial(reader, arc_path)
         params = reader.params

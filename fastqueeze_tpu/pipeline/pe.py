@@ -136,6 +136,8 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
         from fastqueeze_tpu.pipeline.aligned import compress_pe_aligned
         return compress_pe_aligned(p, ref, in1, in2, out_path, dbg=dbg,
                                    part=part)
+    from fastqueeze_tpu.ops.engine import new_input_epoch
+    new_input_epoch()      # speculative-fetch estimates are per-input
     p.is_pe = 1
     block_size = p.block_bytes or p.block_size_mb * (1 << 20)
     md5_1, md5_2 = hashlib.md5(), hashlib.md5()

@@ -137,7 +137,7 @@ def test_native_rescale_terminates_below_alphabet_cap():
     # full suite saturates the 1-vCPU box; a REAL regression spins in
     # flush() forever, so any finite bound distinguishes the two
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       timeout=420, text=True)
+                       timeout=580, text=True)
     assert r.returncode == 0 and "DONE" in r.stdout, r.stderr[-500:]
 
 
