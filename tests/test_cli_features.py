@@ -23,7 +23,7 @@ def _mk_fastq(rng, n, L=50, tag="m"):
     return "".join(recs).encode()
 
 
-def test_multi_file_roundtrip(tmp_path):
+def test_multi_file_roundtrip(tmp_path, monkeypatch):
     rng = np.random.default_rng(5)
     raws = [_mk_fastq(rng, 60 + 20 * i, tag=f"f{i}") for i in range(3)]
     paths = []
@@ -35,7 +35,9 @@ def test_multi_file_roundtrip(tmp_path):
     arc = str(tmp_path / "multi.fqz")
     stats = compress_multi(p, paths, arc)
     assert stats["files"] == 3
-    os.chdir(tmp_path)
+    monkeypatch.chdir(tmp_path)   # restored after the test (a bare
+    # os.chdir leaked: later tests spawning `python -c` subprocesses
+    # could no longer import fastqueeze_tpu from the cwd)
     outs = decompress(arc, str(tmp_path / "back_m"), force=True)
     assert len(outs) == 3
     for raw, name in zip(raws, outs):

@@ -189,6 +189,7 @@ def test_sentinel_decode_fetch_identical():
     E._DEXC_EST.clear()
 
 
+@pytest.mark.slow
 def test_frozen_ternary_search_roundtrip():
     """Frozen decode resolves symbols by the ternary-tree descent for
     every alphabet where it saves gathers (A=5/8/40/96 cover the
@@ -211,6 +212,7 @@ def test_frozen_ternary_search_roundtrip():
         np.testing.assert_array_equal(back, flat)
 
 
+@pytest.mark.slow
 def test_qual_model_qlevel3_pos_aux():
     rng = np.random.default_rng(5)
     counts = rng.integers(1, 150, size=100)
@@ -275,6 +277,7 @@ def test_property_roundtrip_random_models():
         assert np.array_equal(back, syms), f"trial {trial}"
 
 
+@pytest.mark.slow
 def test_semi_adaptive_roundtrip():
     """adapt_chunk > 0: chunked semi-adaptive walk (snapshot requantized
     every chunk waves) must round-trip across models and ragged lengths."""
@@ -315,6 +318,7 @@ def test_wide_alphabet_unpacked_transfer():
     assert np.array_equal(back, syms)
 
 
+@pytest.mark.slow
 def test_bitstream_stability_goldens():
     """Pinned payload MD5s for three model configs: the bitstream is
     platform-independent (pure integer walk) and must not drift under

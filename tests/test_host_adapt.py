@@ -136,8 +136,12 @@ def test_native_rescale_terminates_below_alphabet_cap():
     # generous timeout: the subprocess pays a cold jax import while the
     # full suite saturates the 1-vCPU box; a REAL regression spins in
     # flush() forever, so any finite bound distinguishes the two
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       timeout=580, text=True)
+                       timeout=580, text=True, cwd=repo, env=env)
     assert r.returncode == 0 and "DONE" in r.stdout, r.stderr[-500:]
 
 

@@ -22,6 +22,7 @@ def test_graft_entry_compiles():
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 8])   # 2 = minimal mesh edge; 8 = full
 def test_dryrun_multichip(n):
     graft.dryrun_multichip(n)
@@ -38,6 +39,7 @@ def _mk_fastq(rng, n, L=100):
     return "".join(recs).encode()
 
 
+@pytest.mark.slow
 def test_mesh_archive_bit_identical_to_single_device(tmp_path):
     """END-TO-END block-DP: compress_se over the 8-device mesh must produce
     the same block payloads as -t 1 on one device, and decode back
@@ -68,6 +70,7 @@ def test_mesh_archive_bit_identical_to_single_device(tmp_path):
     assert open(outs[0], "rb").read() == raw
 
 
+@pytest.mark.slow
 def test_mesh_pe_archive_bit_identical(tmp_path):
     from fastqueeze_tpu.config import CodecParams
     from fastqueeze_tpu.container.arcfile import ArcReader
@@ -284,6 +287,7 @@ def test_ctx_shard_gate_production_decode(tmp_path, monkeypatch):
     assert open(outs[0], "rb").read() == raw
 
 
+@pytest.mark.slow
 def test_mesh_e2e_realistic_scale(tmp_path):
     """VERDICT r3 #5: a NON-TOY mesh archive — 50k reads through a trained
     deep hashed-qctx frozen model — with --mesh 8 payloads byte-identical
