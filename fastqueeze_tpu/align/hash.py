@@ -93,6 +93,10 @@ class AlignResult(NamedTuple):
     # g1 + g2 past s2.  0 = read has at most one op.
     gap_pos2: np.ndarray = None  # (R,) int32 second split s2
     gap_len2: np.ndarray = None  # (R,) int32 second signed gap g2
+    # long-read tier (no reference equivalent): chunk-level alignment of
+    # reads > align_max_len — (reads, offs, clens, sub AlignResult) in
+    # the deterministic _lr_grid order, or None
+    chunks: tuple = None
 
 
 def config_from_params(p: CodecParams, lp: int) -> AlignConfig:
@@ -959,7 +963,7 @@ class Aligner:
         return b
 
     def align(self, codes_flat: np.ndarray, dege_flat: np.ndarray,
-              lengths: np.ndarray) -> AlignResult:
+              lengths: np.ndarray, allow_indel: bool = True) -> AlignResult:
         """codes_flat: concatenated 2-bit read codes (degenerate bases as 0);
         dege_flat: bool mask of degenerate bases; lengths: per-read."""
         R = len(lengths)
@@ -990,7 +994,7 @@ class Aligner:
                 idx = (np.repeat(off[sel], lengths[sel])
                        + _intra(lengths[sel]))
                 sub = self.align(codes_flat[idx], dege_flat[idx],
-                                 lengths[sel])
+                                 lengths[sel], allow_indel)
                 res.mapped[sel] = sub.mapped
                 res.pos[sel] = sub.pos
                 res.is_rev[sel] = sub.is_rev
@@ -1035,7 +1039,8 @@ class Aligner:
             # measured ceiling; rescue = ~26k gathers/read at
             # seed_big_occ=1024), not dispatch-bound, so collapsing 5
             # round-trips to 2 only pays on a degraded link
-            return self._align_device_fused(grids, lengths, lp, cfg)
+            return self._align_device_fused(grids, lengths, lp, cfg,
+                                            allow_indel)
 
         mapped = np.zeros(R, bool)
         pos = np.zeros(R, np.int64)
@@ -1086,7 +1091,7 @@ class Aligner:
                                mapped, pos, is_rev, mis_mask, 512)
 
         gap_pos = gap_len = gap_pos2 = gap_len2 = None
-        if p.max_indel > 0:
+        if p.max_indel > 0 and allow_indel:
             # tier 3: indel rescue for still-unmapped reads (the -q
             # mode's CigaL/CigaV capability; up to p.indel_ops gaps)
             gap_pos = np.zeros(R, np.int32)
@@ -1162,7 +1167,8 @@ class Aligner:
                            gap_pos2, gap_len2)
 
     def _align_device_fused(self, grids, lengths, lp: int,
-                            cfg: AlignConfig) -> AlignResult:
+                            cfg: AlignConfig,
+                            allow_indel: bool = True) -> AlignResult:
         """Device-routed alignment in TWO tunnel round-trips per block.
 
         Phase A dispatches the tier-1 both-strand kernel for every batch
@@ -1200,7 +1206,7 @@ class Aligner:
 
         big = p.seed_big_occ
         rescue_on = big > cfg.n_cand and p.rescue_seeds > 0
-        indel_on = p.max_indel > 0
+        indel_on = p.max_indel > 0 and allow_indel
         cfg2 = dataclasses.replace(
             cfg, n_cand=big, n_seeds=p.rescue_seeds,
             excl_bp=p.seed_excl_bp,
@@ -1317,7 +1323,8 @@ class Aligner:
                 mis_mask[upd] = mm[m]
                 return AlignResult(mapped, pos, is_rev, mis_mask,
                                    res.gap_pos, res.gap_len,
-                                   res.gap_pos2, res.gap_len2)
+                                   res.gap_pos2, res.gap_len2,
+                                   chunks=res.chunks)
         # grid only the rescue candidates (long reads skipped alignment and
         # must not enter the (R, lp) grid)
         off = np.cumsum(lengths) - lengths
@@ -1352,7 +1359,8 @@ class Aligner:
         # window-rescued reads are gapless; existing gap fields carry over
         return AlignResult(mapped, pos, is_rev, mis_mask,
                            res.gap_pos, res.gap_len,
-                           res.gap_pos2, res.gap_len2)
+                           res.gap_pos2, res.gap_len2,
+                           chunks=res.chunks)
 
     def _host_ok(self, lp: int) -> bool:
         """Host-native alignment available and routed for this grid?

@@ -134,10 +134,20 @@ class CodecParams:
                                     # cannot reach max_mis — the reference
                                     # BWA path's multi-op CigaL/CigaV
                                     # stream generality)
-    align_max_len: int = 2048       # reads longer than this skip alignment
-                                    # (short-read gapless aligner; longer
-                                    # reads code entropy-only, no lp-bucket
-                                    # grid blowup on ONT/PacBio inputs)
+    align_max_len: int = 2048       # reads longer than this skip the
+                                    # per-read gapless aligner (no
+                                    # lp-bucket grid blowup on ONT/PacBio
+                                    # inputs); they take the chunked
+                                    # long-read tier instead
+    longread_chunk: int = 1024      # long-read tier: reads >
+                                    # align_max_len are anchor-mapped in
+                                    # chunks of this many bases through
+                                    # the ordinary aligner (gap-free;
+                                    # chunks an indel straddles stay in
+                                    # the residual entropy stream).  0
+                                    # disables the tier.  No reference
+                                    # equivalent (SeqArc is
+                                    # short-read-only).
     shm_index: int = 0              # -s: mmap the index (page cache shared
                                     # across processes; reference: POSIX shm)
     min_map_ratio: float = 0.25     # block falls back to entropy-only below
@@ -323,6 +333,7 @@ class CodecParams:
         "max_indel": (0, 255),
         "indel_ops": (1, 2),
         "align_max_len": (32, 1 << 20),
+        "longread_chunk": (0, 1 << 16),
         "lanes_min": (1, 1 << 16),
         "lanes_max": (1, 1 << 16),
         "lane_target_symbols": (1, 1 << 30),

@@ -51,7 +51,9 @@ def align_block(aligner: Aligner, block: FastqBlock,
     masking then keeps duplicates out of the alignment streams anyway."""
     codes, dege = _read_codes(block)
     if dup_src is None:
-        return aligner.align(codes, dege, block.lengths)
+        res = aligner.align(codes, dege, block.lengths)
+        return res._replace(chunks=_chunk_align(aligner, block, codes,
+                                                dege))
     sdup = dup_src >= 0
     keep = ~sdup
     sym_keep = np.repeat(keep, block.lengths)
@@ -91,7 +93,31 @@ def align_block(aligner: Aligner, block: FastqBlock,
     if gp2 is not None:
         gp2[d] = gp2[src]
         gl2[d] = gl2[src]
-    return AlignResult(mapped, pos, rev, mm, gp, gl, gp2, gl2)
+    return AlignResult(mapped, pos, rev, mm, gp, gl, gp2, gl2,
+                       chunks=_chunk_align(aligner, block, codes, dege))
+
+
+def _chunk_align(aligner: Aligner, block: FastqBlock, codes: np.ndarray,
+                 dege: np.ndarray):
+    """Long-read tier (no reference equivalent): anchor-map reads >
+    align_max_len in longread_chunk-sized pieces through the ordinary
+    aligner (gap-free: a chunk an indel straddles simply stays in the
+    residual entropy stream).  Grid = blockcodec._lr_grid, derived from
+    lengths + params on both sides (zero structure bytes)."""
+    p = aligner.params
+    cap = p.align_max_len
+    C = min(p.longread_chunk, cap)
+    if not C or not len(block.lengths) or int(block.lengths.max()) <= cap:
+        return None
+    from fastqueeze_tpu.align.hash import _intra
+    from fastqueeze_tpu.pipeline.blockcodec import _lr_grid
+    reads, offs, clens = _lr_grid(block.lengths, cap, C)
+    if not len(reads):
+        return None
+    starts = np.cumsum(block.lengths) - block.lengths
+    idx = np.repeat(starts[reads] + offs, clens) + _intra(clens)
+    sub = aligner.align(codes[idx], dege[idx], clens, allow_indel=False)
+    return (reads, offs, clens, sub)
 
 
 def _maybe_align(p: CodecParams, aligner: Aligner, block: FastqBlock,
@@ -107,7 +133,17 @@ def _maybe_align(p: CodecParams, aligner: Aligner, block: FastqBlock,
     res = align_block(aligner, block, dup_src)
     dbg.add("align_s", time.time() - t0)
     n_mapped = int(res.mapped.sum())
-    if block.n_reads and n_mapped / block.n_reads < p.min_map_ratio:
+    frac = n_mapped / block.n_reads if block.n_reads else 0.0
+    if res.chunks is not None and res.chunks[3].mapped.any():
+        # long-read blocks: gate on BASE coverage (a block of only long
+        # reads has zero read-level mappings but may be almost fully
+        # chunk-covered)
+        ch = res.chunks
+        mapped_b = (int(block.lengths[res.mapped].sum())
+                    + int(ch[2][ch[3].mapped].sum()))
+        frac = max(frac, mapped_b / max(int(block.lengths.sum()), 1))
+        dbg.add("lr_chunks_mapped", int(ch[3].mapped.sum()))
+    if block.n_reads and frac < p.min_map_ratio:
         dbg.add("fqz_blocks", 1)
         return None, 0
     dbg.add("align_blocks", 1)

@@ -63,6 +63,14 @@ TAG_QDUPD = 28    # qual-dup reads: back-distance to the first identical
 TAG_ACG2F = 29    # indel reads: has-second-op flag (multi-op CigaL/CigaV)
 TAG_ACG2S = 30    # 2-op reads: second split position s2 (>= s1 + |g1<0|)
 TAG_ACG2L = 31    # 2-op reads: zigzag signed second gap g2
+# long-read tier (reads > align_max_len, chunked anchor mapping; no
+# reference equivalent — SeqArc codes long reads entropy-only):
+TAG_LRF = 32      # per-chunk mapped flag (chunks of non-seq-dup long reads)
+TAG_LRPOS = 33    # mapped chunks: absolute window start (posb bytes)
+TAG_LRREV = 34    # mapped chunks: reverse-complement flag
+TAG_LRMISC = 35   # mapped chunks: mismatch count per chunk
+TAG_LRMISP = 36   # mapped chunks: mismatch positions (delta, lrpb bytes)
+TAG_LRMISB = 37   # mapped chunks: substituted bases, ctx = ref base
 
 _VAR_CHUNK = 256  # var byte streams are cut into pseudo-reads for lane ||ism
 
@@ -70,6 +78,31 @@ _BASE_MAP = np.full(256, 255, np.uint8)
 for _i, _c in enumerate(b"ACGT"):
     _BASE_MAP[_c] = _i
 _BASE_INV = np.frombuffer(b"ACGT", np.uint8)
+
+_LR_TAIL_MIN = 64   # a final remainder shorter than this stays residual
+
+
+def _lr_grid(lengths: np.ndarray, cap: int, chunk: int):
+    """Deterministic chunk grid of the long-read tier: (reads, offs,
+    clens) covering every read longer than ``cap`` in ``chunk``-sized
+    pieces (final remainder kept as its own chunk when >= _LR_TAIL_MIN).
+    Encode and decode derive the identical grid from the decoded lengths
+    + serialized params — the chunk STRUCTURE costs zero stream bytes."""
+    rows = np.flatnonzero(lengths > cap)
+    reads, offs, clens = [], [], []
+    for r in rows:
+        L = int(lengths[r])
+        n = L // chunk
+        reads += [r] * n
+        offs += [j * chunk for j in range(n)]
+        clens += [chunk] * n
+        rem = L - n * chunk
+        if rem >= _LR_TAIL_MIN:
+            reads.append(r)
+            offs.append(n * chunk)
+            clens.append(rem)
+    return (np.asarray(reads, np.int64), np.asarray(offs, np.int64),
+            np.asarray(clens, np.int64))
 
 
 # --- duplicate-read tier (CodecParams.dedup) ---------------------------
@@ -530,6 +563,28 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         # pos+rev+mis streams); a read that is both stays a duplicate
         mapped = mapped & ~sdup
     n_mapped = int(mapped.sum())
+
+    # --- long-read tier: mapped chunks of reads > align_max_len are
+    #     reconstructed from the reference; their bases leave the
+    #     residual seq stream (chunk grid is a pure function of lengths
+    #     + params, so it costs zero structure bytes) ---
+    lr = align.chunks if align is not None else None
+    lr_sub = np.zeros(R, np.int64)        # mapped-chunk bases per read
+    lr_cm = lr_keep = lr_excl = None
+    if lr is not None and len(lr[0]) and not self_ref:
+        lr_reads, lr_offs, lr_clens, lr_res = lr
+        lr_keep = ~sdup[lr_reads] if n_sd else np.ones(len(lr_reads), bool)
+        lr_cm = lr_res.mapped & lr_keep
+        if lr_cm.any():
+            np.add.at(lr_sub, lr_reads[lr_cm], lr_clens[lr_cm])
+            rs = np.cumsum(lengths) - lengths
+            cl = lr_clens[lr_cm]
+            lr_excl = (np.repeat(rs[lr_reads[lr_cm]] + lr_offs[lr_cm], cl)
+                       + _intra_of(cl))
+        else:
+            lr = None
+    else:
+        lr = None
     const_len = int(lengths[0]) if R and (lengths == lengths[0]).all() else None
     meta = {
         "R": R,
@@ -547,7 +602,7 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
     #     are coded while the device crunches, then the jobs are finalized
     adapt = frozen is None or bool(p.frozen_adapt)
     seq_keep = ~mapped & ~sdup if n_sd else ~mapped
-    seq_counts = (lengths - dege_cnt)[seq_keep]
+    seq_counts = (lengths - dege_cnt - lr_sub)[seq_keep]
     seq_model = seq_model_from_params(p)
     qmodel = qual_model_for(p, _qual_alphabet(qmax))
     seq_sel = ~dege_mask
@@ -555,6 +610,8 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
         seq_sel &= ~np.repeat(mapped, lengths)
     if n_sd:
         seq_sel &= ~sdup_sym
+    if lr_excl is not None:
+        seq_sel[lr_excl] = False       # mapped chunks ride the ref
     seq_syms = codes[seq_sel]
     if n_qd:
         qsyms = qsyms[np.repeat(~qdup, lengths)]
@@ -694,6 +751,11 @@ def encode_block_job(p: CodecParams, block: FastqBlock,
             p, block, align, ref_codes, mapped, meta)
     if align is not None:
         align_sections.insert(0, (TAG_AMAP, _code_flags(p, mapped)))
+    if lr is not None:
+        assert ref_codes is not None, "long-read tier needs ref_codes"
+        align_sections += _encode_lr_streams(
+            p, block, lr_reads, lr_offs, lr_clens, lr_res, lr_keep, lr_cm,
+            ref_codes, meta)
 
     def finalize() -> bytes:
         # --- collect the device streams, assemble TLV ---
@@ -862,6 +924,105 @@ def _encode_align_streams(p: CodecParams, block: FastqBlock, align,
     return sections
 
 
+def _encode_lr_streams(p: CodecParams, block: FastqBlock, reads, offs,
+                       clens, res, keep, cm, ref_codes: np.ndarray,
+                       meta: Dict) -> list:
+    """Long-read tier streams: mapped chunks -> flag / pos / rev /
+    mismatch streams (the read-level stream shapes applied at chunk
+    granularity; gap-free by construction — allow_indel=False)."""
+    posb = max(1, (int(ref_codes.size).bit_length() + 7) // 8)
+    pos = res.pos[cm]
+    rev = res.is_rev[cm]
+    mm = res.mis_mask[cm]
+    cl = clens[cm]
+    mis_cnt = mm.sum(axis=1).astype(np.int64)
+    if mis_cnt.max(initial=0) > 255:
+        raise ValueError(">255 mismatches in one chunk")
+    mposb = _width_of(int(cl.max()) if len(cl) else 0)
+    meta["lrm"] = int(cm.sum())
+    meta["lrn"] = int(keep.sum())
+    meta["lrposb"] = posb
+    meta["lrpb"] = mposb
+
+    rows, cols = np.nonzero(mm)
+    prev = np.empty_like(cols)
+    prev[0:1] = 0
+    prev[1:] = cols[:-1]
+    first = np.empty(len(rows), bool)
+    first[0:1] = True
+    first[1:] = rows[1:] != rows[:-1]
+    deltas = np.where(first, cols, cols - prev)
+
+    rs = np.cumsum(block.lengths) - block.lengths
+    coffs = (rs[reads] + offs)[cm]
+    eff_col = np.where(rev[rows], cl[rows] - 1 - cols, cols)
+    read_base = _BASE_MAP[block.seq_flat[coffs[rows] + eff_col]]
+    sub_base = np.where(rev[rows], 3 - read_base,
+                        read_base).astype(np.uint8)
+    ref_base = ref_codes[np.clip(pos[rows] + cols, 0,
+                                 max(ref_codes.size - 1, 0))]
+    sections = [
+        (TAG_LRF, _code_flags(p, cm[keep])),
+        (TAG_LRPOS, _code_le(p, pos, posb)),
+        (TAG_LRREV, _code_flags(p, rev)),
+        (TAG_LRMISC, _code_bytes(p, mis_cnt.astype(np.uint8).tobytes(),
+                                 order1=False)),
+    ]
+    if len(rows):
+        sections.append((TAG_LRMISP, _code_le(p, deltas, mposb)))
+        sections.append((TAG_LRMISB, _code_syms_ctx(
+            p, sub_base, ref_base.astype(np.uint8), 4, 4)))
+    return sections
+
+
+def _decode_lr_streams(p: CodecParams, sections: Dict, meta: Dict,
+                       reads, offs, clens, cm, read_off,
+                       ref_codes: np.ndarray, seq_flat: np.ndarray) -> None:
+    """Reconstruct mapped long-read chunks from the reference (the
+    chunk-level BitbufProcess analogue), writing ACGT bytes into
+    seq_flat in place."""
+    M = int(cm.sum())
+    if not M:
+        return
+    posb = meta["lrposb"]
+    mposb = meta["lrpb"]
+    cl = clens[cm]
+    coffs = (read_off[reads] + offs)[cm]
+    pos = _decode_le(p, sections[TAG_LRPOS], M, posb)
+    rev = _decode_flags(p, sections[TAG_LRREV], M)
+    cnt_raw = _decode_bytes(p, sections[TAG_LRMISC], order1=False)
+    mis_cnt = np.frombuffer(cnt_raw, np.uint8).astype(np.int64)
+    if len(mis_cnt) != M:
+        raise ValueError("corrupt block payload: LR mismatch counts")
+    n_mis = int(mis_cnt.sum())
+
+    total = int(cl.sum())
+    win_off = np.cumsum(cl) - cl
+    sym_c = np.repeat(np.arange(M), cl)
+    intra = np.arange(total, dtype=np.int64) - np.repeat(win_off, cl)
+    win = ref_codes[np.clip(np.repeat(pos, cl) + intra, 0,
+                            max(ref_codes.size - 1, 0))].copy()
+    if n_mis:
+        deltas = _decode_le(p, sections[TAG_LRMISP], n_mis, mposb)
+        rows = np.repeat(np.arange(M), mis_cnt)
+        first_of = (np.cumsum(mis_cnt) - mis_cnt)[rows]
+        cs = np.cumsum(deltas)
+        seg = np.zeros(n_mis, np.int64)
+        nz = first_of > 0
+        seg[nz] = cs[first_of[nz] - 1]
+        cols = cs - seg
+        if (cols >= cl[rows]).any():
+            raise ValueError("corrupt block payload: LR mismatch cols")
+        ref_base = win[win_off[rows] + cols].copy()
+        sub = _decode_syms_ctx(p, sections[TAG_LRMISB], n_mis,
+                               ref_base.astype(np.uint8), 4, 4)
+        win[win_off[rows] + cols] = sub
+    src_intra = np.where(rev[sym_c], cl[sym_c] - 1 - intra, intra)
+    val = win[win_off[sym_c] + src_intra]
+    val = np.where(rev[sym_c], 3 - val, val)
+    seq_flat[coffs[sym_c] + intra] = _BASE_INV[val]
+
+
 def decode_block(p: CodecParams, payload: bytes,
                  frozen: Optional[Dict] = None,
                  ref_codes: Optional[np.ndarray] = None,
@@ -896,6 +1057,9 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
     if n_mapped and ref_codes is None and not self_ref:
         raise ValueError("archive was reference-aligned: decode needs the "
                          "reference FASTA")
+    if meta.get("lrm", 0) and ref_codes is None:
+        raise ValueError("archive has reference-mapped long-read chunks: "
+                         "decode needs the reference FASTA")
 
     # --- lengths ---
     if meta["clen"] is not None:
@@ -952,9 +1116,27 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
         qdup, qd_rows, qd_src = _dup_refs(TAG_QDUPF, TAG_QDUPD, n_qd,
                                           meta["qdb"], meta.get("qdd", 0))
 
+    # --- long-read tier: chunk grid + mapped-chunk flags (needed before
+    #     the seq dispatch: mapped chunks' bases are not in the stream) ---
+    lr_reads = lr_offs = lr_clens = lr_cm = None
+    lr_sub = np.zeros(R, np.int64)
+    if TAG_LRF in sections and p.longread_chunk and R:
+        C = min(p.longread_chunk, p.align_max_len)
+        lr_reads, lr_offs, lr_clens = _lr_grid(lengths, p.align_max_len, C)
+        gkeep = ~sdup[lr_reads] if n_sd else np.ones(len(lr_reads), bool)
+        nk = int(gkeep.sum())
+        if nk != meta.get("lrn", nk):
+            raise ValueError("corrupt block payload: LR chunk grid")
+        flags = _decode_flags(p, sections[TAG_LRF], nk)
+        lr_cm = np.zeros(len(lr_reads), bool)
+        lr_cm[gkeep] = flags
+        if int(lr_cm.sum()) != meta.get("lrm", -1):
+            raise ValueError("corrupt block payload: LR mapped count")
+        np.add.at(lr_sub, lr_reads[lr_cm], lr_clens[lr_cm])
+
     # --- dispatch device streams (seq + qual), then do host work ---
     adapt = frozen is None or bool(p.frozen_adapt)
-    seq_counts = (lengths - dege_cnt)[~mapped & ~sdup]
+    seq_counts = (lengths - dege_cnt - lr_sub)[~mapped & ~sdup]
     qlens = lengths[~qdup] if n_qd else lengths
     seq_model = seq_model_from_params(p)
     qmodel = qual_model_for(p, _qual_alphabet(qmax))
@@ -1008,6 +1190,10 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
         fill |= np.repeat(mapped, lengths)
     if n_sd:
         fill |= np.repeat(sdup, lengths)
+    if lr_cm is not None and lr_cm.any():
+        cl = lr_clens[lr_cm]
+        spans = (read_off[lr_reads[lr_cm]] + lr_offs[lr_cm])
+        fill[np.repeat(spans, cl) + _intra_of(cl)] = True
     acgt = seq_job.finalize()
     seq_flat[~fill] = _BASE_INV[acgt]
     if n_mapped:
@@ -1025,6 +1211,9 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
             ref_codes = np.minimum(_BASE_MAP[seq_flat[sel]], 3)
         _decode_align_streams(p, sections, meta, mapped, lengths, read_off,
                               ref_codes, seq_flat)
+    if lr_cm is not None and lr_cm.any():
+        _decode_lr_streams(p, sections, meta, lr_reads, lr_offs, lr_clens,
+                           lr_cm, read_off, ref_codes, seq_flat)
     if n_sd:
         # duplicate reads: one range copy from their (non-duplicate,
         # already filled) first occurrences
