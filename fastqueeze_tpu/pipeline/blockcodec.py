@@ -71,6 +71,10 @@ TAG_LRREV = 34    # mapped chunks: reverse-complement flag
 TAG_LRMISC = 35   # mapped chunks: mismatch count per chunk
 TAG_LRMISP = 36   # mapped chunks: mismatch positions (delta, lrpb bytes)
 TAG_LRMISB = 37   # mapped chunks: substituted bases, ctx = ref base
+TAG_LRPA = 38     # mapped chunks: position-anchor flag (first of read /
+                  #   strand change / discontiguous); non-anchors code a
+                  #   2-byte zigzag residual off the previous chunk
+TAG_LRPD = 39     # non-anchor chunks: zigzag pos residual (u16)
 
 _VAR_CHUNK = 256  # var byte streams are cut into pseudo-reads for lane ||ism
 
@@ -961,13 +965,40 @@ def _encode_lr_streams(p: CodecParams, block: FastqBlock, reads, offs,
                         read_base).astype(np.uint8)
     ref_base = ref_codes[np.clip(pos[rows] + cols, 0,
                                  max(ref_codes.size - 1, 0))]
+    # position coding: consecutive mapped chunks of one read are nearly
+    # contiguous in the reference (pos_j ~ pos_{j-1} +- (off_j -
+    # off_{j-1}), sign by strand), so non-anchor chunks code a 2-byte
+    # zigzag residual instead of a posb-byte absolute (the position
+    # stream was ~40% of a HiFi long-read archive)
+    M = len(pos)
+    r_m = reads[cm]
+    off_m = offs[cm]
+    sgn = np.where(rev, -1, 1).astype(np.int64)
+    prev_pos = np.zeros(M, np.int64)
+    prev_off = np.zeros(M, np.int64)
+    prev_rev = np.zeros(M, bool)
+    same = np.zeros(M, bool)
+    if M > 1:
+        prev_pos[1:] = pos[:-1]
+        prev_off[1:] = off_m[:-1]
+        prev_rev[1:] = rev[:-1]
+        same[1:] = r_m[1:] == r_m[:-1]
+    step = sgn * (off_m - prev_off)
+    delta = pos - (prev_pos + step)
+    anchor = ~(same & (rev == prev_rev) & (np.abs(delta) < (1 << 15)))
+    meta["lrna"] = int(anchor.sum())
+    zz = delta[~anchor]
+    zz = np.where(zz >= 0, 2 * zz, -2 * zz - 1)
     sections = [
         (TAG_LRF, _code_flags(p, cm[keep])),
-        (TAG_LRPOS, _code_le(p, pos, posb)),
+        (TAG_LRPA, _code_flags(p, anchor)),
+        (TAG_LRPOS, _code_le(p, pos[anchor], posb)),
         (TAG_LRREV, _code_flags(p, rev)),
         (TAG_LRMISC, _code_bytes(p, mis_cnt.astype(np.uint8).tobytes(),
                                  order1=False)),
     ]
+    if (~anchor).any():
+        sections.append((TAG_LRPD, _code_le(p, zz, 2)))
     if len(rows):
         sections.append((TAG_LRMISP, _code_le(p, deltas, mposb)))
         sections.append((TAG_LRMISB, _code_syms_ctx(
@@ -988,8 +1019,28 @@ def _decode_lr_streams(p: CodecParams, sections: Dict, meta: Dict,
     mposb = meta["lrpb"]
     cl = clens[cm]
     coffs = (read_off[reads] + offs)[cm]
-    pos = _decode_le(p, sections[TAG_LRPOS], M, posb)
     rev = _decode_flags(p, sections[TAG_LRREV], M)
+    # positions: anchors absolute, the rest per-segment residual cumsum
+    # (inverse of the encoder's contiguity model)
+    anchor = _decode_flags(p, sections[TAG_LRPA], M)
+    n_anchor = int(anchor.sum())
+    if n_anchor != meta.get("lrna", n_anchor) or (M and not anchor[0]):
+        raise ValueError("corrupt block payload: LR pos anchors")
+    pa = _decode_le(p, sections[TAG_LRPOS], n_anchor, posb)
+    delta = np.zeros(M, np.int64)
+    if n_anchor < M:
+        zz = _decode_le(p, sections[TAG_LRPD], M - n_anchor, 2)
+        delta[~anchor] = np.where(zz % 2 == 0, zz // 2, -((zz + 1) // 2))
+    off_m = offs[cm]
+    sgn = np.where(rev, -1, 1).astype(np.int64)
+    step = np.zeros(M, np.int64)
+    if M > 1:
+        step[1:] = sgn[1:] * (off_m[1:] - off_m[:-1])
+    inc = np.where(anchor, 0, step + delta)
+    seg = np.cumsum(anchor) - 1                  # segment id per chunk
+    cs = np.cumsum(inc)
+    seg_first = np.flatnonzero(anchor)
+    pos = pa[seg] + cs - cs[seg_first[seg]]
     cnt_raw = _decode_bytes(p, sections[TAG_LRMISC], order1=False)
     mis_cnt = np.frombuffer(cnt_raw, np.uint8).astype(np.int64)
     if len(mis_cnt) != M:

@@ -163,6 +163,56 @@ def main() -> None:
     out["hash"]["dec_ok"] = (
         hashlib.md5(open(outs[0], "rb").read()).digest() == fq_md5)
 
+    # --- long-read tier (no reference equivalent): HiFi-like 5-20 kb
+    # reads at 0.3% substitution error, chunk-anchor-mapped ---
+    lr_fq = os.path.join(a.out_dir, "longreads.fq")
+    n_lr = 2000
+    if not os.path.exists(lr_fq):
+        import numpy as np
+
+        from fastqueeze_tpu.align.ref import load_fasta as _lf
+        r = _lf(fa)
+        codes = np.where(r.amb_mask, np.uint8(4), r.codes)
+        rng = np.random.default_rng(4)
+        with open(lr_fq, "wb") as fh:
+            for i in range(n_lr):
+                L = int(rng.integers(5_000, 20_000))
+                st = int(rng.integers(0, len(codes) - L))
+                rd = codes[st:st + L].copy()
+                amb = rd == 4
+                err = (rng.random(L) < 0.003) & ~amb
+                rd[err] ^= rng.integers(1, 4, int(err.sum())).astype(
+                    np.uint8)
+                if i % 2:
+                    rd = np.where(rd == 4, 4,
+                                  3 - np.where(amb, 0, rd))[::-1]
+                seq = np.frombuffer(b"ACGTN", np.uint8)[rd].tobytes()
+                fh.write(b"@LR.%d\n%s\n+\n%s\n"
+                         % (i, seq, bytes([73]) * L))
+    lr_md5 = hashlib.md5(open(lr_fq, "rb").read()).digest()
+    from fastqueeze_tpu.pipeline.driver import compress_se as _cse
+    s_plain = _cse(CodecParams(threads=1), lr_fq,
+                   os.path.join(tmp, "lr_plain.fqz"))
+    arc_lr = os.path.join(tmp, "lr.fqz")
+    s_lr = compress_se_aligned(CodecParams(threads=1), fa, lr_fq, arc_lr)
+    t0 = time.time()
+    s_lr = compress_se_aligned(CodecParams(threads=1), fa, lr_fq, arc_lr)
+    dlr = time.time() - t0
+    t0 = time.time()
+    outs_lr = decompress(arc_lr, os.path.join(tmp, "lr_back"), force=True,
+                         threads=1, ref=fa)
+    dlrd = time.time() - t0
+    lr_bases = os.path.getsize(lr_fq) // 2
+    out["longread"] = {
+        "reads": n_lr,
+        "ratio": round(s_lr["ratio"], 2),
+        "entropy_only_ratio": round(s_plain["ratio"], 2),
+        "enc_mbases_per_s": round(lr_bases / 1e6 / dlr, 2),
+        "dec_mbases_per_s": round(lr_bases / 1e6 / dlrd, 2),
+        "dec_ok": (hashlib.md5(open(outs_lr[0], "rb").read()).digest()
+                   == lr_md5),
+    }
+
     # --- -q long-seed tier (k=22 wide keys + multi-op indel) ---
     ref = load_fasta(fa)
     t0 = time.time()
