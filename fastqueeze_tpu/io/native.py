@@ -52,7 +52,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "fq_csr_build"):          # newest required symbol
+    if not hasattr(lib, "fq_csr_build_wide"):     # newest required symbol
         # stale .so from before a symbol was added (or before the
         # read-sampling rule, a C<->numpy contract, last changed):
         # rebuild and reload
@@ -62,7 +62,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SO_PATH)
         except OSError:
             return None
-        if not hasattr(lib, "fq_csr_build"):
+        if not hasattr(lib, "fq_csr_build_wide"):
             return None
     lib.fq_dup_sources.restype = ctypes.c_int64
     lib.fq_dup_sources.argtypes = [_U8P, _I64P, _I64P, ctypes.c_int64,
@@ -125,6 +125,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.fq_csr_build.restype = ctypes.c_int64
     lib.fq_csr_build.argtypes = [_U8P, _U8P, ctypes.c_int64, _i32,
                                  _u32p0, _u32p0, _u32p0, _u32p0]
+    _u64p0 = ctypes.POINTER(ctypes.c_uint64)
+    lib.fq_csr_build_wide.restype = ctypes.c_int64
+    lib.fq_csr_build_wide.argtypes = [_U8P, _U8P, ctypes.c_int64, _i32,
+                                      _u64p0, _u32p0, _u64p0, _u32p0]
     lib.rc_encode_o1.restype = ctypes.c_int64
     lib.rc_encode_o1.argtypes = [_U8P, ctypes.c_int64, _i32, _i32, _i32,
                                  _i32, _U8P, ctypes.c_int64]
@@ -244,8 +248,26 @@ def csr_build(codes: np.ndarray, amb: np.ndarray, k: int):
     lib = get_lib()
     n = len(codes)
     P = n - k + 1
-    if lib is None or k > 15 or P <= 0 or P >= (1 << 31):
+    if lib is None or P <= 0 or P >= (1 << 31):
         return None
+    if k > 15:
+        if k > 31:
+            return None
+        # wide keys (-q tiers): u64 radix variant, bit-identical arrays
+        # to the numpy stable-argsort path
+        c = np.ascontiguousarray(codes, np.uint8)
+        a = np.ascontiguousarray(amb, np.uint8)
+        _u = ctypes.POINTER(ctypes.c_uint32)
+        _u64 = ctypes.POINTER(ctypes.c_uint64)
+        kv = np.empty(P, np.uint64)
+        pos = np.empty(P, np.uint32)
+        t1 = np.empty(P, np.uint64)
+        t2 = np.empty(P, np.uint32)
+        m = lib.fq_csr_build_wide(
+            _u8p(c), _u8p(a), n, k, kv.ctypes.data_as(_u64),
+            pos.ctypes.data_as(_u), t1.ctypes.data_as(_u64),
+            t2.ctypes.data_as(_u))
+        return kv[:m], pos[:m]
     c = np.ascontiguousarray(codes, np.uint8)
     a = np.ascontiguousarray(amb, np.uint8)
     _u = ctypes.POINTER(ctypes.c_uint32)

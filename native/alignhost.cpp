@@ -913,6 +913,57 @@ extern "C" int64_t fq_csr_build(const uint8_t* codes, const uint8_t* amb,
     return m;
 }
 
+// Wide-key variant (-q tiers, k <= 31: 2k-bit keys as u64).  Same
+// contract as fq_csr_build — rolling k-mers in position order + a
+// STABLE LSD radix over 16-bit digits (ceil(2k/16) passes), so the
+// (kv, pos) arrays are bit-identical to numpy's stable argsort path.
+extern "C" int64_t fq_csr_build_wide(const uint8_t* codes,
+                                     const uint8_t* amb,
+                                     int64_t n, int32_t k,
+                                     uint64_t* kv_out, uint32_t* pos_out,
+                                     uint64_t* tmp_kv, uint32_t* tmp_pos) {
+    const int64_t P = n - (int64_t)k + 1;
+    if (P <= 0 || k < 1 || k > 31) return 0;
+    const uint64_t mask =
+        (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
+    int64_t m = 0;
+    uint64_t kv = 0;
+    int32_t clean = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        kv = ((kv << 2) | codes[i]) & mask;
+        clean = amb[i] ? 0 : clean + 1;
+        if (clean >= k) {
+            tmp_kv[m] = kv;
+            tmp_pos[m] = (uint32_t)(i - k + 1);
+            ++m;
+        }
+    }
+    const int passes = (2 * k + 15) / 16;
+    uint64_t* src_k = tmp_kv;  uint32_t* src_p = tmp_pos;
+    uint64_t* dst_k = kv_out;  uint32_t* dst_p = pos_out;
+    std::vector<int64_t> cnt((size_t)1 << 16);
+    for (int pass = 0; pass < passes; ++pass) {
+        const int sh = 16 * pass;
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = 0; i < m; ++i)
+            ++cnt[(src_k[i] >> sh) & 0xFFFF];
+        int64_t acc = 0;
+        for (auto& c : cnt) { const int64_t t = c; c = acc; acc += t; }
+        for (int64_t i = 0; i < m; ++i) {
+            const int64_t d = cnt[(src_k[i] >> sh) & 0xFFFF]++;
+            dst_k[d] = src_k[i];
+            dst_p[d] = src_p[i];
+        }
+        std::swap(src_k, dst_k);
+        std::swap(src_p, dst_p);
+    }
+    if (src_k != kv_out) {      // odd pass count: result sits in tmp
+        std::memcpy(kv_out, src_k, (size_t)m * 8);
+        std::memcpy(pos_out, src_p, (size_t)m * 4);
+    }
+    return m;
+}
+
 // ---------------------------------------------------------------------------
 // One-pass self-referential alignment (pipeline/selfref.py).
 //

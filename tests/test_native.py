@@ -56,3 +56,31 @@ def test_no_final_newline(lib):
     b = parse_block(raw, False)
     assert b.n_reads == 1
     assert assemble_block(b) == raw
+
+
+def test_csr_build_native_matches_numpy():
+    """Native CSR k-mer builders (narrow u32 radix + wide u64 radix) must
+    be bit-identical to the numpy stable-argsort path — the index arrays
+    feed decision-bearing alignment, so this is a correctness contract,
+    not a perf detail."""
+    import numpy as np
+
+    from fastqueeze_tpu.align.index import _rolling_kmers
+    from fastqueeze_tpu.io import native
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(9)
+    n = 50_000
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    amb = rng.random(n) < 0.002
+    for k in (11, 14, 15, 16, 22, 31):
+        out = native.csr_build(codes, amb, k)
+        assert out is not None, k
+        kv, valid = _rolling_kmers(codes, amb, k)
+        pos_all = np.flatnonzero(valid)
+        kvv = kv[pos_all]
+        order = np.argsort(kvv, kind="stable")
+        np.testing.assert_array_equal(out[0], kvv[order])
+        np.testing.assert_array_equal(out[1],
+                                      pos_all[order].astype(np.uint32))
