@@ -853,13 +853,28 @@ class Aligner:
         self.ref_len = idx.ref_len
         self.k = idx.k
         self.wide = idx.k > 15
-        keys = idx.keys.astype(np.uint64)
+
+        def _huge(src, dtype):
+            # genome-scale indexes (100 Mbp: ~1.3 GB of key/offset/
+            # position arrays) are walked randomly per seed — on this
+            # box's madvise-only THP policy that is dTLB-bound on 4 KB
+            # pages.  Advise BEFORE first touch so the copy faults 2 MB
+            # pages in directly (same trick as the quantized cum tables,
+            # io/native.madvise_hugepage; ~15% there).
+            out = np.empty(len(src), dtype)
+            if out.nbytes >= (8 << 20):
+                from fastqueeze_tpu.io import native
+                native.madvise_hugepage(out)
+            out[:] = src
+            return out
+
+        keys = _huge(idx.keys, np.uint64)
         if not len(keys):
             keys = np.zeros(1, np.uint64)
-        offs = idx.offsets.astype(np.int32)
+        offs = _huge(idx.offsets, np.int32)
         if len(offs) < 2:
             offs = np.zeros(2, np.int32)
-        pos = idx.positions.astype(np.int32)
+        pos = _huge(idx.positions, np.int32)
         if not len(pos):
             pos = np.zeros(1, np.int32)
         # first-level prefix table: bounds the per-seed binary search to one
