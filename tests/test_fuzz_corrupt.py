@@ -178,3 +178,89 @@ def test_hostile_param_values_rejected():
         CodecParams.from_bytes(json.dumps(bd).encode())
     # round-trip of healthy params still loads
     CodecParams.from_bytes(base)
+
+
+def test_corrupt_longread_archives_fail_cleanly(tmp_path):
+    """Long-read chunk streams (LR*) decode through stream-derived
+    positions/column indices — corruption must surface as ValueError or
+    the block MD5, never wrong output or an unhandled IndexError."""
+    import hashlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from genome_fixture import make_genome, write_fasta
+
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    codes, bounds = make_genome(200_000, seed=13)
+    fa = str(tmp_path / "ref.fa")
+    write_fasta(codes, bounds, fa)
+    rng = np.random.default_rng(14)
+    recs = []
+    for i in range(20):
+        L = int(rng.integers(4000, 9000))
+        st = int(rng.integers(0, len(codes) - L))
+        r = np.minimum(codes[st:st + L], 3)
+        seq = np.frombuffer(b"ACGT", np.uint8)[r].tobytes()
+        recs.append(b"@l.%d\n%s\n+\n%s\n" % (i, seq, bytes([70]) * L))
+    src = tmp_path / "lr.fq"
+    src.write_bytes(b"".join(recs))
+    arc = tmp_path / "lr.fqz"
+    compress_se_aligned(CodecParams(**SMALL), fa, str(src), str(arc))
+    raw_md5 = hashlib.md5(src.read_bytes()).digest()
+    arc_b = arc.read_bytes()
+    random.seed(23)
+    for trial in range(16):
+        b = bytearray(arc_b)
+        i = random.randrange(len(b))
+        b[i] ^= random.randrange(1, 256)
+        bad = tmp_path / "bad.fqz"
+        bad.write_bytes(bytes(b))
+        try:
+            outs = decompress(str(bad), str(tmp_path / "out"), force=True,
+                              ref=fa)
+        except (ValueError, KeyError, EOFError, OSError):
+            continue
+        assert (hashlib.md5(open(outs[0], "rb").read()).digest()
+                == raw_md5), f"silent corruption (trial {trial})"
+
+
+def test_corrupt_partial_archives_fail_cleanly(tmp_path):
+    """Mangled PART sections / partial archives: clean rejection from
+    both --merge and decode."""
+    from fastqueeze_tpu.container.arcfile import merge_archives
+    rng = np.random.default_rng(15)
+    recs = []
+    for i in range(200):
+        seq = "".join(rng.choice(list("ACGT"), 40))
+        q = "".join(chr(33 + int(x)) for x in rng.integers(2, 40, 40))
+        recs.append(f"@p.{i}\n{seq}\n+\n{q}\n")
+    src = tmp_path / "in.fq"
+    src.write_bytes("".join(recs).encode())
+    parts = []
+    for k in range(2):
+        pth = str(tmp_path / f"p{k}.fqz")
+        compress_se(CodecParams(**SMALL, block_bytes=2048), str(src), pth,
+                    part=(k, 2))
+        parts.append(pth)
+    base = open(parts[0], "rb").read()
+    random.seed(31)
+    for trial in range(12):
+        b = bytearray(base)
+        i = random.randrange(len(b))
+        b[i] ^= random.randrange(1, 256)
+        bad = str(tmp_path / "bad0.fqz")
+        open(bad, "wb").write(bytes(b))
+        try:
+            merge_archives(str(tmp_path / "m.fqz"), [bad, parts[1]],
+                           force=True)
+            # merge may succeed if the flip hit a block payload (merge
+            # only validates headers); the decode must then catch it
+            decompress(str(tmp_path / "m.fqz"), str(tmp_path / "out"),
+                       force=True)
+        except (ValueError, KeyError, EOFError, OSError):
+            continue
+        # fully clean round-trip: flip landed in dead bytes — verify
+        out = open(str(tmp_path / "out") + ".fastq", "rb").read()
+        assert out == src.read_bytes(), f"silent corruption ({trial})"
