@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -978,7 +978,11 @@ class Aligner:
         return b
 
     def align(self, codes_flat: np.ndarray, dege_flat: np.ndarray,
-              lengths: np.ndarray, allow_indel: bool = True) -> AlignResult:
+              lengths: np.ndarray, allow_indel: bool = True,
+              max_indel: Optional[int] = None) -> AlignResult:
+        """max_indel: override p.max_indel for this call (the long-read
+        chunk tier runs its own gap budget, longread_indel, independent
+        of the read-level -q setting)."""
         """codes_flat: concatenated 2-bit read codes (degenerate bases as 0);
         dege_flat: bool mask of degenerate bases; lengths: per-read."""
         R = len(lengths)
@@ -996,7 +1000,8 @@ class Aligner:
             sel = np.flatnonzero(lengths <= cap)
             lp = self._lp_bucket(int(lengths[sel].max()) if len(sel) else 32)
             gp = gl = gp2 = gl2 = None
-            if self.params.max_indel > 0:
+            if (self.params.max_indel if max_indel is None
+                    else max_indel) > 0:
                 gp = np.zeros(R, np.int32)
                 gl = np.zeros(R, np.int32)
                 gp2 = np.zeros(R, np.int32)
@@ -1009,7 +1014,7 @@ class Aligner:
                 idx = (np.repeat(off[sel], lengths[sel])
                        + _intra(lengths[sel]))
                 sub = self.align(codes_flat[idx], dege_flat[idx],
-                                 lengths[sel], allow_indel)
+                                 lengths[sel], allow_indel, max_indel)
                 res.mapped[sel] = sub.mapped
                 res.pos[sel] = sub.pos
                 res.is_rev[sel] = sub.is_rev
@@ -1055,7 +1060,7 @@ class Aligner:
             # seed_big_occ=1024), not dispatch-bound, so collapsing 5
             # round-trips to 2 only pays on a degraded link
             return self._align_device_fused(grids, lengths, lp, cfg,
-                                            allow_indel)
+                                            allow_indel, max_indel)
 
         mapped = np.zeros(R, bool)
         pos = np.zeros(R, np.int64)
@@ -1106,7 +1111,8 @@ class Aligner:
                                mapped, pos, is_rev, mis_mask, 512)
 
         gap_pos = gap_len = gap_pos2 = gap_len2 = None
-        if p.max_indel > 0 and allow_indel:
+        eff_indel = p.max_indel if max_indel is None else max_indel
+        if eff_indel > 0 and allow_indel:
             # tier 3: indel rescue for still-unmapped reads (the -q
             # mode's CigaL/CigaV capability; up to p.indel_ops gaps)
             gap_pos = np.zeros(R, np.int32)
@@ -1125,7 +1131,7 @@ class Aligner:
                                    wide=self.wide)
                 # a gap wider than the lane is meaningless and would make
                 # the split-scoring slices negative-width
-                G_eff = min(p.max_indel, lp - 1)
+                G_eff = min(eff_indel, lp - 1)
                 if self._host_ok(lp):
                     from fastqueeze_tpu.io import native
                     out = native.indel_batch(
@@ -1183,7 +1189,8 @@ class Aligner:
 
     def _align_device_fused(self, grids, lengths, lp: int,
                             cfg: AlignConfig,
-                            allow_indel: bool = True) -> AlignResult:
+                            allow_indel: bool = True,
+                            max_indel: Optional[int] = None) -> AlignResult:
         """Device-routed alignment in TWO tunnel round-trips per block.
 
         Phase A dispatches the tier-1 both-strand kernel for every batch
@@ -1221,7 +1228,8 @@ class Aligner:
 
         big = p.seed_big_occ
         rescue_on = big > cfg.n_cand and p.rescue_seeds > 0
-        indel_on = p.max_indel > 0 and allow_indel
+        eff_indel = p.max_indel if max_indel is None else max_indel
+        indel_on = eff_indel > 0 and allow_indel
         cfg2 = dataclasses.replace(
             cfg, n_cand=big, n_seeds=p.rescue_seeds,
             excl_bp=p.seed_excl_bp,
@@ -1231,7 +1239,7 @@ class Aligner:
             cfg, n_cand=big, n_seeds=p.rescue_seeds,
             excl_bp=p.seed_excl_bp,
             probe_k=AlignConfig.__dataclass_fields__["probe_k"].default)
-        G_eff = min(p.max_indel, lp - 1) if indel_on else 0
+        G_eff = min(eff_indel, lp - 1) if indel_on else 0
         ops = p.indel_ops if indel_on else 0
         if rescue_on or indel_on:
             # one dispatch per batch at a pow2 capacity: an interleaved

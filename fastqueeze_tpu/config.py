@@ -148,6 +148,13 @@ class CodecParams:
                                     # disables the tier.  No reference
                                     # equivalent (SeqArc is
                                     # short-read-only).
+    longread_indel: int = 3         # gap budget for long-read chunks
+                                    # (independent of the read-level -q
+                                    # max_indel): real HiFi carries
+                                    # ~1e-4/bp homopolymer indels, so a
+                                    # 1024-base chunk has ~10% chance of
+                                    # one — the <=indel_ops-op tier
+                                    # recovers those chunks
     shm_index: int = 0              # -s: mmap the index (page cache shared
                                     # across processes; reference: POSIX shm)
     min_map_ratio: float = 0.25     # block falls back to entropy-only below
@@ -334,6 +341,7 @@ class CodecParams:
         "indel_ops": (1, 2),
         "align_max_len": (32, 1 << 20),
         "longread_chunk": (0, 1 << 16),
+        "longread_indel": (0, 127),
         "lanes_min": (1, 1 << 16),
         "lanes_max": (1, 1 << 16),
         "lane_target_symbols": (1, 1 << 30),

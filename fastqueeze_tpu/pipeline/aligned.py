@@ -116,7 +116,9 @@ def _chunk_align(aligner: Aligner, block: FastqBlock, codes: np.ndarray,
         return None
     starts = np.cumsum(block.lengths) - block.lengths
     idx = np.repeat(starts[reads] + offs, clens) + _intra(clens)
-    sub = aligner.align(codes[idx], dege[idx], clens, allow_indel=False)
+    sub = aligner.align(codes[idx], dege[idx], clens,
+                        allow_indel=p.longread_indel > 0,
+                        max_indel=p.longread_indel)
     return (reads, offs, clens, sub)
 
 

@@ -75,6 +75,16 @@ TAG_LRPA = 38     # mapped chunks: position-anchor flag (first of read /
                   #   strand change / discontiguous); non-anchors code a
                   #   2-byte zigzag residual off the previous chunk
 TAG_LRPD = 39     # non-anchor chunks: zigzag pos residual (u16)
+# chunk-level indels (longread_indel budget; HiFi homopolymer indels):
+# same CigaL/CigaV shapes as the read path, chunk granularity.  (These
+# numbers coexist with pe.py's OUTER envelope tags 40/41 — different TLV
+# parse context, block payloads are nested inside the PE envelope.)
+TAG_LRCIGF = 40   # mapped chunks: has-indel flag
+TAG_LRCIGS = 41   # indel chunks: split position s
+TAG_LRCIGL = 42   # indel chunks: zigzag signed gap g
+TAG_LRCG2F = 43   # indel chunks: has-second-op flag
+TAG_LRCG2S = 44   # 2-op chunks: second split s2
+TAG_LRCG2L = 45   # 2-op chunks: zigzag signed g2
 
 _VAR_CHUNK = 256  # var byte streams are cut into pseudo-reads for lane ||ism
 
@@ -957,14 +967,39 @@ def _encode_lr_streams(p: CodecParams, block: FastqBlock, reads, offs,
     first[1:] = rows[1:] != rows[:-1]
     deltas = np.where(first, cols, cols - prev)
 
+    # chunk indels (longread_indel): same CigaL/CigaV shapes as the
+    # read path, chunk granularity; mismatch coords stay in spliced-
+    # window space
+    g_m = s_m = g2_m = s2_m = None
+    if res.gap_len is not None:
+        g_all = res.gap_len[cm].astype(np.int64)
+        if (g_all != 0).any():
+            g_m = g_all
+            s_m = res.gap_pos[cm].astype(np.int64)
+            if (res.gap_len2 is not None
+                    and (res.gap_len2[cm] != 0).any()):
+                g2_m = res.gap_len2[cm].astype(np.int64)
+                s2_m = res.gap_pos2[cm].astype(np.int64)
+
     rs = np.cumsum(block.lengths) - block.lengths
     coffs = (rs[reads] + offs)[cm]
     eff_col = np.where(rev[rows], cl[rows] - 1 - cols, cols)
     read_base = _BASE_MAP[block.seq_flat[coffs[rows] + eff_col]]
     sub_base = np.where(rev[rows], 3 - read_base,
                         read_base).astype(np.uint8)
-    ref_base = ref_codes[np.clip(pos[rows] + cols, 0,
-                                 max(ref_codes.size - 1, 0))]
+    if g_m is None:
+        ref_base = ref_codes[np.clip(pos[rows] + cols, 0,
+                                     max(ref_codes.size - 1, 0))]
+    else:
+        shift = np.where(cols >= s_m[rows], g_m[rows], 0)
+        ins = ((g_m[rows] < 0) & (cols >= s_m[rows])
+               & (cols < s_m[rows] - g_m[rows]))
+        if g2_m is not None:
+            shift = shift + np.where(cols >= s2_m[rows], g2_m[rows], 0)
+            ins |= ((g2_m[rows] < 0) & (cols >= s2_m[rows])
+                    & (cols < s2_m[rows] - g2_m[rows]))
+        ridx = np.clip(pos[rows] + cols + shift, 0, ref_codes.size - 1)
+        ref_base = np.where(ins, 0, ref_codes[ridx])
     # position coding: consecutive mapped chunks of one read are nearly
     # contiguous in the reference (pos_j ~ pos_{j-1} +- (off_j -
     # off_{j-1}), sign by strand), so non-anchor chunks code a 2-byte
@@ -1003,6 +1038,23 @@ def _encode_lr_streams(p: CodecParams, block: FastqBlock, reads, offs,
         sections.append((TAG_LRMISP, _code_le(p, deltas, mposb)))
         sections.append((TAG_LRMISB, _code_syms_ctx(
             p, sub_base, ref_base.astype(np.uint8), 4, 4)))
+    if g_m is not None:
+        has = g_m != 0
+        meta["lrnidl"] = int(has.sum())
+        gb = 1 if p.longread_indel <= 127 else 2
+        sections.append((TAG_LRCIGF, _code_flags(p, has)))
+        sections.append((TAG_LRCIGS, _code_le(p, s_m[has], mposb)))
+        zzg = np.where(g_m[has] >= 0, 2 * g_m[has], -2 * g_m[has] - 1)
+        sections.append((TAG_LRCIGL, _code_le(p, zzg, gb)))
+        if g2_m is not None and (g2_m[has] != 0).any():
+            has2 = g2_m[has] != 0
+            meta["lrnidl2"] = int(has2.sum())
+            sections.append((TAG_LRCG2F, _code_flags(p, has2)))
+            sections.append((TAG_LRCG2S, _code_le(p, s2_m[has][has2],
+                                                  mposb)))
+            z2 = np.where(g2_m[has][has2] >= 0, 2 * g2_m[has][has2],
+                          -2 * g2_m[has][has2] - 1)
+            sections.append((TAG_LRCG2L, _code_le(p, z2, gb)))
     return sections
 
 
@@ -1051,8 +1103,43 @@ def _decode_lr_streams(p: CodecParams, sections: Dict, meta: Dict,
     win_off = np.cumsum(cl) - cl
     sym_c = np.repeat(np.arange(M), cl)
     intra = np.arange(total, dtype=np.int64) - np.repeat(win_off, cl)
-    win = ref_codes[np.clip(np.repeat(pos, cl) + intra, 0,
-                            max(ref_codes.size - 1, 0))].copy()
+    if TAG_LRCIGF in sections:
+        # chunk indels: spliced window (see _decode_align_streams)
+        g_r = np.zeros(M, np.int64)
+        s_r = np.zeros(M, np.int64)
+        g2_r = np.zeros(M, np.int64)
+        s2_r = np.zeros(M, np.int64)
+        has = _decode_flags(p, sections[TAG_LRCIGF], M)
+        nidl = int(has.sum())
+        gb = 1 if p.longread_indel <= 127 else 2
+        if nidl:
+            s_r[has] = _decode_le(p, sections[TAG_LRCIGS], nidl, mposb)
+            zzg = _decode_le(p, sections[TAG_LRCIGL], nidl, gb)
+            g_r[has] = np.where(zzg % 2 == 0, zzg // 2,
+                                -((zzg + 1) // 2))
+            if TAG_LRCG2F in sections:
+                has2_i = _decode_flags(p, sections[TAG_LRCG2F], nidl)
+                nidl2 = int(has2_i.sum())
+                has2 = np.zeros(M, bool)
+                has2[np.flatnonzero(has)[has2_i]] = True
+                s2_r[has2] = _decode_le(p, sections[TAG_LRCG2S], nidl2,
+                                        mposb)
+                z2 = _decode_le(p, sections[TAG_LRCG2L], nidl2, gb)
+                g2_r[has2] = np.where(z2 % 2 == 0, z2 // 2,
+                                      -((z2 + 1) // 2))
+        g_sym, s_sym = g_r[sym_c], s_r[sym_c]
+        g2_sym, s2_sym = g2_r[sym_c], s2_r[sym_c]
+        shift = (np.where(intra >= s_sym, g_sym, 0)
+                 + np.where(intra >= s2_sym, g2_sym, 0))
+        widx = np.clip(np.repeat(pos, cl) + intra + shift, 0,
+                       max(ref_codes.size - 1, 0))
+        win = ref_codes[widx].copy()
+        win[((g_sym < 0) & (intra >= s_sym) & (intra < s_sym - g_sym))
+            | ((g2_sym < 0) & (intra >= s2_sym)
+               & (intra < s2_sym - g2_sym))] = 0
+    else:
+        win = ref_codes[np.clip(np.repeat(pos, cl) + intra, 0,
+                                max(ref_codes.size - 1, 0))].copy()
     if n_mis:
         deltas = _decode_le(p, sections[TAG_LRMISP], n_mis, mposb)
         rows = np.repeat(np.arange(M), mis_cnt)

@@ -128,3 +128,64 @@ def test_longread_extract(fixture, tmp_path):
     want = b"".join(open(fq, "rb").read().split(b"\n@")[0:1])
     assert raw.startswith(b"@L.0\n")
     assert raw.count(b"\n@") == 2           # 3 records
+
+
+def test_longread_chunk_indels(fixture, tmp_path):
+    """Real HiFi carries rare homopolymer indels; chunks an indel lands
+    in must map through the longread_indel gap tier (and splice back
+    bit-exactly at decode)."""
+    import json
+
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    from fastqueeze_tpu.container.encap import iter_tlv
+    from fastqueeze_tpu.pipeline.blockcodec import TAG_LRCIGF, TAG_META
+    fa, _ = fixture
+    from fastqueeze_tpu.align.ref import load_fasta
+    ref = load_fasta(fa)
+    codes = np.minimum(ref.codes, 3)
+    rng = np.random.default_rng(77)
+    recs = []
+    for i in range(30):
+        L = int(rng.integers(6000, 12000))
+        st = int(rng.integers(0, len(codes) - L - 64))
+        r = codes[st:st + L + 32].copy()
+        # ~1 indel per 1500 bases (exaggerated HiFi homopolymer rate)
+        for _ in range(max(1, L // 1500)):
+            at = int(rng.integers(50, L - 50))
+            g = int(rng.integers(1, 3))
+            if rng.random() < 0.5:
+                r = np.concatenate([r[:at], r[at + g:]])
+            else:
+                r = np.concatenate(
+                    [r[:at], rng.integers(0, 4, g).astype(np.uint8),
+                     r[at:]])
+        r = r[:L]
+        err = rng.random(L) < 0.002
+        r[err] ^= rng.integers(1, 4, int(err.sum())).astype(np.uint8)
+        if i % 3 == 0:
+            r = (3 - r)[::-1]
+        recs.append(b"@I.%d\n%s\n+\n%s\n"
+                    % (i, BASES[r].tobytes(), bytes([73]) * L))
+    fq = tmp_path / "indel.fq"
+    fq.write_bytes(b"".join(recs))
+    arc = str(tmp_path / "indel.fqz")
+    p0 = CodecParams(threads=1, longread_indel=0)
+    s0 = compress_se_aligned(p0, fa, str(fq), arc)
+    p1 = CodecParams(threads=1)                  # longread_indel=3 default
+    arc1 = str(tmp_path / "indel1.fqz")
+    s1 = compress_se_aligned(p1, fa, str(fq), arc1)
+    # the gap tier must recover indel-straddling chunks: better ratio and
+    # LRCIG streams present
+    assert s1["ratio"] > s0["ratio"] * 1.1, (s0["ratio"], s1["ratio"])
+    seen_cig = False
+    with ArcReader(arc1) as r1:
+        for i in range(len(r1.blocks)):
+            secs = dict(iter_tlv(r1.read_block(i)))
+            meta = json.loads(secs[TAG_META].decode())
+            if TAG_LRCIGF in secs:
+                seen_cig = True
+                assert meta.get("lrnidl", 0) > 0
+    assert seen_cig
+    outs = decompress(arc1, str(tmp_path / "iback"), force=True,
+                      threads=1, ref=fa)
+    assert _md5(outs[0]) == _md5(str(fq))
