@@ -41,16 +41,22 @@ def compress(inputs: Inputs, out_path: str, *,
              threads: Optional[int] = None,
              lossy: Optional[float] = None,
              mesh: Optional[int] = None,
-             self_ref: Optional[bool] = None) -> Dict:
+             self_ref: Optional[bool] = None,
+             part: Optional[tuple] = None) -> Dict:
     """Compress FASTQ file(s) into a .fqz archive.
 
     inputs: one path (SE), a (r1, r2) pair (PE), or 3+ paths (multi-file
     archive, the reference's `-m`).  reference: FASTA path to align
     against (index built/cached automatically; the reference's
     `-c ref.fa` mode).  self_ref: self-referential alignment (the CLI's
-    `-S`; SE or PE, mutually exclusive with `reference`).  Returns the
-    driver's stats dict (raw/compressed bytes, ratio, blocks, ...).
+    `-S`; SE or PE, mutually exclusive with `reference`).  part: (k, n)
+    multi-host compression — this call owns blocks k, k+n, ... and
+    writes a PARTIAL archive (the CLI's `--part K:N`; assemble with
+    :func:`merge`).  Returns the driver's stats dict (raw/compressed
+    bytes, ratio, blocks, ...).
     """
+    if part is not None and not (0 <= part[0] < part[1]):
+        raise ValueError(f"part wants (k, n) with 0 <= k < n, got {part}")
     p = _params(params, threads=threads, mesh_n=mesh)
     if lossy is not None:
         p.lossy_factor = lossy
@@ -64,19 +70,31 @@ def compress(inputs: Inputs, out_path: str, *,
         from fastqueeze_tpu.pipeline.aligned import (
             compress_pe_aligned, compress_se_aligned)
         if len(paths) == 1:
-            return compress_se_aligned(p, reference, paths[0], out_path)
+            return compress_se_aligned(p, reference, paths[0], out_path,
+                                       part=part)
         if len(paths) == 2:
             return compress_pe_aligned(p, reference, paths[0], paths[1],
-                                       out_path)
+                                       out_path, part=part)
         raise ValueError("aligned mode takes 1 (SE) or 2 (PE) inputs")
     if len(paths) == 1:
         from fastqueeze_tpu.pipeline.driver import compress_se
-        return compress_se(p, paths[0], out_path)
+        return compress_se(p, paths[0], out_path, part=part)
     if len(paths) == 2:
         from fastqueeze_tpu.pipeline.pe import compress_pe
-        return compress_pe(p, paths[0], paths[1], out_path)
+        return compress_pe(p, paths[0], paths[1], out_path, part=part)
+    if part is not None:
+        raise ValueError("part is not supported with multi-file archives")
     from fastqueeze_tpu.pipeline.driver import compress_multi
     return compress_multi(p, paths, out_path)
+
+
+def merge(out_path: str, parts: Sequence[str], *,
+          force: bool = True) -> Dict:
+    """Assemble partial archives (compress(part=(k, n))) into the final
+    archive — byte-identical to a single-run archive (the CLI's
+    `--merge`; reference SeqArcFile::mergeFile parity)."""
+    from fastqueeze_tpu.container.arcfile import merge_archives
+    return merge_archives(out_path, list(parts), force=force)
 
 
 def decompress(archive: str, out_prefix: str, *,

@@ -49,3 +49,34 @@ def test_pe_compress_decompress(tmp_path):
     outs = api.decompress(arc, str(tmp_path / "back"))
     assert open(outs[0], "rb").read() == r1
     assert open(outs[1], "rb").read() == r2
+
+
+def test_api_part_merge(tmp_path):
+    """Library-level multi-host flow: compress(part=...) + merge() is
+    byte-identical to a single-run compress()."""
+    import numpy as np
+
+    from fastqueeze_tpu import api
+    from fastqueeze_tpu.config import CodecParams
+    rng = np.random.default_rng(21)
+    recs = []
+    for i in range(300):
+        seq = "".join(rng.choice(list("ACGT"), 60))
+        q = "".join(chr(33 + int(x)) for x in rng.integers(2, 40, 60))
+        recs.append(f"@a.{i}\n{seq}\n+\n{q}\n")
+    src = tmp_path / "in.fq"
+    src.write_bytes("".join(recs).encode())
+    mk = lambda: CodecParams(slevel=0, block_bytes=4096)  # noqa: E731
+    single = str(tmp_path / "s.fqz")
+    api.compress(str(src), single, params=mk())
+    parts = []
+    for k in range(2):
+        pth = str(tmp_path / f"p{k}.fqz")
+        api.compress(str(src), pth, params=mk(), part=(k, 2))
+        parts.append(pth)
+    merged = str(tmp_path / "m.fqz")
+    stats = api.merge(merged, parts)
+    assert stats["parts"] == 2
+    assert open(merged, "rb").read() == open(single, "rb").read()
+    outs = api.decompress(merged, str(tmp_path / "back"))
+    assert open(outs[0], "rb").read() == src.read_bytes()
