@@ -165,7 +165,7 @@ def main() -> None:
 
     # --- long-read tier (no reference equivalent): HiFi-like 5-20 kb
     # reads at 0.3% substitution error, chunk-anchor-mapped ---
-    lr_fq = os.path.join(a.out_dir, "longreads.fq")
+    lr_fq = os.path.join(a.out_dir, "longreads2.fq")
     n_lr = 2000
     if not os.path.exists(lr_fq):
         import numpy as np
@@ -178,7 +178,19 @@ def main() -> None:
             for i in range(n_lr):
                 L = int(rng.integers(5_000, 20_000))
                 st = int(rng.integers(0, len(codes) - L))
-                rd = codes[st:st + L].copy()
+                rd = codes[st:st + L + 16].copy()
+                # HiFi-like: 0.3% subs + ~1e-4/bp homopolymer-ish indels
+                for _ in range(max(0, int(rng.poisson(L * 1e-4)))):
+                    at = int(rng.integers(20, L - 20))
+                    g = int(rng.integers(1, 3))
+                    if rng.random() < 0.5:
+                        rd = np.concatenate([rd[:at], rd[at + g:]])
+                    else:
+                        rd = np.concatenate(
+                            [rd[:at],
+                             rng.integers(0, 4, g).astype(np.uint8),
+                             rd[at:]])
+                rd = rd[:L]
                 amb = rd == 4
                 err = (rng.random(L) < 0.003) & ~amb
                 rd[err] ^= rng.integers(1, 4, int(err.sum())).astype(
