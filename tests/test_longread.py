@@ -189,3 +189,21 @@ def test_longread_chunk_indels(fixture, tmp_path):
     outs = decompress(arc1, str(tmp_path / "iback"), force=True,
                       threads=1, ref=fa)
     assert _md5(outs[0]) == _md5(str(fq))
+
+
+def test_longread_mesh_payload_identity(fixture, tmp_path):
+    """--mesh block-DP over the virtual mesh must produce byte-identical
+    LR block payloads (the -t/--mesh invariance extends to the tier)."""
+    fa, fq = fixture
+    a1 = str(tmp_path / "m1.fqz")
+    a2 = str(tmp_path / "m2.fqz")
+    compress_se_aligned(CodecParams(threads=1, block_bytes=1 << 19),
+                        fa, fq, a1)
+    compress_se_aligned(CodecParams(mesh_n=2, block_bytes=1 << 19),
+                        fa, fq, a2)
+    from fastqueeze_tpu.container.arcfile import ArcReader
+    with ArcReader(a1) as r1, ArcReader(a2) as r2:
+        assert len(r1.blocks) > 1
+        assert len(r1.blocks) == len(r2.blocks)
+        for i in range(len(r1.blocks)):
+            assert r1.read_block(i) == r2.read_block(i), f"block {i}"
