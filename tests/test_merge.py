@@ -166,3 +166,41 @@ def test_cli_part_and_merge(se_input, tmp_path, monkeypatch):
     # bad --part spellings are rejected up front
     assert cli.main(base + ["--part", "2:2", "-o", "x.fqz"]) == 2
     assert cli.main(base + ["--part", "nope", "-o", "x.fqz"]) == 2
+
+
+def test_merge_byte_identical_aligned(tmp_path):
+    """Aligned-mode parts (reference index + frozen gate untouched) merge
+    byte-identically too — prepare_ref stamps identical ref_md5/seed_len
+    into every part's PARAM."""
+    from fastqueeze_tpu.pipeline.aligned import compress_se_aligned
+    rng = np.random.default_rng(19)
+    glen = 8000
+    genome = rng.integers(0, 4, glen).astype(np.uint8)
+    B = np.frombuffer(b"ACGT", np.uint8)
+    fa = tmp_path / "r.fa"
+    fa.write_bytes(b">c\n" + B[genome].tobytes() + b"\n")
+    recs = []
+    for i in range(400):
+        st = int(rng.integers(0, glen - 70))
+        r = genome[st:st + 70].copy()
+        mp = rng.integers(0, 70, rng.integers(0, 3))
+        r[mp] = (r[mp] + 1) % 4
+        q = "".join(chr(33 + int(x)) for x in rng.integers(2, 40, 70))
+        recs.append(b"@al.%d\n%s\n+\n%s\n" % (i, B[r].tobytes(),
+                                              q.encode()))
+    fq = tmp_path / "al.fq"
+    fq.write_bytes(b"".join(recs))
+    single = str(tmp_path / "al.fqz")
+    stats = compress_se_aligned(_params(), str(fa), str(fq), single)
+    assert stats["blocks"] >= 2 and stats["mapped"] > 300
+    parts = []
+    for k in range(2):
+        pth = str(tmp_path / f"alp{k}.fqz")
+        compress_se_aligned(_params(), str(fa), str(fq), pth, part=(k, 2))
+        parts.append(pth)
+    merged = str(tmp_path / "al_m.fqz")
+    merge_archives(merged, parts)
+    assert open(merged, "rb").read() == open(single, "rb").read()
+    outs = decompress(merged, str(tmp_path / "al_back"), force=True,
+                      ref=str(fa))
+    assert open(outs[0], "rb").read() == fq.read_bytes()
