@@ -55,8 +55,12 @@ def compress(inputs: Inputs, out_path: str, *,
     :func:`merge`).  Returns the driver's stats dict (raw/compressed
     bytes, ratio, blocks, ...).
     """
-    if part is not None and not (0 <= part[0] < part[1]):
-        raise ValueError(f"part wants (k, n) with 0 <= k < n, got {part}")
+    if part is not None:
+        if not (0 <= part[0] < part[1] <= 0xFFFFFFFF):
+            raise ValueError(
+                f"part wants (k, n) with 0 <= k < n, got {part}")
+        if part[1] == 1:
+            part = None            # 1 part == a plain single-run archive
     p = _params(params, threads=threads, mesh_n=mesh)
     if lossy is not None:
         p.lossy_factor = lossy

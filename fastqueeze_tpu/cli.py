@@ -252,6 +252,9 @@ def main(argv=None) -> int:
             info(f"compressed {stats['raw']:,} -> {stats['compressed']:,} B "
                  f"(ratio {stats['ratio']:.2f}x) in {stats['blocks']} blocks")
         elif args.decompress:
+            if args.part:
+                error("--part applies to compression only")
+                return 2
             if len(args.pos) == 2:
                 ref, arc = args.pos
             elif len(args.pos) == 1:

@@ -148,6 +148,10 @@ class CodecParams:
                                     # disables the tier.  No reference
                                     # equivalent (SeqArc is
                                     # short-read-only).
+    longread_tail_min: int = 64     # a long read's final remainder chunk
+                                    # shorter than this stays in the
+                                    # residual stream (shapes the decode-
+                                    # side chunk grid, hence serialized)
     longread_indel: int = 3         # gap budget for long-read chunks
                                     # (independent of the read-level -q
                                     # max_indel): real HiFi carries
@@ -342,6 +346,7 @@ class CodecParams:
         "align_max_len": (32, 1 << 20),
         "longread_chunk": (0, 1 << 16),
         "longread_indel": (0, 127),
+        "longread_tail_min": (1, 1 << 16),
         "lanes_min": (1, 1 << 16),
         "lanes_max": (1, 1 << 16),
         "lane_target_symbols": (1, 1 << 30),

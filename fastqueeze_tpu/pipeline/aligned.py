@@ -55,6 +55,7 @@ def align_block(aligner: Aligner, block: FastqBlock,
         return res._replace(chunks=_chunk_align(aligner, block, codes,
                                                 dege))
     sdup = dup_src >= 0
+    keep_read_lr = ~sdup
     keep = ~sdup
     sym_keep = np.repeat(keep, block.lengths)
     sub = aligner.align(codes[sym_keep], dege[sym_keep],
@@ -94,11 +95,12 @@ def align_block(aligner: Aligner, block: FastqBlock,
         gp2[d] = gp2[src]
         gl2[d] = gl2[src]
     return AlignResult(mapped, pos, rev, mm, gp, gl, gp2, gl2,
-                       chunks=_chunk_align(aligner, block, codes, dege))
+                       chunks=_chunk_align(aligner, block, codes, dege,
+                                           keep_read=keep_read_lr))
 
 
 def _chunk_align(aligner: Aligner, block: FastqBlock, codes: np.ndarray,
-                 dege: np.ndarray):
+                 dege: np.ndarray, keep_read=None):
     """Long-read tier (no reference equivalent): anchor-map reads >
     align_max_len in longread_chunk-sized pieces through the ordinary
     aligner (gap-free: a chunk an indel straddles simply stays in the
@@ -109,16 +111,53 @@ def _chunk_align(aligner: Aligner, block: FastqBlock, codes: np.ndarray,
     C = min(p.longread_chunk, cap)
     if not C or not len(block.lengths) or int(block.lengths.max()) <= cap:
         return None
-    from fastqueeze_tpu.align.hash import _intra
+    from fastqueeze_tpu.align.hash import AlignResult, _intra
     from fastqueeze_tpu.pipeline.blockcodec import _lr_grid
-    reads, offs, clens = _lr_grid(block.lengths, cap, C)
+    reads, offs, clens = _lr_grid(block.lengths, cap, C,
+                                  p.longread_tail_min)
     if not len(reads):
         return None
+    # duplicate long reads restore by copy — their chunks carry no
+    # streams, so skip their (expensive) chunk alignment entirely
+    sel = (np.ones(len(reads), bool) if keep_read is None
+           else keep_read[reads])
     starts = np.cumsum(block.lengths) - block.lengths
-    idx = np.repeat(starts[reads] + offs, clens) + _intra(clens)
-    sub = aligner.align(codes[idx], dege[idx], clens,
-                        allow_indel=p.longread_indel > 0,
-                        max_indel=p.longread_indel)
+    if sel.all():
+        idx = np.repeat(starts[reads] + offs, clens) + _intra(clens)
+        sub = aligner.align(codes[idx], dege[idx], clens,
+                            allow_indel=p.longread_indel > 0,
+                            max_indel=p.longread_indel)
+        return (reads, offs, clens, sub)
+    ks = np.flatnonzero(sel)
+    Cn = len(reads)
+    lp = 0
+    if len(ks):
+        idx = (np.repeat(starts[reads[ks]] + offs[ks], clens[ks])
+               + _intra(clens[ks]))
+        s = aligner.align(codes[idx], dege[idx], clens[ks],
+                          allow_indel=p.longread_indel > 0,
+                          max_indel=p.longread_indel)
+        lp = s.mis_mask.shape[1]
+    mapped = np.zeros(Cn, bool)
+    pos = np.zeros(Cn, np.int64)
+    rev = np.zeros(Cn, bool)
+    mm = np.zeros((Cn, max(lp, 16)), bool)
+    gp = gl = gp2 = gl2 = None
+    if len(ks):
+        mapped[ks] = s.mapped
+        pos[ks] = s.pos
+        rev[ks] = s.is_rev
+        mm[ks, :lp] = s.mis_mask
+        if s.gap_pos is not None:
+            gp = np.zeros(Cn, np.int32)
+            gl = np.zeros(Cn, np.int32)
+            gp2 = np.zeros(Cn, np.int32)
+            gl2 = np.zeros(Cn, np.int32)
+            gp[ks] = s.gap_pos
+            gl[ks] = s.gap_len
+            gp2[ks] = s.gap_pos2
+            gl2[ks] = s.gap_len2
+    sub = AlignResult(mapped, pos, rev, mm, gp, gl, gp2, gl2)
     return (reads, offs, clens, sub)
 
 
@@ -215,21 +254,28 @@ def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
 
     def my_items():
         # --part K:N round-robin ownership; see driver.compress_se
+        # (single-part runs defer parse/lossy to the workers)
         for gi, (raw, final_nl) in enumerate(read_blocks(in_path,
                                                          block_size)):
-            block = None
-            if p.lossy_factor > 1.0:
-                from fastqueeze_tpu.pipeline.driver import apply_lossy
-                block = parse_block(raw, final_nl)
-                raw, block = apply_lossy(p, block)
-            whole_md5.update(raw)
-            if gi % part_n == part_k:
-                yield gi, (raw, final_nl, block)
+            if part_n > 1:
+                block = None
+                if p.lossy_factor > 1.0:
+                    from fastqueeze_tpu.pipeline.driver import apply_lossy
+                    block = parse_block(raw, final_nl)
+                    raw, block = apply_lossy(p, block)
+                whole_md5.update(raw)
+                if gi % part_n == part_k:
+                    yield gi, (raw, final_nl, block)
+            else:
+                yield gi, (raw, final_nl, None)
 
     def work(_i, gi_item):
         gi, (raw, final_nl, block) = gi_item
         if block is None:
             block = parse_block(raw, final_nl)
+            if part_n == 1 and p.lossy_factor > 1.0:
+                from fastqueeze_tpu.pipeline.driver import apply_lossy
+                raw, block = apply_lossy(p, block)
         align, n_mapped = _maybe_align(p, aligner, block, dbg)
         t0 = time.time()
         payload = encode_block(p, block, frozen=frozen, align=align,
@@ -242,6 +288,8 @@ def compress_se_aligned(p: CodecParams, ref_path: str, in_path: str,
     devices = block_dp_devices(p)
     for _i, (gi, raw, payload, n_reads, n_mapped, was_aligned) in \
             device_parallel(my_items(), work, devices, p.threads):
+        if part_n == 1:            # ordered: blocks arrive in file order
+            whole_md5.update(raw)
         writer.add_block(gi, payload, BlockInfo(
             payload_len=len(payload), n_reads=n_reads, raw_len1=len(raw),
             flags=FLAG_ALIGNED if was_aligned else 0,
@@ -294,20 +342,24 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
 
     def items():
         # --part K:N round-robin ownership; see driver.compress_se
+        # (single-part runs defer parse/lossy to the workers)
         gi = 0
         for raw1, fnl1 in read_blocks(in1, block_size // 2):
             n1 = (raw1.count(b"\n") + (0 if fnl1 else 1)) // 4
             raw2, fnl2 = rr2.take(n1)
             b1 = b2 = None
-            if p.lossy_factor > 1.0:
-                from fastqueeze_tpu.pipeline.driver import apply_lossy
-                b1 = parse_block(raw1, fnl1)
-                b2 = parse_block(raw2, fnl2)
-                raw1, b1 = apply_lossy(p, b1)
-                raw2, b2 = apply_lossy(p, b2)
-            md5_1.update(raw1)
-            md5_2.update(raw2)
-            if gi % part_n == part_k:
+            if part_n > 1:
+                if p.lossy_factor > 1.0:
+                    from fastqueeze_tpu.pipeline.driver import apply_lossy
+                    b1 = parse_block(raw1, fnl1)
+                    b2 = parse_block(raw2, fnl2)
+                    raw1, b1 = apply_lossy(p, b1)
+                    raw2, b2 = apply_lossy(p, b2)
+                md5_1.update(raw1)
+                md5_2.update(raw2)
+                if gi % part_n == part_k:
+                    yield gi, (raw1, fnl1, raw2, fnl2, b1, b2)
+            else:
                 yield gi, (raw1, fnl1, raw2, fnl2, b1, b2)
             gi += 1
 
@@ -316,6 +368,10 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
         if b1 is None:
             b1 = parse_block(raw1, fnl1)
             b2 = parse_block(raw2, fnl2)
+            if part_n == 1 and p.lossy_factor > 1.0:
+                from fastqueeze_tpu.pipeline.driver import apply_lossy
+                raw1, b1 = apply_lossy(p, b1)
+                raw2, b2 = apply_lossy(p, b2)
         merged = interleave_blocks(b1, b2)
         align, n_mapped = _maybe_align(p, aligner, merged, dbg)
         if align is not None and p.max_insr > 0:
@@ -344,6 +400,9 @@ def compress_pe_aligned(p: CodecParams, ref_path: str, in1: str, in2: str,
     for _i, (gi, raw1, raw2, payload, n_pairs, n_merged, n_mapped,
              was_aligned) in device_parallel(items(), work, devices,
                                              p.threads):
+        if part_n == 1:            # ordered: pairs arrive in file order
+            md5_1.update(raw1)
+            md5_2.update(raw2)
         flags = FLAG_PE | (FLAG_ALIGNED if was_aligned else 0)
         writer.add_block(gi, payload, BlockInfo(
             payload_len=len(payload), n_reads=n_pairs,

@@ -93,13 +93,12 @@ for _i, _c in enumerate(b"ACGT"):
     _BASE_MAP[_c] = _i
 _BASE_INV = np.frombuffer(b"ACGT", np.uint8)
 
-_LR_TAIL_MIN = 64   # a final remainder shorter than this stays residual
-
-
-def _lr_grid(lengths: np.ndarray, cap: int, chunk: int):
+def _lr_grid(lengths: np.ndarray, cap: int, chunk: int,
+             tail_min: int = 64):
     """Deterministic chunk grid of the long-read tier: (reads, offs,
     clens) covering every read longer than ``cap`` in ``chunk``-sized
-    pieces (final remainder kept as its own chunk when >= _LR_TAIL_MIN).
+    pieces (final remainder kept as its own chunk when >= tail_min —
+    p.longread_tail_min, serialized: it shapes the decode-side grid).
     Encode and decode derive the identical grid from the decoded lengths
     + serialized params — the chunk STRUCTURE costs zero stream bytes."""
     rows = np.flatnonzero(lengths > cap)
@@ -111,7 +110,7 @@ def _lr_grid(lengths: np.ndarray, cap: int, chunk: int):
         offs += [j * chunk for j in range(n)]
         clens += [chunk] * n
         rem = L - n * chunk
-        if rem >= _LR_TAIL_MIN:
+        if rem >= tail_min:
             reads.append(r)
             offs.append(n * chunk)
             clens.append(rem)
@@ -1260,7 +1259,8 @@ def _decode_block_impl(p: CodecParams, payload: bytes,
     lr_sub = np.zeros(R, np.int64)
     if TAG_LRF in sections and p.longread_chunk and R:
         C = min(p.longread_chunk, p.align_max_len)
-        lr_reads, lr_offs, lr_clens = _lr_grid(lengths, p.align_max_len, C)
+        lr_reads, lr_offs, lr_clens = _lr_grid(lengths, p.align_max_len, C,
+                                               p.longread_tail_min)
         gkeep = ~sdup[lr_reads] if n_sd else np.ones(len(lr_reads), bool)
         nk = int(gkeep.sum())
         if nk != meta.get("lrn", nk):

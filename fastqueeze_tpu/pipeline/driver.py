@@ -178,13 +178,19 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
         # every block is still scanned (and lossy-transformed) in file
         # order so each part computes the identical whole-input MD5 —
         # that is what lets merge_archives() reproduce the single-run
-        # archive byte-for-byte
+        # archive byte-for-byte.  Single-part runs defer parse + lossy to
+        # the workers (the generator is single-threaded; transforming
+        # here would serialize threaded lossy encodes) and update the
+        # MD5 in the ordered consumer instead.
         for gi, (raw, final_nl, block) in enumerate(items()):
-            if block is None and params.lossy_factor > 1.0:
-                block = parse_block(raw, final_nl)
-                raw, block = apply_lossy(params, block)
-            whole_md5.update(raw)
-            if gi % part_n == part_k:
+            if part_n > 1:
+                if block is None and params.lossy_factor > 1.0:
+                    block = parse_block(raw, final_nl)
+                    raw, block = apply_lossy(params, block)
+                whole_md5.update(raw)
+                if gi % part_n == part_k:
+                    yield gi, (raw, final_nl, block)
+            else:
                 yield gi, (raw, final_nl, block)
 
     def _self_align(block):
@@ -198,6 +204,8 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             gi, (raw, final_nl, block) = gi_item
             if block is None:
                 block = parse_block(raw, final_nl)
+                if part_n == 1 and params.lossy_factor > 1.0:
+                    raw, block = apply_lossy(params, block)
             align, rc = _self_align(block)
             payload = encode_block(params, block, frozen=frozen,
                                    align=align, ref_codes=rc,
@@ -207,6 +215,8 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
         t_all = time.time()
         for _i, (gi, raw, payload, n_reads) in device_parallel(
                 my_items(), work, devices, params.threads):
+            if part_n == 1:        # ordered: blocks arrive in file order
+                whole_md5.update(raw)
             writer.add_block(gi, payload, BlockInfo(
                 payload_len=len(payload), n_reads=n_reads,
                 raw_len1=len(raw), md5=hashlib.md5(raw).digest()))
@@ -228,6 +238,10 @@ def compress_se(params: CodecParams, in_path: str, out_path: str,
             t0 = time.time()
             if block is None:
                 block = parse_block(raw, final_nl)
+                if part_n == 1 and params.lossy_factor > 1.0:
+                    raw, block = apply_lossy(params, block)
+            if part_n == 1:
+                whole_md5.update(raw)
             dbg.add("parse_s", time.time() - t0)
             t0 = time.time()
             align, rc = _self_align(block)
@@ -429,7 +443,9 @@ def compress_multi(params: CodecParams, in_paths: List[str], out_path: str,
     into one archive with a file-list section; that path is bit-rotted in
     the reference binary — decode segfaults — and works here).  Blocks are
     tagged with their input file id; one whole-input MD5 per file."""
+    from fastqueeze_tpu.ops.engine import new_input_epoch
     from fastqueeze_tpu.pipeline.frozen import decide_use_model
+    new_input_epoch()      # speculative-fetch estimates are per-input
     dbg = dbg or DebugInfo()
     params.multi = 1
     if params.self_align == -1:

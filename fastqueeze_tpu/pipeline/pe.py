@@ -188,21 +188,26 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
     def my_items():
         # --part K:N round-robin ownership; every block pair is still
         # scanned (and lossy-transformed) in file order so each part
-        # computes identical whole-input MD5s (see driver.compress_se)
+        # computes identical whole-input MD5s (see driver.compress_se).
+        # Single-part runs defer parse/lossy to the workers and update
+        # MD5s in the ordered consumer (threaded-lossy parallelism).
         for gi, (raw1, fnl1, raw2, fnl2) in enumerate(items()):
             b1 = b2 = None
             if gi == 0 and first_parsed is not None:
                 b1, b2 = first_parsed
-            if p.lossy_factor > 1.0:
-                from fastqueeze_tpu.pipeline.driver import apply_lossy
-                if b1 is None:
-                    b1 = parse_block(raw1, fnl1)
-                    b2 = parse_block(raw2, fnl2)
-                raw1, b1 = apply_lossy(p, b1)
-                raw2, b2 = apply_lossy(p, b2)
-            md5_1.update(raw1)
-            md5_2.update(raw2)
-            if gi % part_n == part_k:
+            if part_n > 1:
+                if p.lossy_factor > 1.0:
+                    from fastqueeze_tpu.pipeline.driver import apply_lossy
+                    if b1 is None:
+                        b1 = parse_block(raw1, fnl1)
+                        b2 = parse_block(raw2, fnl2)
+                    raw1, b1 = apply_lossy(p, b1)
+                    raw2, b2 = apply_lossy(p, b2)
+                md5_1.update(raw1)
+                md5_2.update(raw2)
+                if gi % part_n == part_k:
+                    yield gi, (raw1, fnl1, raw2, fnl2, b1, b2)
+            else:
                 yield gi, (raw1, fnl1, raw2, fnl2, b1, b2)
 
     def work(_i, gi_item):
@@ -210,6 +215,10 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
         if b1 is None:
             b1 = parse_block(raw1, fnl1)
             b2 = parse_block(raw2, fnl2)
+        if part_n == 1 and p.lossy_factor > 1.0:
+            from fastqueeze_tpu.pipeline.driver import apply_lossy
+            raw1, b1 = apply_lossy(p, b1)
+            raw2, b2 = apply_lossy(p, b2)
         merged = interleave_blocks(b1, b2)
         align = rc = None
         if p.self_align:
@@ -226,6 +235,9 @@ def compress_pe(p: CodecParams, in1: str, in2: str, out_path: str,
     devices = block_dp_devices(p)
     for _i, (gi, raw1, raw2, payload, n_reads) in device_parallel(
             my_items(), work, devices, p.threads):
+        if part_n == 1:            # ordered: pairs arrive in file order
+            md5_1.update(raw1)
+            md5_2.update(raw2)
         info = BlockInfo(payload_len=len(payload), n_reads=n_reads,
                          raw_len1=len(raw1), raw_len2=len(raw2),
                          flags=FLAG_PE,
