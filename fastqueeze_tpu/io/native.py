@@ -248,7 +248,8 @@ def csr_build(codes: np.ndarray, amb: np.ndarray, k: int):
     lib = get_lib()
     n = len(codes)
     P = n - k + 1
-    if lib is None or P <= 0 or P >= (1 << 31):
+    # positions are u32: references up to 4 G windows build natively
+    if lib is None or P <= 0 or P >= (1 << 32) - 1:
         return None
     if k > 15:
         if k > 31:

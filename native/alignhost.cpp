@@ -870,14 +870,18 @@ extern "C" int64_t fq_csr_build(const uint8_t* codes, const uint8_t* amb,
                                 uint32_t* kv_out, uint32_t* pos_out,
                                 uint32_t* tmp_kv, uint32_t* tmp_pos) {
     const int64_t P = n - (int64_t)k + 1;
-    if (P <= 0 || k < 1 || k > 15) return 0;
+    // P up to 2^32 - 1: counters/indices are int64, positions fit u32
+    if (P <= 0 || P >= (int64_t)0xFFFFFFFF || k < 1 || k > 15) return 0;
     const uint32_t mask = (1u << (2 * k)) - 1;
     int64_t m = 0;
     uint32_t kv = 0;
+    // clamped at k: an unbounded int32 counter overflows after 2^31
+    // contiguous clean bases (>2 Gbp references) and silently drops
+    // half the windows — caught by tools/bigref_check.py
     int32_t clean = 0;
     for (int64_t i = 0; i < n; ++i) {
         kv = ((kv << 2) | codes[i]) & mask;
-        clean = amb[i] ? 0 : clean + 1;
+        clean = amb[i] ? 0 : (clean < k ? clean + 1 : clean);
         if (clean >= k) {
             tmp_kv[m] = kv;
             tmp_pos[m] = (uint32_t)(i - k + 1);
@@ -923,15 +927,15 @@ extern "C" int64_t fq_csr_build_wide(const uint8_t* codes,
                                      uint64_t* kv_out, uint32_t* pos_out,
                                      uint64_t* tmp_kv, uint32_t* tmp_pos) {
     const int64_t P = n - (int64_t)k + 1;
-    if (P <= 0 || k < 1 || k > 31) return 0;
+    if (P <= 0 || P >= (int64_t)0xFFFFFFFF || k < 1 || k > 31) return 0;
     const uint64_t mask =
         (k == 32) ? ~0ull : ((1ull << (2 * k)) - 1);
     int64_t m = 0;
     uint64_t kv = 0;
-    int32_t clean = 0;
+    int32_t clean = 0;            // clamped at k (see fq_csr_build)
     for (int64_t i = 0; i < n; ++i) {
         kv = ((kv << 2) | codes[i]) & mask;
-        clean = amb[i] ? 0 : clean + 1;
+        clean = amb[i] ? 0 : (clean < k ? clean + 1 : clean);
         if (clean >= k) {
             tmp_kv[m] = kv;
             tmp_pos[m] = (uint32_t)(i - k + 1);
