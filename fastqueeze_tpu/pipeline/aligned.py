@@ -213,7 +213,14 @@ def prepare_ref(p: CodecParams, ref_path: str):
     hit = _REF_CACHE.get(key) if key is not None else None
     if hit is None:
         idx, ref = load_index(ref_path, p)
-        aligner = Aligner(idx, p)
+        from fastqueeze_tpu.align import sharded
+        if (idx.n_positions >= sharded.SHARD_MIN_POSITIONS
+                or idx.ref_len >= sharded.SHARD_MIN_POSITIONS):
+            # human-scale references (> int32 positions): index sharded
+            # over the mesh's devices (SURVEY.md §2.3 north star)
+            aligner = sharded.ShardedAligner(idx, p)
+        else:
+            aligner = Aligner(idx, p)
         if key is not None:
             if len(_REF_CACHE) >= _REF_CACHE_MAX:
                 _REF_CACHE.pop(next(iter(_REF_CACHE)))
